@@ -1,0 +1,78 @@
+"""Vector expression library for embedding columns (array<float>).
+
+Dot products / norms / cosine similarity as JVM-side higher-order
+functions (``zip_with`` + ``aggregate``) — no Python in the hot path,
+no explode, arrays never leave Tungsten rows. This is the building
+block for brute-force ANN, LSH bucketing and embedding near-dup.
+
+Accumulation is in double (float32 inputs widen exactly), sequential
+per-pair — deterministic. Cross-engine comparisons still round to a
+few decimals because DuckDB's summation order may differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, digits: int = 4) -> Column:
+    return F.round(cosine(a, b), digits)
+
+
+def dot_sql(a_expr: str, b_expr: str) -> str:
+    """DuckDB rendering: element-wise product list, then list_sum."""
+    return (
+        f"list_sum([{a_expr}[i]::DOUBLE * {b_expr}[i]::DOUBLE "
+        f"FOR i IN range(1, len({a_expr}) + 1)])"
+    )
+
+
+def cosine_sql(a_expr: str, b_expr: str) -> str:
+    return (
+        f"({dot_sql(a_expr, b_expr)} / "
+        f"(sqrt({dot_sql(a_expr, a_expr)}) * sqrt({dot_sql(b_expr, b_expr)})))"
+    )
+
+
+def cosine_rounded_sql(a_expr: str, b_expr: str, digits: int = 4) -> str:
+    return f"round({cosine_sql(a_expr, b_expr)}, {digits})"
+
+
+def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one bit per plane = sign of the
+    dot product. Planes are fixed literals so the bucket is a pure
+    deterministic expression (same on any engine)."""
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_bucket_sql(v_expr: str, planes: list[list[float]]) -> str:
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in plane) + "]"
+        d = (
+            f"list_sum([{v_expr}[i]::DOUBLE * ({arr})[i] "
+            f"FOR i IN range(1, len({v_expr}) + 1)])"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)

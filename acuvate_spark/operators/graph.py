@@ -1,0 +1,68 @@
+"""Graph operators: connected components via iterative label
+propagation (SURVEY §2.4 A4 / §4 O4 — the reference's DFS/union-find
+at app.py:2861-2905 and app.py:1464-1489, re-expressed as dataflow).
+
+Algorithm: every node starts labeled with its own id; each round, each
+node takes the min label among itself and its neighbors; stop at
+fixpoint. Converges in O(diameter) rounds; each round is one
+shuffle-colocated join + groupBy. For web-scale graphs you'd switch to
+large-star/small-star (fewer rounds), but the P&ID graphs this engine
+targets have tiny diameters (lines connect nearby components), so
+plain propagation with an early-exit check is the right trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """edges(src,dst) undirected -> (node, component) with component =
+    min node id reachable. Deterministic fixpoint."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    # localCheckpoint cuts the lineage each round: without it the plan
+    # doubles per iteration (joins reference the previous labels) and
+    # Catalyst planning cost explodes long before the data does.
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor-min pass: node <- min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,701 @@
+"""Core relational queries — SURVEY.md §2.2 (filters/projections),
+§2.4 (aggregations), §2.5 (windows), §2.6 (sorts/limits), §2.7 (set
+ops), §2.8 (scalar functions), §3.3 (GetData pagination shape).
+
+Every query is declarative DataFrame API — Catalyst gets full freedom
+(pushdown, pruning, codegen). Scale notes are per-query where a choice
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import tags, textual
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: GetData paginated read (reference app.py:5029-5109, SURVEY §3.3)
+# ---------------------------------------------------------------------------
+
+_GETDATA_COLS = [
+    ("o_orderkey", "orderKey"),
+    ("o_custkey", "custKey"),
+    ("o_orderstatus", "orderStatus"),
+    ("o_totalprice", "totalPrice"),
+    ("o_orderdate", "orderDate"),
+    ("o_orderpriority", "orderPriority"),
+]
+
+
+@register(
+    "getdata_page",
+    oracle="""
+WITH f AS (
+  SELECT * FROM orders WHERE o_orderpriority ILIKE '%urg%'
+), w AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         count(*) OVER () AS "totalCount",
+         row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM f
+)
+SELECT o_orderkey AS "orderKey", o_custkey AS "custKey", o_orderstatus AS "orderStatus",
+       o_totalprice AS "totalPrice", o_orderdate AS "orderDate",
+       o_orderpriority AS "orderPriority", "totalCount"
+FROM w WHERE rn > 10 AND rn <= 20
+""",
+    survey_ref="W1 W2 P2 P6 §3.3",
+)
+def getdata_page(spark, sf_dir):
+    """Scan -> ILIKE filter -> COUNT(*) OVER() -> order -> page window ->
+    camelCase rename (reference app.py:5070-5096).
+
+    Scale note: global row_number pagination is inherently single-sink;
+    at 100 TB you'd switch to keyset pagination (WHERE sort_key < last)
+    which this same plan shape supports by swapping the window for a
+    filter+limit. The heavy lifting (filter) happens distributed before
+    the final small-window stage, so only the filtered slice hits the
+    single partition.
+    """
+    page, page_size = 2, 10
+    orders = load_table(spark, sf_dir, "orders")
+    filtered = orders.where(F.col("o_orderpriority").ilike("%urg%"))
+    w_rn = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    start = (page - 1) * page_size
+    return (
+        filtered.withColumn("totalCount", F.count("*").over(Window.partitionBy()))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .where((F.col("rn") > start) & (F.col("rn") <= start + page_size))
+        .select(*[F.col(src).alias(dst) for src, dst in _GETDATA_COLS], "totalCount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — the classic scan+agg benchmark shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey_ref="A1 A3 S1 O1",
+)
+def pricing_summary(spark, sf_dir):
+    """Pure map-side-combinable hash aggregate over the fact table: the
+    filter + projection push into the parquet scan, partial aggregation
+    happens before the (tiny, 6-group) shuffle. This plan scales
+    linearly to any data size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate family — SURVEY §2.2 P5/P6/P7
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_like_family",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM orders
+WHERE (o_orderpriority LIKE '1%' OR o_orderpriority ILIKE '%medium%')
+  AND o_orderstatus IN ('O', 'F')
+  AND o_orderpriority NOT ILIKE '%low%'
+""",
+    survey_ref="P5",
+)
+def filter_like_family(spark, sf_dir):
+    """LIKE / ILIKE / IN / NOT ILIKE predicate family
+    (reference app.py:1227-1235). All are Catalyst-pushable
+    StringContains/StartsWith filters — they reach the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").ilike("%medium%"))
+        & F.col("o_orderstatus").isin("O", "F")
+        & ~F.col("o_orderpriority").ilike("%low%")
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "filter_null_safe",
+    oracle="""
+SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_norm
+FROM orders
+WHERE nullif(o_orderstatus, 'P') <> 'F' OR nullif(o_orderstatus, 'P') IS NULL
+""",
+    survey_ref="P7 F11",
+)
+def filter_null_safe(spark, sf_dir):
+    """Null-safe status predicate ``x != 'F' OR x IS NULL``
+    (reference app.py:1271-1272) over a null-normalized column."""
+    o = load_table(spark, sf_dir, "orders")
+    status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey", status.alias("status_norm")
+    ).where((F.col("status_norm") != "F") | F.col("status_norm").isNull())
+
+
+# ---------------------------------------------------------------------------
+# Tag classification — SURVEY §2.8 F7 (reference app.py:783-837)
+# ---------------------------------------------------------------------------
+
+_SYNTH_TAG = (
+    "concat('E17-A_', ['F','PIT','CBL','P'][(p_partkey % 4) + 1], '-', "
+    "CAST(1000 + p_partkey AS VARCHAR), "
+    "CASE WHEN p_partkey % 5 = 0 THEN '-A' ELSE '' END)"
+)
+_SYNTH_FT = "['A7001','A6','A7','A40','B5','A42','A3','XX'][(p_partkey % 8) + 1]"
+
+
+@register(
+    "classify_tags",
+    oracle=f"""
+WITH synth AS (
+  SELECT p_partkey,
+         {_SYNTH_TAG} AS tag_no,
+         {_SYNTH_FT} AS file_type
+  FROM part
+)
+SELECT p_partkey, tag_no, file_type,
+       {tags.classify_tag_type_sql('tag_no', 'file_type')} AS tag_type
+FROM synth
+""",
+    survey_ref="F7 P8",
+)
+def classify_tags(spark, sf_dir):
+    """The reference's classify_tag_type rule cascade as a pure
+    when/rlike column expression over synthesized tag strings — zero
+    UDF, fully codegen'd, trivially scalable."""
+    p = load_table(spark, sf_dir, "part")
+    func = F.element_at(
+        F.array(F.lit("F"), F.lit("PIT"), F.lit("CBL"), F.lit("P")),
+        (F.col("p_partkey") % 4 + 1).cast("int"),
+    )
+    ft = F.element_at(
+        F.array(*[F.lit(x) for x in ["A7001", "A6", "A7", "A40", "B5", "A42", "A3", "XX"]]),
+        (F.col("p_partkey") % 8 + 1).cast("int"),
+    )
+    tag_no = F.concat(
+        F.lit("E17-A_"),
+        func,
+        F.lit("-"),
+        (F.lit(1000) + F.col("p_partkey")).cast("string"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("-A")).otherwise(F.lit("")),
+    )
+    return p.select(
+        "p_partkey",
+        tag_no.alias("tag_no"),
+        ft.alias("file_type"),
+    ).withColumn("tag_type", tags.classify_tag_type(F.col("tag_no"), F.col("file_type")))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function family — SURVEY §2.8
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regexp_extract_props",
+    oracle="""
+SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_val
+FROM events
+""",
+    survey_ref="F1",
+)
+def regexp_extract_props(spark, sf_dir):
+    """Regex field extraction from a JSON-ish string column
+    (reference extract_doc_id_from_url app.py:7046-7075)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).try_cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "split_project_rename",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       upper(trim(p_brand)) AS brand_uc,
+       concat(p_brand, '_', p_type) AS brand_type
+FROM part
+""",
+    survey_ref="F3 F5 F6 P1",
+)
+def split_project_rename(spark, sf_dir):
+    """split/part-extraction + case/trim + concat projections
+    (reference app.py:874-875, app.py:784-785, app.py:987)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.substring_index("p_name", " ", -1).alias("last_word"),
+        F.upper(F.trim(F.col("p_brand"))).alias("brand_uc"),
+        F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "explode_words",
+    oracle="""
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+FROM part
+""",
+    survey_ref="F4 X4",
+)
+def explode_words(spark, sf_dir):
+    """1-row->N-rows expansion (reference slash/newline tag splits
+    app.py:933-953, app.py:3780-3796)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+@register(
+    "slash_expand_tags",
+    oracle=f"""
+WITH synth AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0
+              THEN concat('F-', CAST(1000 + p_partkey AS VARCHAR), 'A/B')
+              ELSE concat('PIT-', CAST(1000 + p_partkey AS VARCHAR)) END AS raw_tag
+  FROM part
+)
+SELECT p_partkey, raw_tag, unnest({tags.slash_expand_sql('raw_tag')}) AS tag
+FROM synth
+""",
+    survey_ref="F4 X4",
+)
+def slash_expand_tags(spark, sf_dir):
+    """The reference's slash-suffix expansion 'F-1158A/B' ->
+    [F-1158A, F-1158B] (app.py:933-953) as array expr + explode."""
+    p = load_table(spark, sf_dir, "part")
+    raw = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(F.lit("F-"), (F.lit(1000) + F.col("p_partkey")).cast("string"), F.lit("A/B")),
+    ).otherwise(F.concat(F.lit("PIT-"), (F.lit(1000) + F.col("p_partkey")).cast("string")))
+    return (
+        p.select("p_partkey", raw.alias("raw_tag"))
+        .withColumn("tag", F.explode(tags.slash_expand(F.col("raw_tag"))))
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m/%d/%Y %H:%M:%S') AS date_str,
+       date_trunc('month', o_orderdate) AS order_month,
+       o_orderdate + INTERVAL 5 HOUR AS plus_5h,
+       year(o_orderdate) AS order_year
+FROM orders
+""",
+    survey_ref="F8",
+)
+def date_functions(spark, sf_dir):
+    """Date formatting (reference '%m/%d/%Y %H:%M:%S' app.py:692),
+    truncation, interval arithmetic (DATEADD app.py:6640-6642)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss").alias("date_str"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 HOURS")).alias("plus_5h"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+
+
+@register(
+    "hash_functions",
+    oracle="""
+SELECT c_custkey, md5(c_name) AS name_md5,
+       md5(concat(c_name, '|', c_mktsegment)) AS row_md5
+FROM customer
+""",
+    survey_ref="F9 O8",
+)
+def hash_functions(spark, sf_dir):
+    """MD5 hashing (reference image_hash app.py:3448-3450, LLM cache
+    key). md5 agrees bit-for-bit across Spark and DuckDB — it is the
+    cross-engine deterministic hash used throughout the dedup layer."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.md5(F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment"))).alias("row_md5"),
+    )
+
+
+@register(
+    "null_normalize_counts",
+    oracle=f"""
+WITH dirty AS (
+  SELECT source,
+         CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'nan' WHEN 2 THEN lang
+              ELSE ' ' || lang || ' ' END AS val
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_rows,
+       count({tags.null_normalize_sql('val')}) AS n_valid,
+       sum(CASE WHEN {tags.null_normalize_sql('val')} IS NULL THEN 1 ELSE 0 END) AS n_null
+FROM dirty GROUP BY source
+""",
+    survey_ref="F11 A9",
+)
+def null_normalize_counts(spark, sf_dir):
+    """''/'nan'/None -> null unification (reference app.py:6117-6122)
+    plus conditional aggregation (per-file summary app.py:6038-6045)."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 1, F.lit("nan"))
+        .when(F.col("doc_id") % 4 == 2, F.col("lang"))
+        .otherwise(F.concat(F.lit(" "), F.col("lang"), F.lit(" ")))
+        .alias("val"),
+    )
+    norm = tags.null_normalize(F.col("val"))
+    return dirty.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count(norm).alias("n_valid"),
+        F.sum(F.when(norm.isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+@register(
+    "semicolon_merge",
+    oracle=f"""
+WITH pairs AS (
+  SELECT p_partkey,
+         concat(p_brand, ';', p_type) AS a,
+         concat(p_type, ';DOC-', CAST(p_partkey % 7 AS VARCHAR)) AS b
+  FROM part
+)
+SELECT p_partkey, {tags.merge_semicolon_sorted_sql('a', 'b')} AS merged
+FROM pairs
+""",
+    survey_ref="U2 U3 F12",
+)
+def semicolon_merge(spark, sf_dir):
+    """Semicolon-packed multi-value set-union merge
+    (reference app.py:5771-5781): split -> set union -> sort -> repack."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = p.select(
+        "p_partkey",
+        F.concat_ws(";", "p_brand", "p_type").alias("a"),
+        F.concat(F.col("p_type"), F.lit(";DOC-"), (F.col("p_partkey") % 7).cast("string")).alias("b"),
+    )
+    return pairs.select(
+        "p_partkey",
+        tags.merge_semicolon_sorted(F.col("a"), F.col("b")).alias("merged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family — SURVEY §2.4
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_order_stats",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END) AS n_big,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+    survey_ref="A1 A8 A9 A3",
+)
+def agg_order_stats(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_totalprice") > 50000, 1).otherwise(0)).alias("n_big"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    survey_ref="A2",
+)
+def distinct_pairs(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "group_envelope",
+    oracle="""
+SELECT l_orderkey,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+""",
+    survey_ref="A3",
+)
+def group_envelope(spark, sf_dir):
+    """Envelope merge per group: min/max bounds (reference
+    merge_envelope app.py:2852-2859 computes bbox envelopes the same
+    way). Map-side combinable -> scales to any group count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "collect_list_per_group",
+    oracle="""
+SELECT l_orderkey,
+       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS linenumbers_csv
+FROM lineitem GROUP BY l_orderkey
+""",
+    survey_ref="A7",
+)
+def collect_list_per_group(spark, sf_dir):
+    """collect_list per key (reference polyline point collection
+    app.py:3069-3078), sorted for determinism and emitted as CSV string
+    so the value-hash is representation-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("linenumbers_csv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family — SURVEY §2.5
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type FROM w WHERE rn = 1
+""",
+    survey_ref="W3 A5",
+)
+def latest_event_per_user(spark, sf_dir):
+    """Latest-row-per-key (reference ORDER BY DATE_UPDATED DESC LIMIT 1
+    app.py:4825-4833). Partitioned window -> fully parallel."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH g AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+         lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_ts IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM g
+)
+SELECT event_id, user_id, ts,
+       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM f
+""",
+    survey_ref="W2+ (analytic superset: lag + running sum)",
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids via lag + running sum —
+    the analytic-window superset the reference's event loop implies.
+    Integer microsecond arithmetic keeps both engines bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull(), 1).when(gap_us > 1_800_000_000, 1).otherwise(0)
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "ts", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k — SURVEY §2.6
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    survey_ref="§2.6 top-k",
+)
+def top_orders(spark, sf_dir):
+    """Global top-k: Spark's TakeOrderedAndProject — per-partition
+    heaps then a k-merge on the driver; no full sort, no full shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — SURVEY §2.7
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all_sync",
+    oracle="""
+SELECT o_orderkey AS tag_key, o_totalprice AS price, '1-URGENT' AS register
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+   AND coalesce(o_orderdate, o_orderdate) BETWEEN TIMESTAMP '1996-01-01 05:00:00'
+                                              AND TIMESTAMP '1997-01-01 05:00:00'
+UNION ALL
+SELECT o_orderkey, o_totalprice, '2-HIGH' FROM orders WHERE o_orderpriority = '2-HIGH'
+   AND coalesce(o_orderdate, o_orderdate) BETWEEN TIMESTAMP '1996-01-01 05:00:00'
+                                              AND TIMESTAMP '1997-01-01 05:00:00'
+UNION ALL
+SELECT o_orderkey, o_totalprice, '3-MEDIUM' FROM orders WHERE o_orderpriority = '3-MEDIUM'
+   AND coalesce(o_orderdate, o_orderdate) BETWEEN TIMESTAMP '1996-01-01 05:00:00'
+                                              AND TIMESTAMP '1997-01-01 05:00:00'
+UNION ALL
+SELECT o_orderkey, o_totalprice, '5-LOW' FROM orders WHERE o_orderpriority = '5-LOW'
+   AND coalesce(o_orderdate, o_orderdate) BETWEEN TIMESTAMP '1996-01-01 05:00:00'
+                                              AND TIMESTAMP '1997-01-01 05:00:00'
+""",
+    survey_ref="U1 F8",
+)
+def union_all_sync(spark, sf_dir):
+    """The reference's 4-register UNION ALL sync with per-branch
+    COALESCE date-window (sync_tags app.py:6638-6668), with 'now'
+    frozen to a literal for determinism (SURVEY §7.4). unionByName of
+    identically-projected branches — Catalyst collapses the 4 scans
+    into one pass over the table when sources match."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01 05:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 05:00:00").cast("timestamp_ntz")
+
+    def branch(priority):
+        return (
+            o.where(
+                (F.col("o_orderpriority") == priority)
+                & F.coalesce(F.col("o_orderdate"), F.col("o_orderdate")).between(lo, hi)
+            )
+            .select(
+                F.col("o_orderkey").alias("tag_key"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(priority).alias("register"),
+            )
+        )
+
+    out = branch("1-URGENT")
+    for pr in ["2-HIGH", "3-MEDIUM", "5-LOW"]:
+        out = out.unionByName(branch(pr))
+    return out
+
+
+@register(
+    "except_customers",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+    survey_ref="U4",
+)
+def except_customers(spark, sf_dir):
+    """Set difference (reference remaining_for_pipe app.py:955)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-batch analogue — SURVEY §2.9 (tumbling windows over events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_event_counts",
+    oracle="""
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    survey_ref="§2.9 (batch view of the streaming tumbling-window agg)",
+)
+def tumbling_event_counts(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation — the batch-mode twin of
+    acuvate_spark.streaming's windowed stream (same logical plan shape
+    Structured Streaming runs incrementally with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )

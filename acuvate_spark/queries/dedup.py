@@ -1,0 +1,311 @@
+"""Deduplication queries over ``documents``/``embeddings`` — exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+To make the dedup paths observable on the synthetic corpus, every
+query's input is ``documents`` (or ``embeddings``) plus *planted
+clones*: rows with ``id % 50 == 0`` duplicated at ``id + 100000``.
+Both the Spark side and the DuckDB oracle construct the identical
+input, so the planted duplicates must be found by both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import textual
+from ..operators import dedup as dedup_ops
+from ..tables import load_table
+from .registry import register
+
+# --- shared planted-clone inputs -------------------------------------------
+
+_DOCS_SQL = """
+docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+_SHINGLES_SQL = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS shingle
+  FROM words
+)
+"""
+
+
+def _docs_plus_clones(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    clones = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return d.unionByName(clones)
+
+
+def _doc_shingles(docs, n=3):
+    w = textual.words(F.trim(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(textual.word_shingles(w, n)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH {_DOCS_SQL}
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM docs GROUP BY 1
+""",
+    survey_ref="training-data: exact dedup; A2 F9",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup = md5(normalized text) -> groupBy -> min-id
+    canonical. One map-side-combinable shuffle on a 32-byte key; at
+    100 TB the text never shuffles, only hashes do."""
+    docs = _docs_plus_clones(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (bounded: one source partition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DOCS_SQL},
+limited AS (SELECT doc_id, text FROM docs WHERE source = 'src0'),
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM limited),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS shingle
+  FROM words
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c::DOUBLE / (ca.n + cb.n - c), 6) AS jaccard
+FROM common
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE c::DOUBLE / (ca.n + cb.n - c) >= 0.3
+""",
+    survey_ref="training-data: n-gram Jaccard near-dup; J8 A1",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard similarity: explode shingles ->
+    equi-join on shingle -> common counts vs per-doc counts. The
+    shingle equi-join is the scalable reformulation of all-pairs; here
+    bounded to one source partition (the full-corpus path is
+    dedup_minhash_lsh, which prunes candidates before verifying)."""
+    docs = _docs_plus_clones(spark, sf_dir).where(F.col("source") == "src0")
+    sh = _doc_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the full-corpus scale path)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+
+_SIG_SQL = ",\n       ".join(
+    f"min(md5('seed{i}|' || shingle)) AS mh{i}" for i in range(_N_HASHES)
+)
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sig"
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_DOCS_SQL},
+{_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, {_SIG_SQL}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b, round(m.c::DOUBLE / (ca.n + cb.n - m.c), 6) AS jaccard
+FROM common m
+JOIN counts ca ON ca.doc_id = m.doc_a
+JOIN counts cb ON cb.doc_id = m.doc_b
+WHERE m.c::DOUBLE / (ca.n + cb.n - m.c) >= 0.7
+""",
+    survey_ref="training-data: MinHash+LSH dedup",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8 perms, md5-based) -> 4 LSH bands of 2 -> candidate
+    pairs share a band -> verify true Jaccard >= 0.7. The all-pairs
+    problem becomes two equi-joins (band join, shingle join over
+    candidates only) — cost scales with collisions, not n². md5 minhash
+    keeps the signature engine-portable for the oracle."""
+    docs = _docs_plus_clones(spark, sf_dir)
+    sh = _doc_shingles(docs)
+    sig = dedup_ops.minhash_signature(sh, "doc_id", "shingle", _N_HASHES)
+    bands = dedup_ops.band_keys(sig, "doc_id", _N_HASHES, _BAND_SIZE)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
+    common = (
+        cand.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — Spark-native bit votes (rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 bit votes aren't portable SQL -> rows-only check
+    survey_ref="training-data: SimHash near-dup",
+)
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures from per-word xxhash64 bit votes,
+    16-bit-band LSH candidates, hamming <= 3 verification. Entirely
+    JVM-side expressions (64 codegen'd aggregates) — no Python."""
+    docs = _docs_plus_clones(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(textual.words(F.lower(F.col("text")))).alias("token")
+    ).where(F.col("token") != "")
+    sig = dedup_ops.simhash64(tokens, "doc_id", "token")
+    pairs = dedup_ops.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+    return pairs.select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"), "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_EMB_SQL = """
+emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_EMB_SQL},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                     FOR i IN range(1, len(a.embedding) + 1)])
+           / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                             FOR i IN range(1, len(a.embedding) + 1)]))
+              * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                               FOR i IN range(1, len(b.embedding) + 1)]))), 4) AS cos_sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+""",
+    survey_ref="training-data: embedding near-dup",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine >= 0.95) via brute-force
+    self-join — correct baseline at fixture scale; the LSH-bucketed
+    variant (ann_lsh_bucketed) is the 100 TB path. zip_with/aggregate
+    keeps the dot products JVM-side."""
+    from ..functions import vectors
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    emb = e.unionByName(clones)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
+        "cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4)
+    )
+    return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")

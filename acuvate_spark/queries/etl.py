@@ -1,0 +1,314 @@
+"""Composed ETL pipelines — SURVEY §3.1 (drawing-scanner tag ETL) and
+§2.11 M7 (two-phase Excel validate/commit ETL), each as ONE declarative
+dataflow the driver can oracle-check end-to-end.
+
+Inputs are synthesized deterministically from ``part`` (identically in
+Spark and in the DuckDB oracle SQL) so every branch of the reference
+logic is reachable: both tag grammars, parens stripping, slash
+expansion, stop-word/validity rejection, the A40/A41/KA45 file skip,
+the existing-tags anti-join, hyphen normalization and the classify
+cascade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import tags
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# §3.1 — drawing-scanner tag ETL (reference insert_extracted_data_to_database
+# app.py:839-1018)
+# ---------------------------------------------------------------------------
+
+_FILES = [
+    "E17-A_A4010-0001_01_AB.pdf",  # A40 -> whole file skipped (app.py:882-888)
+    "E17-B_A7001-0002_01_AB.pdf",  # A7001 -> C&E Drawing
+    "E17-C_B5-0003_01_AB.pdf",  # B5 -> Isometrics
+    "E17-D_A6-0004_01_AB.pdf",  # A6 -> Electrical Drawing
+]
+
+_FILE_TYPE_RE = r"(A[1-8]\d*|B5|A42|KA45\d*)"
+
+_RAW_SQL = f"""
+raw AS (
+  SELECT p_partkey AS row_id,
+    ['{_FILES[0]}','{_FILES[1]}','{_FILES[2]}','{_FILES[3]}'][(p_partkey % 4) + 1] AS file_name,
+    CASE p_partkey % 6
+      WHEN 0 THEN '(F-' || CAST(1000 + p_partkey AS VARCHAR) || 'A/B)'
+      WHEN 1 THEN CAST(p_partkey AS VARCHAR)
+      WHEN 2 THEN 'BY-PASS'
+      WHEN 3 THEN 'PIT-' || CAST(1000 + p_partkey AS VARCHAR)
+      WHEN 4 THEN 'E17-F-' || CAST(1000 + p_partkey AS VARCHAR)
+      ELSE '8"-CS150-AB' || CAST((p_partkey % 90) + 10 AS VARCHAR) || '-CD34'
+    END AS raw_tag
+  FROM part
+)
+"""
+
+_FT_FULL_SQL = f"upper(regexp_extract(file_name, '{_FILE_TYPE_RE}', 1))"
+
+_FT_SQL = f"""CASE
+  WHEN {_FT_FULL_SQL} = '' THEN 'Unknown'
+  WHEN {_FT_FULL_SQL} LIKE 'A7001%' THEN 'A7001'
+  WHEN {_FT_FULL_SQL} LIKE 'A42%' THEN 'A42'
+  WHEN {_FT_FULL_SQL} LIKE 'A7%' THEN 'A7'
+  WHEN {_FT_FULL_SQL} LIKE 'A%' THEN substr({_FT_FULL_SQL}, 1, 2)
+  ELSE {_FT_FULL_SQL} END"""
+
+_FDESC_SQL = """CASE file_type
+  WHEN 'A7001' THEN 'C&E Drawing' WHEN 'A42' THEN 'Plotplans'
+  WHEN 'A7' THEN 'Instrumentation Drawing' WHEN 'A6' THEN 'Electrical Drawing'
+  WHEN 'B5' THEN 'Isometrics' WHEN 'A1' THEN 'Jacket Structural'
+  WHEN 'A2' THEN 'Deck Structural' WHEN 'A3' THEN 'Supports'
+  WHEN 'A4' THEN 'General Arrangement' WHEN 'A5' THEN 'Piping Layout'
+  WHEN 'A8' THEN 'Safety Drawing' ELSE 'Unknown' END"""
+
+
+@register(
+    "scanner_tag_etl",
+    oracle=f"""
+WITH {_RAW_SQL},
+kept AS (
+  SELECT *, {_FT_FULL_SQL} AS ft_full FROM raw
+  WHERE NOT ({_FT_FULL_SQL} LIKE 'A40%' OR {_FT_FULL_SQL} LIKE 'A41%'
+             OR {_FT_FULL_SQL} LIKE 'KA45%')
+),
+uniq AS (
+  SELECT DISTINCT file_name, trim(raw_tag, '()') AS tag FROM kept
+),
+regular AS (
+  SELECT file_name, tag FROM uniq
+  WHERE regexp_matches(tag, '{tags.PAT_REGULAR}') AND {tags.is_valid_plant_tag_sql('tag')}
+),
+expanded AS (
+  SELECT file_name, unnest({tags.slash_expand_sql('tag')}) AS tag FROM regular
+),
+remaining AS (
+  SELECT u.file_name, u.tag FROM uniq u
+  WHERE NOT EXISTS (SELECT 1 FROM expanded e
+                    WHERE e.file_name = u.file_name AND e.tag = u.tag)
+),
+pipe AS (
+  SELECT file_name, tag FROM remaining
+  WHERE regexp_matches(tag, '{tags.PAT_PIPE.replace("'", "''")}')
+    AND {tags.is_valid_plant_tag_sql('tag')}
+),
+all_tags AS (SELECT * FROM expanded UNION ALL SELECT * FROM pipe),
+existing AS (
+  SELECT DISTINCT file_name,
+         split_part(file_name, '_', 1) || '_' || trim(raw_tag, '()') AS tag_pre
+  FROM kept WHERE row_id % 17 = 0
+),
+fresh AS (
+  SELECT a.file_name, a.tag FROM all_tags a
+  WHERE NOT EXISTS (SELECT 1 FROM existing e
+                    WHERE e.file_name = a.file_name
+                      AND e.tag_pre = split_part(a.file_name, '_', 1) || '_' || a.tag)
+),
+final AS (
+  SELECT file_name,
+         split_part(file_name, '_', 1) || '_' || {tags.normalize_hyphen_sql('tag')} AS tag_no,
+         {_FT_SQL} AS file_type
+  FROM fresh
+)
+SELECT file_name,
+       split_part(file_name, '_', 1) || '_' || split_part(file_name, '_', 2) AS document_id,
+       tag_no, file_type,
+       {_FDESC_SQL} AS file_description,
+       {tags.classify_tag_type_sql('tag_no', 'file_type')} AS tag_type
+FROM final
+""",
+    survey_ref="§3.1 P8 P9 P10 F2 F4 F6 F7 J1 A2 S7",
+)
+def scanner_tag_etl(spark, sf_dir):
+    """The drawing-scanner tag ETL (reference app.py:839-1018) as one
+    dataflow: strip parens -> per-file distinct -> regular-grammar
+    filter + validity -> slash expansion -> pipe-grammar on the
+    remainder -> anti-join vs existing staging tags -> hyphen
+    normalization -> prefix -> classify -> insert rows.
+
+    Everything is column expressions + two anti-joins; no UDF, no
+    collect. At 100 TB the per-file distinct and anti-joins shuffle on
+    (file_name, tag) — high cardinality, no skew."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    file_name = F.element_at(
+        F.array(*[F.lit(f) for f in _FILES]), (k % 4 + 1).cast("int")
+    )
+    raw_tag = (
+        F.when(k % 6 == 0, F.concat(F.lit("(F-"), (k + 1000).cast("string"), F.lit("A/B)")))
+        .when(k % 6 == 1, k.cast("string"))
+        .when(k % 6 == 2, F.lit("BY-PASS"))
+        .when(k % 6 == 3, F.concat(F.lit("PIT-"), (k + 1000).cast("string")))
+        .when(k % 6 == 4, F.concat(F.lit("E17-F-"), (k + 1000).cast("string")))
+        .otherwise(
+            F.concat(F.lit('8"-CS150-AB'), ((k % 90) + 10).cast("string"), F.lit("-CD34"))
+        )
+    )
+    raw = p.select(k.alias("row_id"), file_name.alias("file_name"), raw_tag.alias("raw_tag"))
+
+    ft_full = F.upper(F.regexp_extract("file_name", _FILE_TYPE_RE, 1))
+    kept = raw.withColumn("ft_full", ft_full).where(
+        ~(
+            F.col("ft_full").startswith("A40")
+            | F.col("ft_full").startswith("A41")
+            | F.col("ft_full").startswith("KA45")
+        )
+    )
+    stripped = F.expr("trim(BOTH '()' FROM raw_tag)")
+    uniq = kept.select("file_name", stripped.alias("tag")).distinct()
+
+    regular = uniq.where(
+        F.col("tag").rlike(tags.PAT_REGULAR) & tags.is_valid_plant_tag(F.col("tag"))
+    )
+    expanded = regular.select(
+        "file_name", F.explode(tags.slash_expand(F.col("tag"))).alias("tag")
+    )
+    remaining = uniq.join(expanded, ["file_name", "tag"], "left_anti")
+    pipe = remaining.where(
+        F.col("tag").rlike(tags.PAT_PIPE) & tags.is_valid_plant_tag(F.col("tag"))
+    )
+    all_tags = expanded.unionByName(pipe)
+
+    prefix = F.substring_index(F.col("file_name"), "_", 1)
+    existing = (
+        kept.where(F.col("row_id") % 17 == 0)
+        .select(
+            F.col("file_name").alias("e_file"),
+            F.concat(prefix, F.lit("_"), F.expr("trim(BOTH '()' FROM raw_tag)")).alias("tag_pre"),
+        )
+        .distinct()
+    )
+    fresh = all_tags.join(
+        existing,
+        (F.col("file_name") == F.col("e_file"))
+        & (F.concat(prefix, F.lit("_"), F.col("tag")) == F.col("tag_pre")),
+        "left_anti",
+    )
+
+    file_type = (
+        F.when(F.col("ft_full") == "", F.lit("Unknown"))
+        .when(F.col("ft_full").startswith("A7001"), F.lit("A7001"))
+        .when(F.col("ft_full").startswith("A42"), F.lit("A42"))
+        .when(F.col("ft_full").startswith("A7"), F.lit("A7"))
+        .when(F.col("ft_full").startswith("A"), F.substring(F.col("ft_full"), 1, 2))
+        .otherwise(F.col("ft_full"))
+    )
+    fdesc_map = {
+        "A7001": "C&E Drawing", "A42": "Plotplans", "A7": "Instrumentation Drawing",
+        "A6": "Electrical Drawing", "B5": "Isometrics", "A1": "Jacket Structural",
+        "A2": "Deck Structural", "A3": "Supports", "A4": "General Arrangement",
+        "A5": "Piping Layout", "A8": "Safety Drawing",
+    }
+    fdesc = None
+    for key, val in fdesc_map.items():
+        cond = F.when(F.col("file_type") == key, F.lit(val))
+        fdesc = cond if fdesc is None else fdesc.when(F.col("file_type") == key, F.lit(val))
+    fdesc = fdesc.otherwise(F.lit("Unknown"))
+
+    final = fresh.withColumn("ft_full", F.upper(F.regexp_extract("file_name", _FILE_TYPE_RE, 1))).withColumn(
+        "file_type", file_type
+    ).withColumn(
+        "tag_no", F.concat(prefix, F.lit("_"), tags.normalize_hyphen(F.col("tag")))
+    )
+    return final.select(
+        "file_name",
+        F.concat(
+            F.substring_index("file_name", "_", 1),
+            F.lit("_"),
+            F.element_at(F.split("file_name", "_"), 2),
+        ).alias("document_id"),
+        "tag_no",
+        "file_type",
+        fdesc.alias("file_description"),
+        tags.classify_tag_type(F.col("tag_no"), F.col("file_type")).alias("tag_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7 — two-phase Excel validate/commit ETL (reference app.py:6022-6441)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "excel_validate_etl",
+    oracle=f"""
+WITH excel AS (
+  SELECT p_partkey AS row_id,
+    CASE WHEN p_partkey % 11 = 0 THEN NULL
+         WHEN p_partkey % 13 = 0 THEN 'nan'
+         ELSE 'PIT-' || CAST(2000 + p_partkey AS VARCHAR) END AS tagno_raw,
+    ['equipment tag','INSTRUMENT','cable','line tag','junk'][(p_partkey % 5) + 1] AS tagtype_raw,
+    CAST(p_partkey AS VARCHAR) || '.0' AS sequence_raw
+  FROM part
+), v AS (
+  SELECT row_id,
+    {tags.null_normalize_sql('tagno_raw')} AS tagno,
+    CASE WHEN lower(tagtype_raw) LIKE '%equip%' THEN 'Equipment'
+         WHEN lower(tagtype_raw) LIKE '%instr%' THEN 'Instrument'
+         WHEN lower(tagtype_raw) LIKE '%cable%' THEN 'Cable'
+         WHEN lower(tagtype_raw) LIKE '%line%' THEN 'Line' END AS tag_type,
+    regexp_replace(sequence_raw, '\\.0$', '') AS sequence
+  FROM excel
+)
+SELECT row_id, tagno, tag_type, sequence,
+  CASE WHEN tagno IS NULL THEN 'ERROR'
+       WHEN tag_type IS NULL THEN 'ERROR'
+       WHEN row_id % 4 <> 0 THEN 'Edit' ELSE 'Add' END AS action,
+  CASE WHEN tagno IS NULL THEN 'MISSING_TAG'
+       WHEN tag_type IS NULL THEN 'INVALID_TYPE' END AS error
+FROM v
+""",
+    survey_ref="M7 F11 F2 J2",
+)
+def excel_validate_etl(spark, sf_dir):
+    """Two-phase Excel ETL validation pass (reference app.py:6105-6347):
+    null-normalize the tag number, fuzzy-match the free-form type
+    (app.py:6146-6153), strip Excel's trailing '.0' (clean_value
+    app.py:5932-5943), then split rows into Add/Edit/error actions
+    (add-vs-edit = membership in the register, app.py:6204-6275).
+    Errors accumulate as a column instead of failing the job — the
+    valid/invalid split is a filter on the result."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    tagno_raw = (
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 13 == 0, F.lit("nan"))
+        .otherwise(F.concat(F.lit("PIT-"), (k + 2000).cast("string")))
+    )
+    tagtype_raw = F.element_at(
+        F.array(*[F.lit(x) for x in ["equipment tag", "INSTRUMENT", "cable", "line tag", "junk"]]),
+        (k % 5 + 1).cast("int"),
+    )
+    excel = p.select(
+        k.alias("row_id"),
+        tagno_raw.alias("tagno_raw"),
+        tagtype_raw.alias("tagtype_raw"),
+        F.concat(k.cast("string"), F.lit(".0")).alias("sequence_raw"),
+    )
+    lt = F.lower(F.col("tagtype_raw"))
+    tag_type = (
+        F.when(lt.contains("equip"), F.lit("Equipment"))
+        .when(lt.contains("instr"), F.lit("Instrument"))
+        .when(lt.contains("cable"), F.lit("Cable"))
+        .when(lt.contains("line"), F.lit("Line"))
+    )
+    v = excel.select(
+        "row_id",
+        tags.null_normalize(F.col("tagno_raw")).alias("tagno"),
+        tag_type.alias("tag_type"),
+        F.regexp_replace("sequence_raw", r"\.0$", "").alias("sequence"),
+    )
+    action = (
+        F.when(F.col("tagno").isNull(), F.lit("ERROR"))
+        .when(F.col("tag_type").isNull(), F.lit("ERROR"))
+        .when(F.col("row_id") % 4 != 0, F.lit("Edit"))
+        .otherwise(F.lit("Add"))
+    )
+    error = F.when(F.col("tagno").isNull(), F.lit("MISSING_TAG")).when(
+        F.col("tag_type").isNull(), F.lit("INVALID_TYPE")
+    )
+    return v.select("row_id", "tagno", "tag_type", "sequence", action.alias("action"), error.alias("error"))

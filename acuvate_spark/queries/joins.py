@@ -1,0 +1,397 @@
+"""Join family — SURVEY.md §2.3 (J1-J11).
+
+Warehouse joins (anti/semi/lookup) are equi-joins on keys; geometric
+joins (nearest-neighbor, containment, overlap, distance-dedupe) are
+theta joins re-expressed over the synthetic numeric columns. Every
+small side is broadcast explicitly so the plans Catalyst produces are
+the ones that survive a 1000-executor scale-up: broadcast-hash for
+dim-sized sides, sort-merge for fact-fact, and bucketed grid keys to
+turn unbounded theta joins into bounded equi-joins (SURVEY §4 O3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# J1/J2 — anti & semi joins (dedupe-vs-warehouse, existence probes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    survey_ref="J1",
+)
+def anti_join_customers(spark, sf_dir):
+    """Left-anti join: new-tags-minus-existing dedupe shape
+    (reference app.py:962-977). The per-row Python membership test
+    becomes one distributed hash join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    survey_ref="J2",
+)
+def semi_join_customers(spark, sf_dir):
+    """Left-semi join: the reference's per-row COUNT(*) existence
+    probes (app.py:6131-6141) collapsed into one join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# J3 — lookup join: first match across a priority-ordered union of tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lookup_first_match",
+    oracle="""
+WITH regs AS (
+  SELECT c_nationkey AS key, c_name AS name, 'customer' AS src, 1 AS prio FROM customer
+  UNION ALL
+  SELECT s_nationkey, s_name, 'supplier', 2 FROM supplier
+), ranked AS (
+  SELECT key, name, src, row_number() OVER (PARTITION BY key ORDER BY prio, name) AS rn
+  FROM regs
+)
+SELECT n.n_nationkey, n.n_name, r.src AS found_in, r.name AS match_name
+FROM nation n LEFT JOIN ranked r ON r.key = n.n_nationkey AND r.rn = 1
+""",
+    survey_ref="J3 W4",
+)
+def lookup_first_match(spark, sf_dir):
+    """EditData's search-tables-in-order-return-first-hit
+    (reference app.py:5186-5209): union the registers with a priority
+    tag, pick first per key by window, left-join the probe side.
+    One shuffle instead of N sequential probes."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+        F.lit(1).alias("prio"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("src"),
+        F.lit(2).alias("prio"),
+    )
+    ranked = (
+        c.unionByName(s)
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("key").orderBy("prio", "name"))
+        )
+        .where(F.col("rn") == 1)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return n.join(
+        F.broadcast(ranked), ranked.key == n.n_nationkey, "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.col("src").alias("found_in"),
+        F.col("name").alias("match_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — nearest-neighbor spatial join (closest Tag box within threshold)
+# ---------------------------------------------------------------------------
+
+# Synthetic geometry: parts are "components" at (p_size, (p_retailprice-900)),
+# suppliers are "tag boxes" at (s_suppkey*5 % 50, (s_acctbal % 100)).
+_PX = "CAST(p_size AS DOUBLE)"
+_PY = "(p_retailprice - 900.0)"
+_SX = "CAST((s_suppkey * 5) % 50 AS DOUBLE)"
+_SY = "CAST(s_acctbal AS DOUBLE) % 100"
+
+
+@register(
+    "nearest_tag_join",
+    oracle=f"""
+WITH comp AS (SELECT p_partkey, {_PX} AS px, {_PY} AS py FROM part),
+     tag  AS (SELECT s_suppkey, {_SX} AS sx, {_SY} AS sy FROM supplier),
+     pairs AS (
+       SELECT c.p_partkey, t.s_suppkey,
+              sqrt((c.px - t.sx) * (c.px - t.sx) + (c.py - t.sy) * (c.py - t.sy)) AS dist
+       FROM comp c CROSS JOIN tag t
+     ), ranked AS (
+       SELECT p_partkey, s_suppkey, dist,
+              row_number() OVER (PARTITION BY p_partkey ORDER BY dist, s_suppkey) AS rn
+       FROM pairs
+     )
+SELECT p_partkey, s_suppkey AS nearest_tag, round(dist, 6) AS dist
+FROM ranked WHERE rn = 1 AND dist < 40
+""",
+    survey_ref="J4",
+)
+def nearest_tag_join(spark, sf_dir):
+    """find_closest_tag (reference app.py:2025-2041): nearest Tag box
+    by Euclidean distance under a threshold. Broadcast cross join
+    against the small Tag side + min-distance window. At 100 TB the
+    Tag side stays per-document-small (SURVEY §7.1), so broadcast is
+    the right physical plan; sqrt is IEEE-deterministic so distances
+    are bit-identical across engines."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("px"),
+        (F.col("p_retailprice") - 900.0).alias("py"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 5) % 50).cast("double").alias("sx"),
+        (F.col("s_acctbal").cast("double") % 100).alias("sy"),
+    )
+    dist = F.sqrt(
+        (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx"))
+        + (F.col("py") - F.col("sy")) * (F.col("py") - F.col("sy"))
+    )
+    pairs = p.crossJoin(F.broadcast(s)).withColumn("dist", dist)
+    w = Window.partitionBy("p_partkey").orderBy("dist", "s_suppkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("dist") < 40))
+        .select("p_partkey", F.col("s_suppkey").alias("nearest_tag"), F.round("dist", 6).alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — containment (theta) join: point-in-interval with tolerance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "containment_join",
+    oracle="""
+WITH box AS (
+  SELECT s_suppkey, (s_suppkey * 9)::DOUBLE - 2.0 AS x1, (s_suppkey * 9)::DOUBLE + 6.0 AS x2
+  FROM supplier WHERE s_suppkey < 6
+)
+SELECT l.l_orderkey, l.l_linenumber, b.s_suppkey AS box_id
+FROM lineitem l JOIN box b ON l.l_quantity BETWEEN b.x1 AND b.x2
+""",
+    survey_ref="J5 J6",
+)
+def containment_join(spark, sf_dir):
+    """point_in_box / connect_lines_to_boxes (reference
+    app.py:2047-2128): tolerance-expanded interval containment as a
+    range-predicate join. The box side is tiny and broadcast, so the
+    theta join is a broadcast-nested-loop over a handful of boxes —
+    the same plan that holds per-document at scale. For box counts in
+    the millions the grid-bucket equi-join (SURVEY §4 O3, implemented
+    in operators.spatial) replaces it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") < 6)
+    box = s.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 9).cast("double") - 2.0).alias("x1"),
+        ((F.col("s_suppkey") * 9).cast("double") + 6.0).alias("x2"),
+    )
+    return (
+        li.join(F.broadcast(box), F.col("l_quantity").between(F.col("x1"), F.col("x2")))
+        .select("l_orderkey", "l_linenumber", F.col("s_suppkey").alias("box_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — pairwise self-join within a group (components on one line -> edges)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pairwise_self_join",
+    oracle="""
+SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       round(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+""",
+    survey_ref="J7",
+)
+def pairwise_self_join(spark, sf_dir):
+    """All-pairs-within-group (reference app.py:3189-3199 builds edges
+    from all component pairs touched by a line). Equi-join on the
+    group key + ``a < b`` dedup predicate — a shuffle-colocated
+    sort-merge self-join; group sizes are small (line fan-out), so no
+    skew blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_extendedprice").alias("a")
+    b = li.select("l_orderkey", "l_linenumber", "l_extendedprice").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("ln_a"),
+            F.col("b.l_linenumber").alias("ln_b"),
+            F.round(F.col("a.l_extendedprice") + F.col("b.l_extendedprice"), 2).alias("pair_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — interval-overlap self-join (bbox intersection graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+WITH iv AS (
+  SELECT p_partkey, p_brand, p_size::DOUBLE AS x1, p_size::DOUBLE + 4.0 AS x2
+  FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+FROM iv a JOIN iv b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND NOT (a.x2 < b.x1 OR b.x2 < a.x1)
+""",
+    survey_ref="J8",
+)
+def interval_overlap_join(spark, sf_dir):
+    """bbox-intersection adjacency (reference intersects
+    app.py:2849-2850): NOT(a.x2<b.x1 OR b.x2<a.x1) overlap predicate,
+    partitioned by an equi-key (brand ~ document_id) so the theta part
+    only runs within co-partitioned groups — the scale-safe shape."""
+    p = load_table(spark, sf_dir, "part")
+    iv = p.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("x1"),
+        (F.col("p_size").cast("double") + 4.0).alias("x2"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & ~((F.col("a.x2") < F.col("b.x1")) | (F.col("b.x2") < F.col("a.x1"))),
+        )
+        .select(F.col("a.p_partkey").alias("part_a"), F.col("b.p_partkey").alias("part_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — distance-threshold dedupe: drop near-duplicate detections
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distance_dedupe",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, p_type, p_size::DOUBLE AS cx, round(p_retailprice - 900.0, 2) AS conf
+  FROM part
+), dominated AS (
+  SELECT DISTINCT a.p_partkey
+  FROM pts a JOIN pts b
+    ON a.p_type = b.p_type AND a.p_partkey <> b.p_partkey
+   AND abs(a.cx - b.cx) < 1.5
+   AND (b.conf > a.conf OR (b.conf = a.conf AND b.p_partkey < a.p_partkey))
+)
+SELECT p.p_partkey, p.p_type, p.cx, p.conf
+FROM pts p WHERE p.p_partkey NOT IN (SELECT p_partkey FROM dominated)
+""",
+    survey_ref="J9 A6",
+)
+def distance_dedupe(spark, sf_dir):
+    """remove_duplicate_bboxes (reference app.py:2908-2947): same-class
+    detections closer than a threshold keep only the best-confidence
+    one. Re-expressed as: self-join on class + distance predicate ->
+    dominated set -> anti-join. The O(n²) Python loop becomes a
+    class-partitioned join; ties broken by key for determinism."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        "p_type",
+        F.col("p_size").cast("double").alias("cx"),
+        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") != F.col("b.p_partkey"))
+            & (F.abs(F.col("a.cx") - F.col("b.cx")) < 1.5)
+            & (
+                (F.col("b.conf") > F.col("a.conf"))
+                | ((F.col("b.conf") == F.col("a.conf")) & (F.col("b.p_partkey") < F.col("a.p_partkey")))
+            ),
+        )
+        .select(F.col("a.p_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    return pts.join(dominated, "p_partkey", "left_anti").select("p_partkey", "p_type", "cx", "conf")
+
+
+# ---------------------------------------------------------------------------
+# J11/M2 — merge-lookup before update (semicolon-field merge on match)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_lookup_update",
+    oracle="""
+WITH existing AS (
+  SELECT p_partkey, concat('DOC-', CAST(p_partkey % 5 AS VARCHAR)) AS document
+  FROM part
+), incoming AS (
+  SELECT p_partkey, concat('DOC-', CAST(p_partkey % 3 AS VARCHAR)) AS new_document
+  FROM part WHERE p_partkey % 2 = 0
+)
+SELECT e.p_partkey,
+       CASE WHEN i.p_partkey IS NULL THEN e.document
+            ELSE array_to_string(list_sort(list_distinct(
+                   list_concat(string_split(e.document, ';'),
+                               string_split(i.new_document, ';')))), ';')
+       END AS document
+FROM existing e LEFT JOIN incoming i ON e.p_partkey = i.p_partkey
+""",
+    survey_ref="J11 M2 U2",
+)
+def merge_lookup_update(spark, sf_dir):
+    """Fetch-existing-row -> merge semicolon fields -> write back
+    (reference app.py:4582-4631): left join existing⟕incoming +
+    array_union merge. This is the read-modify-write MERGE shape as a
+    pure dataflow."""
+    from ..functions import tags as tagfn
+
+    p = load_table(spark, sf_dir, "part")
+    existing = p.select(
+        "p_partkey",
+        F.concat(F.lit("DOC-"), (F.col("p_partkey") % 5).cast("string")).alias("document"),
+    )
+    incoming = (
+        p.where(F.col("p_partkey") % 2 == 0)
+        .select(
+            "p_partkey",
+            F.concat(F.lit("DOC-"), (F.col("p_partkey") % 3).cast("string")).alias("new_document"),
+        )
+    )
+    joined = existing.alias("e").join(incoming.alias("i"), "p_partkey", "left")
+    merged = F.when(F.col("i.new_document").isNull(), F.col("e.document")).otherwise(
+        tagfn.merge_semicolon_sorted(F.col("e.document"), F.col("i.new_document"))
+    )
+    return joined.select("p_partkey", merged.alias("document"))

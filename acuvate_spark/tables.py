@@ -1,0 +1,53 @@
+"""Canonical loaders for the synthetic test tables (TESTDATA.md).
+
+All queries go through ``load_table``/``load_tables`` so that:
+
+* the nanosecond-timestamp compatibility conversion happens in exactly
+  one place (``events.ts`` arrives as INT64 nanos; Spark reads it as a
+  long under ``nanosAsLong`` and we convert with integer division —
+  matching DuckDB's ``ts::TIMESTAMP`` truncation semantics);
+* the driver's own SparkSession gets ``session.tune`` applied before
+  any read;
+* scans stay plain ``spark.read.parquet`` — declarative, so Catalyst
+  pushes filters/projections down to the parquet footer (verified via
+  ``.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # INT64 TIMESTAMP(NANOS) read as long; truncate to micros with
+        # integer division (ts/1000 in double would round above 2^53).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """All tables as attributes: ``t = load_tables(...); t.orders``."""
+    return SimpleNamespace(**{name: load_table(spark, sf_dir, name) for name in TABLES})

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a noop-format write (full computation,
+no driver collect) so the timing reflects the distributed plan, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major operator family (scan+agg, window,
+# pagination, joins incl. theta/self, set ops, ETL pipelines, dedup
+# exact/minhash, ANN, graph CC, sessionization, streaming-batch twin).
+HEADLINE = [
+    "pricing_summary",
+    "getdata_page",
+    "agg_order_stats",
+    "latest_event_per_user",
+    "sessionize_events",
+    "anti_join_customers",
+    "lookup_first_match",
+    "nearest_tag_join",
+    "pairwise_self_join",
+    "distance_dedupe",
+    "union_all_sync",
+    "scanner_tag_etl",
+    "excel_validate_etl",
+    "upsert_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "graph_connected_components",
+    "tumbling_event_counts",
+]
+
+
+def main() -> None:
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.session import get_spark
+
+    spark = get_spark("acuvate-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""The local mirror of the driver's t2 gate: every registry query with
+an oracle must match DuckDB exactly (count + columns + canonical
+values); oracle-less queries must at least run and return a stable
+schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from acuvate_spark.queries import REGISTRY
+
+from .oracle_harness import compare, duck_con
+
+ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if spec.oracle is None:
+        # rows-only: must execute and have at least one column
+        assert len(spark_pdf.columns) > 0
+        return
+    con = duck_con(sf_dir)
+    oracle_pdf = con.execute(spec.oracle).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf, name)
+    assert not problems, "\n".join(problems)
