@@ -21,3 +21,4 @@ from . import similarity  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import mutations  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
+from . import pid  # noqa: E402,F401

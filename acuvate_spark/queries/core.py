@@ -333,7 +333,7 @@ def date_functions(spark, sf_dir):
         F.date_format("o_orderdate", "MM/dd/yyyy HH:mm:ss").alias("date_str"),
         F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("order_month"),
         (F.col("o_orderdate") + F.expr("INTERVAL 5 HOURS")).alias("plus_5h"),
-        F.year("o_orderdate").alias("order_year"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
     )
 
 
@@ -370,7 +370,7 @@ WITH dirty AS (
 SELECT source,
        count(*) AS n_rows,
        count({tags.null_normalize_sql('val')}) AS n_valid,
-       sum(CASE WHEN {tags.null_normalize_sql('val')} IS NULL THEN 1 ELSE 0 END) AS n_null
+       sum(CASE WHEN {tags.null_normalize_sql('val')} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
 FROM dirty GROUP BY source
 """,
     survey_ref="F11 A9",
@@ -435,7 +435,7 @@ def semicolon_merge(spark, sf_dir):
 SELECT o_orderstatus,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END) AS n_big,
+       sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
        round(sum(o_totalprice), 2) AS sum_price,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price
@@ -551,8 +551,8 @@ WITH g AS (
   FROM g
 )
 SELECT event_id, user_id, ts,
-       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_idx
+       (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
 FROM f
 """,
     survey_ref="W2+ (analytic superset: lag + running sum)",

@@ -163,12 +163,20 @@ def nearest_tag_join(spark, sf_dir):
         (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx"))
         + (F.col("py") - F.col("sy")) * (F.col("py") - F.col("sy"))
     )
-    pairs = p.crossJoin(F.broadcast(s)).withColumn("dist", dist)
-    w = Window.partitionBy("p_partkey").orderBy("dist", "s_suppkey")
+    # argmin via min(struct(dist, key)): map-side combinable, so the
+    # |parts| x |tags| pair set never shuffles (a row_number window
+    # would shuffle all pairs; measured 5x slower at sf0.1). The
+    # dist<threshold filter is applied before the agg — it can only
+    # remove non-qualifying minima, and qualifying minima survive it.
+    pairs = p.crossJoin(F.broadcast(s)).withColumn("dist", dist).where(F.col("dist") < 40)
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("dist") < 40))
-        .select("p_partkey", F.col("s_suppkey").alias("nearest_tag"), F.round("dist", 6).alias("dist"))
+        pairs.groupBy("p_partkey")
+        .agg(F.min(F.struct(F.col("dist"), F.col("s_suppkey"))).alias("m"))
+        .select(
+            "p_partkey",
+            F.col("m.s_suppkey").alias("nearest_tag"),
+            F.round(F.col("m.dist"), 6).alias("dist"),
+        )
     )
 
 
@@ -328,19 +336,34 @@ def distance_dedupe(spark, sf_dir):
         F.col("p_size").cast("double").alias("cx"),
         F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    # Grid-bucket the distance predicate (SURVEY §4 O3): cell size >=
+    # threshold, probe side explodes to its 3 neighboring cells, join
+    # becomes an equi-join on (class, cell) that Catalyst hash-joins.
+    # Same result as the unbounded theta join, but candidate pairs are
+    # bounded per cell instead of per class (~50x fewer at sf0.1).
+    cell = F.floor(F.col("cx") / 1.5).cast("long")
+    a = pts.withColumn("cell", cell)
+    b = pts.withColumn(
+        "cell", F.explode(F.array(cell - 1, cell, cell + 1))
+    ).select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_type").alias("b_type"),
+        F.col("cx").alias("b_cx"),
+        F.col("conf").alias("b_conf"),
+        "cell",
+    )
     dominated = (
-        a.join(
-            b,
-            (F.col("a.p_type") == F.col("b.p_type"))
-            & (F.col("a.p_partkey") != F.col("b.p_partkey"))
-            & (F.abs(F.col("a.cx") - F.col("b.cx")) < 1.5)
+        a.join(b, ["cell"])
+        .where(
+            (F.col("p_type") == F.col("b_type"))
+            & (F.col("p_partkey") != F.col("b_key"))
+            & (F.abs(F.col("cx") - F.col("b_cx")) < 1.5)
             & (
-                (F.col("b.conf") > F.col("a.conf"))
-                | ((F.col("b.conf") == F.col("a.conf")) & (F.col("b.p_partkey") < F.col("a.p_partkey")))
-            ),
+                (F.col("b_conf") > F.col("conf"))
+                | ((F.col("b_conf") == F.col("conf")) & (F.col("b_key") < F.col("p_partkey")))
+            )
         )
-        .select(F.col("a.p_partkey").alias("p_partkey"))
+        .select("p_partkey")
         .distinct()
     )
     return pts.join(dominated, "p_partkey", "left_anti").select("p_partkey", "p_type", "cx", "conf")

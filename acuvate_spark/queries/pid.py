@@ -1,0 +1,293 @@
+"""P&ID pipeline queries — the geometric connection pipeline (SURVEY
+§3.2 steps 5-7: polyline-touches-box join J6, pairwise self-join J7,
+first-line-per-pair A5), tag parsing/rebuilding (X2/X3), the
+LLM-label MD5-cache join (X5/O8), and the multimodal decode plumbing
+(X6/X7) — with DuckDB oracles wherever the semantics are
+SQL-expressible (the deterministic decode stub was designed to be).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import kernels, multimodal
+from ..tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Geometric connection pipeline: lines x boxes -> touch -> edges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pid_connections",
+    oracle="""
+WITH boxes AS (
+  SELECT s_suppkey AS box_id,
+         (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
+         (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
+  FROM supplier
+),
+pts AS (SELECT p_partkey AS line_id, unnest(range(0, 5)) AS j FROM part),
+pxy AS (
+  SELECT line_id, (line_id * 3 + j * 7) % 110 AS x, (line_id * 11 + j * 5) % 110 AS y
+  FROM pts
+),
+touch AS (
+  SELECT DISTINCT line_id, box_id
+  FROM pxy, boxes
+  WHERE x BETWEEN bx1 - 1 AND bx2 + 1 AND y BETWEEN by1 - 1 AND by2 + 1
+),
+edges AS (
+  SELECT a.box_id AS box_a, b.box_id AS box_b, a.line_id
+  FROM touch a JOIN touch b ON a.line_id = b.line_id AND a.box_id < b.box_id
+)
+SELECT box_a, box_b, min(line_id) AS first_line, count(*) AS n_lines
+FROM edges GROUP BY 1, 2
+""",
+    survey_ref="J6 J7 A5 §3.2",
+)
+def pid_connections(spark, sf_dir):
+    """The P&ID connection pipeline (reference
+    build_simple_touch_connections_1 app.py:3171-3201 + grouped_lines
+    app.py:2137-2152): explode polyline vertices -> margin-expanded
+    containment join vs boxes -> distinct (line, box) -> pairwise
+    self-join per line -> first-line-per-pair + line counts.
+
+    Scale shape: vertices explode is narrow; the containment join
+    broadcasts the (per-document-small) box side; the self-join is an
+    equi-join on line_id with small fan-out. The reference's O(n²)
+    Python loops become three shuffle-bounded joins."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    boxes = s.select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
+        ((F.col("s_suppkey") * 13) % 100).alias("by1"),
+        ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
+        ((F.col("s_suppkey") * 13) % 100 + 8).alias("by2"),
+    )
+    pxy = (
+        p.select(F.col("p_partkey").alias("line_id"), F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+        .select(
+            "line_id",
+            ((F.col("line_id") * 3 + F.col("j") * 7) % 110).alias("x"),
+            ((F.col("line_id") * 11 + F.col("j") * 5) % 110).alias("y"),
+        )
+    )
+    touch = (
+        pxy.join(
+            F.broadcast(boxes),
+            F.col("x").between(F.col("bx1") - 1, F.col("bx2") + 1)
+            & F.col("y").between(F.col("by1") - 1, F.col("by2") + 1),
+        )
+        .select("line_id", "box_id")
+        .distinct()
+    )
+    a = touch.select(F.col("line_id"), F.col("box_id").alias("box_a"))
+    b = touch.select(F.col("line_id").alias("lb"), F.col("box_id").alias("box_b"))
+    edges = a.join(b, (F.col("line_id") == F.col("lb")) & (F.col("box_a") < F.col("box_b")))
+    return edges.groupBy("box_a", "box_b").agg(
+        F.min("line_id").alias("first_line"), F.count("*").alias("n_lines")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 — tag parse + formula rebuild round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_tag_roundtrip",
+    oracle="""
+WITH synth AS (
+  SELECT p_partkey,
+         ['E17-A','E17-B','L7-C'][(p_partkey % 3) + 1] || '_' ||
+         ['PIT','F','CBL'][(p_partkey % 3) + 1] || '-' ||
+         CAST(1000 + p_partkey AS VARCHAR) ||
+         CASE WHEN p_partkey % 4 = 0 THEN '-A' ELSE '' END AS tag_no
+  FROM part
+), parsed AS (
+  SELECT p_partkey, tag_no,
+         split_part(tag_no, '_', 1) AS asset,
+         split_part(split_part(tag_no, '_', 2), '-', 1) AS func,
+         split_part(split_part(tag_no, '_', 2), '-', 2) AS sequence,
+         split_part(split_part(tag_no, '_', 2), '-', 3) AS suffix_1
+  FROM synth
+)
+SELECT p_partkey, tag_no, asset, func, sequence, suffix_1,
+       asset || '_' || func || '-' || sequence ||
+       CASE WHEN suffix_1 <> '' THEN '-' || suffix_1 ELSE '' END AS rebuilt,
+       (asset || '_' || func || '-' || sequence ||
+        CASE WHEN suffix_1 <> '' THEN '-' || suffix_1 ELSE '' END) = tag_no AS matches
+FROM parsed
+""",
+    survey_ref="X2 X3 F3 F6",
+)
+def parse_tag_roundtrip(spark, sf_dir):
+    """parse_tag_details (reference app.py:5552-5635: split TAG_NO into
+    asset/function/sequence/suffix on '_' and '-') then
+    build_tag_no_by_formula (app.py:5929-5996: {ASSET}_{FUNC}-{SEQ}
+    [-S1]) — a parse/rebuild round-trip whose `matches` column proves
+    the two are inverse. Pure split/concat expressions."""
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    asset = F.element_at(F.array(F.lit("E17-A"), F.lit("E17-B"), F.lit("L7-C")), (k % 3 + 1).cast("int"))
+    func0 = F.element_at(F.array(F.lit("PIT"), F.lit("F"), F.lit("CBL")), (k % 3 + 1).cast("int"))
+    tag_no = F.concat(
+        asset, F.lit("_"), func0, F.lit("-"), (k + 1000).cast("string"),
+        F.when(k % 4 == 0, F.lit("-A")).otherwise(F.lit("")),
+    )
+    synth = p.select("p_partkey", tag_no.alias("tag_no"))
+    rest = F.substring_index(F.col("tag_no"), "_", -1)
+    parts = F.split(rest, "-")
+    parsed = synth.select(
+        "p_partkey",
+        "tag_no",
+        F.substring_index("tag_no", "_", 1).alias("asset"),
+        F.element_at(parts, 1).alias("func"),
+        F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("")).alias("sequence"),
+        F.coalesce(F.try_element_at(parts, F.lit(3)), F.lit("")).alias("suffix_1"),
+    )
+    rebuilt = F.concat(
+        F.col("asset"), F.lit("_"), F.col("func"), F.lit("-"), F.col("sequence"),
+        F.when(F.col("suffix_1") != "", F.concat(F.lit("-"), F.col("suffix_1"))).otherwise(F.lit("")),
+    )
+    return parsed.select(
+        "p_partkey", "tag_no", "asset", "func", "sequence", "suffix_1",
+        rebuilt.alias("rebuilt"),
+        (rebuilt == F.col("tag_no")).alias("matches"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5/O8 — LLM label extraction with MD5 cache join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_label_cache",
+    oracle="""
+WITH items AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+cache AS (
+  SELECT DISTINCT content_md5,
+         'CACHED-' || upper(substr(content_md5, 1, 4)) AS label
+  FROM items WHERE doc_id % 3 = 0
+)
+SELECT i.doc_id, i.content_md5,
+       coalesce(c.label, 'LBL-' || upper(substr(i.content_md5, 1, 6))) AS label,
+       (c.label IS NOT NULL) AS from_cache
+FROM items i LEFT JOIN cache c USING (content_md5)
+""",
+    survey_ref="X5 O8 F9",
+)
+def llm_label_cache(spark, sf_dir):
+    """The LLM-label stage with its MD5 result cache (reference
+    extract_label_with_llm app.py:3219-3288 + LLM_CACHE
+    app.py:3446-3459): cache hits join by content hash, misses get the
+    (deterministic stub) model call. As a dataflow, repeated content
+    costs one model call per distinct hash — the property that makes
+    LLM labeling affordable over a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select("doc_id", F.md5("text").alias("content_md5"))
+    cache = (
+        items.where(F.col("doc_id") % 3 == 0)
+        .select(
+            "content_md5",
+            F.concat(F.lit("CACHED-"), F.upper(F.substring("content_md5", 1, 4))).alias("label"),
+        )
+        .distinct()
+    )
+    return kernels.llm_label_with_cache(items, cache).select(
+        "doc_id", "content_md5", "label", "from_cache"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6/X7 — multimodal decode + frame sampling (Arrow-batched Pandas UDFs)
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+_B0 = (
+    f"((strpos('{_HEX}', substr(content_md5, 1, 1)) - 1) * 16"
+    f" + strpos('{_HEX}', substr(content_md5, 2, 1)) - 1)"
+)
+_B1 = (
+    f"((strpos('{_HEX}', substr(content_md5, 3, 1)) - 1) * 16"
+    f" + strpos('{_HEX}', substr(content_md5, 4, 1)) - 1)"
+)
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS content_md5, strlen(text) AS n_bytes FROM documents
+)
+SELECT doc_id, 'image/fake' AS media_type, n_bytes, content_md5,
+       (64 + {_B0} % 192)::INTEGER AS width,
+       (64 + {_B1} % 192)::INTEGER AS height
+FROM m
+""",
+    survey_ref="X6 X7 S4 (multimodal decode plumbing)",
+)
+def multimodal_decode(spark, sf_dir):
+    """Binary media -> typed metadata via mapInPandas. The decode is a
+    deterministic md5-derived fake (media codecs absent — see
+    operators.multimodal), which makes this Pandas-UDF path fully
+    oracle-checkable: the oracle recomputes width/height from the md5
+    hex. Proves schema/Arrow-batch/UDF plumbing end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_binary(d))
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+SELECT doc_id, j::INTEGER AS frame_idx, md5(text || CAST(j AS VARCHAR)) AS frame_md5
+FROM documents, unnest(range(0, 3)) AS t(j)
+""",
+    survey_ref="X6 (frame sampling: 1 row -> N frames)",
+)
+def multimodal_frames(spark, sf_dir):
+    """'Video' frame sampling: one media row expands to N frame rows
+    inside the Pandas UDF (UDTF shape). Frame hashes are md5(bytes ||
+    idx), so the oracle can reproduce them."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_binary(d), n_frames=3)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # array<double> output: rows-only check by design
+    survey_ref="X6 (feature extraction -> embedding column)",
+)
+def multimodal_features(spark, sf_dir):
+    """Media -> fixed-dim feature vector (md5-seeded deterministic
+    fake). Output feeds the similarity operators without reshuffling
+    raw bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_binary(d))
+
+
+@register(
+    "nms_detections",
+    oracle=None,  # greedy NMS is inherently sequential per group: rows-only
+    survey_ref="O6 X6 (per-class greedy NMS kernel)",
+)
+def nms_detections(spark, sf_dir):
+    """Per-(document, class) greedy NMS over synthesized detections
+    (reference app.py:1685-1714). applyInPandas kernel; verified by
+    property tests (conflict-free output, max-conf retained) in
+    tests/test_kernels.py."""
+    p = load_table(spark, sf_dir, "part")
+    det = p.select(
+        F.col("p_brand").alias("document_id"),
+        F.col("p_type").alias("cls"),
+        ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
+        ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
+        (((F.col("p_size") * 3) % 80) + 10).cast("double").alias("x2"),
+        (((F.col("p_partkey") * 7) % 80) + 10).cast("double").alias("y2"),
+        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
+    )
+    return kernels.nms(det, iou_threshold=0.5)

@@ -29,9 +29,9 @@ def token_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        textual.word_count(F.col("text")).alias("n_words"),
-        textual.token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
+        textual.word_count(F.col("text")).cast("long").alias("n_words"),
+        textual.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
     )
 
 
@@ -95,5 +95,7 @@ def doc_fingerprints(spark, sf_dir):
     return d.select(
         "doc_id",
         textual.fingerprint(F.col("text")).alias("fingerprint"),
-        F.size(F.array_distinct(textual.words(F.lower(F.col("text"))))).alias("n_distinct_words"),
+        F.size(F.array_distinct(textual.words(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_distinct_words"),
     )

@@ -1,0 +1,126 @@
+"""Structured Streaming re-expression of the reference's blob
+ingestion loop (SURVEY §2.9; reference blob_processing_loop
+app.py:7025-7040, process_blob app.py:6969-7022).
+
+Mapping of the hand-rolled loop onto Spark primitives:
+
+* 10 s poll + processed-file ledger  -> file-source stream with a
+  checkpoint (exactly-once file tracking replaces
+  processed_files.txt, app.py:6921-6931);
+* filename routing (pid_regex + supported extensions, app.py:6934-6940)
+  -> a ``when``/``rlike`` route column;
+* per-blob retry with MAX_RETRIES=5 then permanent skip
+  (app.py:6909, 6960-6966) -> a retry-state table updated in
+  ``foreachBatch``: failures re-enter with attempts+1 until the budget
+  is exhausted, then land in the dead-letter output;
+* copy-to-success-container archival (app.py:6943-6957) -> routed
+  parquet outputs under ``out_dir``.
+
+At scale the same topology runs against cloud storage with
+``maxFilesPerTrigger`` back-pressure; nothing here is local-specific
+except the paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+PID_REGEX = r"(A40\d{2}|A41\d{2}|A45\d{2,})"
+SUPPORTED_EXT_REGEX = r"\.(pdf|png|jpg|jpeg|tiff)$"
+MAX_RETRIES = 5
+
+
+def route(path: Column) -> Column:
+    """Filename router (P12): unsupported ext -> 'unsupported';
+    P&ID-coded filenames -> 'pid'; rest -> 'standard'."""
+    fname = F.element_at(F.split(path, "/"), -1)
+    return (
+        F.when(~F.lower(fname).rlike(SUPPORTED_EXT_REGEX), F.lit("unsupported"))
+        .when(fname.rlike(PID_REGEX), F.lit("pid"))
+        .otherwise(F.lit("standard"))
+    )
+
+
+def _load_retry_state(spark: SparkSession, retry_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(retry_dir)
+    except Exception:
+        return spark.createDataFrame([], "path string, attempts int")
+
+
+def start_blob_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    fail_marker: str = ".corrupt",
+):
+    """Run one AvailableNow pass of the ingest stream; returns the
+    query (caller awaits termination). Outputs under ``out_dir``:
+    ``routed/`` (successful rows with route column), ``dlq/`` (rows
+    that exhausted the retry budget), ``retry_state/`` (pending
+    retries). ``fail_marker`` in a filename simulates a processing
+    failure (the reference's OCR/download exceptions)."""
+    tune(spark)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*")
+        .load(input_dir)
+        .select(
+            F.col("path"),
+            F.col("length").alias("size"),
+            F.col("modificationTime").alias("mtime"),
+        )
+    )
+
+    routed_dir = os.path.join(out_dir, "routed")
+    dlq_dir = os.path.join(out_dir, "dlq")
+    retry_dir = os.path.join(out_dir, "retry_state")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch = batch_df.withColumn("route", route(F.col("path")))
+        # "processing failure" = marker in filename (stands in for the
+        # reference's per-blob download/OCR exceptions)
+        batch = batch.withColumn("failed", F.col("path").contains(fail_marker))
+
+        ok = batch.where(~F.col("failed")).drop("failed")
+        ok.write.mode("append").partitionBy("route").parquet(routed_dir)
+
+        prev = _load_retry_state(s, retry_dir)
+        failures = (
+            batch.where(F.col("failed"))
+            .select("path")
+            .join(prev, "path", "left")
+            .select("path", (F.coalesce(F.col("attempts"), F.lit(0)) + 1).alias("attempts"))
+        )
+        # carry forward failures of earlier batches that are still pending
+        still_pending = prev.join(batch.select("path"), "path", "left_anti")
+        new_state = failures.unionByName(still_pending)
+
+        dead = new_state.where(F.col("attempts") >= MAX_RETRIES)
+        dead.write.mode("append").parquet(dlq_dir)
+        pending = new_state.where(F.col("attempts") < MAX_RETRIES)
+        # overwrite retry state atomically-enough for the local emulation
+        pending.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def retry_pending(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The retry queue (path, attempts) — the reference's per-blob
+    retry counters (app.py:6909)."""
+    return _load_retry_state(spark, os.path.join(out_dir, "retry_state"))

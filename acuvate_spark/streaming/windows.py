@@ -1,0 +1,48 @@
+"""Watermarked tumbling-window aggregation over an event stream — the
+idiomatic superset SURVEY §2.9 calls for (the reference has no
+event-time semantics; its daily 05:00 sync becomes an AvailableNow
+job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..tables import load_table
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def windowed_counts(stream: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with late-data watermark. Same logical
+    result as queries.core.tumbling_event_counts run in batch — the
+    batch/stream parity is asserted in tests/test_streaming.py."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_events_from_json(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source event stream (JSON lines) with an explicit schema —
+    schema inference is disabled on streams for good reason."""
+    tune(spark)
+    return spark.readStream.schema(EVENT_SCHEMA).json(input_dir)
+
+
+def run_daily_sync(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """The 05:00-EST daily sync (reference sync_tags app.py:6631-6740 +
+    APScheduler cron app.py:6744-6749) as a Trigger.AvailableNow-style
+    batch job: run the UNION-ALL sync query and write the batch to the
+    REST-sink staging directory. Returns the row count written
+    (the reference logs the same). Scheduling is the platform's
+    concern (cron/Airflow); the job itself is idempotent per day."""
+    from ..queries import REGISTRY
+
+    df = REGISTRY["union_all_sync"].fn(spark, sf_dir)
+    df.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()

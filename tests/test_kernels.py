@@ -1,0 +1,89 @@
+"""Property tests for the non-SQL-expressible kernels (SURVEY §5:
+geometry/graph operators get rows-only driver checks, so invariants
+are asserted here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acuvate_spark.operators import multimodal
+from acuvate_spark.operators.graph import connected_components
+from acuvate_spark.queries import REGISTRY
+
+
+def _iou(a, b):
+    ix = max(0.0, min(a["x2"], b["x2"]) - max(a["x1"], b["x1"]))
+    iy = max(0.0, min(a["y2"], b["y2"]) - max(a["y1"], b["y1"]))
+    inter = ix * iy
+    aa = (a["x2"] - a["x1"]) * (a["y2"] - a["y1"])
+    ab = (b["x2"] - b["x1"]) * (b["y2"] - b["y1"])
+    return inter / (aa + ab - inter) if aa + ab - inter > 0 else 0.0
+
+
+def test_nms_output_is_conflict_free(spark, sf_dir):
+    rows = REGISTRY["nms_detections"].fn(spark, sf_dir).collect()
+    assert rows
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault((r["document_id"], r["cls"]), []).append(r)
+    for group in by_group.values():
+        for i, a in enumerate(group):
+            for b in group[i + 1 :]:
+                assert _iou(a, b) < 0.5, "kept boxes must not conflict"
+
+
+def test_nms_keeps_max_conf_per_group(spark, sf_dir):
+    det = REGISTRY["nms_detections"].fn(spark, sf_dir)
+    # the highest-confidence detection of every (doc, cls) group always survives
+    from acuvate_spark.tables import load_table
+
+    p = load_table(spark, sf_dir, "part")
+    src = p.select(
+        F.col("p_brand").alias("document_id"),
+        F.col("p_type").alias("cls"),
+        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
+    )
+    max_conf = src.groupBy("document_id", "cls").agg(F.max("conf").alias("conf"))
+    kept_max = det.join(max_conf, ["document_id", "cls", "conf"], "inner")
+    assert kept_max.select("document_id", "cls").distinct().count() == max_conf.count()
+
+
+def test_simhash_finds_planted_clones(spark, sf_dir):
+    pairs = REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    clone_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs if r["hamming"] == 0}
+    # every planted clone (doc_id + 100000) must be found at hamming 0
+    from acuvate_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {
+        (r["doc_id"], r["doc_id"] + 100000)
+        for r in docs.where(F.col("doc_id") % 50 == 0).select("doc_id").collect()
+    }
+    assert planted <= clone_pairs
+
+
+def test_connected_components_fixpoint(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)], "src long, dst long"
+    )
+    labels = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_multimodal_strict_decode_raises(spark, sf_dir):
+    from acuvate_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(2)
+    df = multimodal.decode_media(multimodal.attach_binary(d), strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        df.collect()
+
+
+def test_multimodal_feature_dim(spark, sf_dir):
+    from acuvate_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    feats = multimodal.extract_features(multimodal.attach_binary(d)).collect()
+    assert len(feats) == 5
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
