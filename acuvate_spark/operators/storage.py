@@ -1,0 +1,55 @@
+"""Storage layout operators — the 100 TB persistence story.
+
+The reference delegates storage to Snowflake; a Spark-native engine
+owns its layout. Two primitives matter at scale:
+
+* **Partitioned writes** (`write_partitioned`): coarse pruning keys
+  (date, tag_type, source) become directories, so predicate pushdown
+  prunes whole files before any IO (partition pruning).
+* **Bucketed tables** (`write_bucketed`): pre-shuffling by join key at
+  write time. Two tables bucketed by the same key join with NO
+  exchange — at 100 TB, removing the fact-fact shuffle is the single
+  biggest win available (tests/test_storage.py asserts the plan has no
+  Exchange on the bucketed join).
+
+Bucket/partition sizing rule of thumb encoded in `suggest_buckets`:
+target ~128-512 MB per bucket file, power-of-two bucket counts so
+AQE coalescing stays aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (saveAsTable is required —
+    plain parquet paths carry no bucket metadata)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def suggest_buckets(total_bytes: int, target_bucket_bytes: int = 256 * 1024 * 1024) -> int:
+    """Power-of-two bucket count targeting ~256 MB per bucket."""
+    n = max(1, total_bytes // target_bucket_bytes)
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textual
 from ..operators import dedup as dedup_ops
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 # --- shared planted-clone inputs -------------------------------------------
@@ -51,7 +51,7 @@ def _docs_plus_clones(spark, sf_dir):
 def _doc_shingles(docs, n=3):
     w = textual.words(F.trim(F.col("text")))
     return (
-        docs.select("doc_id", F.explode(textual.word_shingles(w, n)).alias("shingle"))
+        repartition_for_compute(docs).select("doc_id", F.explode(textual.word_shingles(w, n)).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import tags
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -148,7 +148,9 @@ def scanner_tag_etl(spark, sf_dir):
             F.concat(F.lit('8"-CS150-AB'), ((k % 90) + 10).cast("string"), F.lit("-CD34"))
         )
     )
-    raw = p.select(k.alias("row_id"), file_name.alias("file_name"), raw_tag.alias("raw_tag"))
+    raw = repartition_for_compute(
+        p.select(k.alias("row_id"), file_name.alias("file_name"), raw_tag.alias("raw_tag"))
+    )
 
     ft_full = F.upper(F.regexp_extract("file_name", _FILE_TYPE_RE, 1))
     kept = raw.withColumn("ft_full", ft_full).where(

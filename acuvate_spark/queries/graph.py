@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import connected_components
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 _SUPP_OFFSET = 1_000_000
@@ -102,4 +102,143 @@ def first_line_per_pair(spark, sf_dir):
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "edge_snap_join",
+    oracle="""
+WITH boxes AS (
+  SELECT s_suppkey AS box_id,
+         (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
+         (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
+  FROM supplier
+),
+eps AS (
+  SELECT p_partkey AS line_id, unnest([0, 4]) AS endpoint_idx FROM part
+),
+exy AS (
+  SELECT line_id, endpoint_idx,
+         (line_id * 3 + endpoint_idx * 7) % 110 AS x,
+         (line_id * 11 + endpoint_idx * 5) % 110 AS y
+  FROM eps
+),
+pairs AS (
+  SELECT e.line_id, e.endpoint_idx, b.box_id,
+         sqrt(greatest(b.bx1 - e.x, 0, e.x - b.bx2) * greatest(b.bx1 - e.x, 0, e.x - b.bx2)
+            + greatest(b.by1 - e.y, 0, e.y - b.by2) * greatest(b.by1 - e.y, 0, e.y - b.by2)) AS dist
+  FROM exy e CROSS JOIN boxes b
+),
+ranked AS (
+  SELECT line_id, endpoint_idx, box_id, dist,
+         row_number() OVER (PARTITION BY line_id, endpoint_idx
+                            ORDER BY dist, box_id) AS rn
+  FROM pairs WHERE dist <= 6
+)
+SELECT line_id, endpoint_idx, box_id AS snapped_box, round(dist, 6) AS dist
+FROM ranked WHERE rn = 1
+""",
+    survey_ref="J10",
+)
+def edge_snap_join(spark, sf_dir):
+    """Edge-snap spatial join (reference
+    ImprovedLineConnectionManager.connect_lines_to_boxes
+    app.py:508-581): each line endpoint snaps to the nearest box by
+    rectangle-boundary distance (clamped-axis formula), one box per
+    endpoint, within a snap radius. Broadcast the box side + map-side
+    min(struct) argmin — same scale shape as nearest_tag_join."""
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    boxes = s.select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
+        ((F.col("s_suppkey") * 13) % 100).alias("by1"),
+        ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
+        ((F.col("s_suppkey") * 13) % 100 + 8).alias("by2"),
+    )
+    eps = p.select(
+        F.col("p_partkey").alias("line_id"),
+        F.explode(F.array(F.lit(0), F.lit(4))).alias("endpoint_idx"),
+    ).select(
+        "line_id",
+        "endpoint_idx",
+        ((F.col("line_id") * 3 + F.col("endpoint_idx") * 7) % 110).alias("x"),
+        ((F.col("line_id") * 11 + F.col("endpoint_idx") * 5) % 110).alias("y"),
+    )
+    zero = F.lit(0)
+    dx = F.greatest(F.col("bx1") - F.col("x"), zero, F.col("x") - F.col("bx2"))
+    dy = F.greatest(F.col("by1") - F.col("y"), zero, F.col("y") - F.col("by2"))
+    dist = F.sqrt(dx * dx + dy * dy)
+    pairs = (
+        repartition_for_compute(eps)
+        .crossJoin(F.broadcast(boxes))
+        .withColumn("dist", dist)
+        .where(F.col("dist") <= 6)
+    )
+    return (
+        pairs.groupBy("line_id", "endpoint_idx")
+        .agg(F.min(F.struct(F.col("dist"), F.col("box_id"))).alias("m"))
+        .select(
+            "line_id",
+            "endpoint_idx",
+            F.col("m.box_id").alias("snapped_box"),
+            F.round(F.col("m.dist"), 6).alias("dist"),
+        )
+    )
+
+
+@register(
+    "graph_delete_document",
+    oracle=f"""
+WITH doc_edges AS (
+  SELECT DISTINCT concat('D', CAST(l_orderkey % 4 AS VARCHAR)) AS document_id,
+         l_partkey AS src, l_suppkey + 1000000 AS dst
+  FROM lineitem WHERE l_quantity < 3
+)
+SELECT document_id, src, dst FROM doc_edges WHERE document_id <> 'D0'
+""",
+    survey_ref="§2.12 (variant delete_document_by_name: app_V1.py:2926-2953)",
+)
+def graph_delete_document(spark, sf_dir):
+    """Graph delete-by-document (variant endpoint /api/deletefile-graph,
+    app_V1.py:2926-2953): DELETE WHERE document_name = X over the edge
+    set, expressed as an anti-join against the doomed document set —
+    the copy-on-write rewrite a lakehouse DELETE performs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    doc_edges = (
+        li.where(F.col("l_quantity") < 3)
+        .select(
+            F.concat(F.lit("D"), (F.col("l_orderkey") % 4).cast("string")).alias("document_id"),
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    doomed = doc_edges.select("document_id").distinct().where(F.col("document_id") == "D0")
+    return doc_edges.join(doomed, "document_id", "left_anti")
+
+
+@register(
+    "graph_two_hop",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT a.src AS part_a, b.src AS part_b, count(DISTINCT a.dst) AS shared_tags
+FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+""",
+    survey_ref="graph parity: 2-hop neighborhood (Neo4j MATCH (a)--(t)--(b))",
+)
+def graph_two_hop(spark, sf_dir):
+    """Two-hop co-membership (the Cypher MATCH (a)-[]-(t)-[]-(b)
+    shape): parts connected through a shared supplier node, with the
+    shared-neighbor count. Equi-join on the hub key; hub skew is the
+    classic hazard, handled by AQE skew-join at scale."""
+    e = _edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("part_a"), F.col("dst").alias("hub"))
+    b = e.select(F.col("src").alias("part_b"), F.col("dst").alias("hub"))
+    return (
+        a.join(b, ["hub"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.countDistinct("hub").alias("shared_tags"))
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -168,7 +168,12 @@ def nearest_tag_join(spark, sf_dir):
     # would shuffle all pairs; measured 5x slower at sf0.1). The
     # dist<threshold filter is applied before the agg — it can only
     # remove non-qualifying minima, and qualifying minima survive it.
-    pairs = p.crossJoin(F.broadcast(s)).withColumn("dist", dist).where(F.col("dist") < 40)
+    pairs = (
+        repartition_for_compute(p)
+        .crossJoin(F.broadcast(s))
+        .withColumn("dist", dist)
+        .where(F.col("dist") < 40)
+    )
     return (
         pairs.groupBy("p_partkey")
         .agg(F.min(F.struct(F.col("dist"), F.col("s_suppkey"))).alias("m"))

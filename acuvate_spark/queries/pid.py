@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import kernels, multimodal
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -76,7 +76,7 @@ def pid_connections(spark, sf_dir):
         )
     )
     touch = (
-        pxy.join(
+        repartition_for_compute(pxy).join(
             F.broadcast(boxes),
             F.col("x").between(F.col("bx1") - 1, F.col("bx2") + 1)
             & F.col("y").between(F.col("by1") - 1, F.col("by2") + 1),

@@ -51,3 +51,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     """All tables as attributes: ``t = load_tables(...); t.orders``."""
     return SimpleNamespace(**{name: load_table(spark, sf_dir, name) for name in TABLES})
+
+
+def repartition_for_compute(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across the cluster before a CPU-heavy
+    derived stage (explode, cross join, regex cascade). The test
+    parquet arrives as single-row-group files — unsplittable, so a
+    20k-row input would otherwise run a 20M-pair cross join on ONE
+    core. At real scale inputs arrive pre-split; this keeps the local
+    plan shaped like the cluster plan. One round-robin shuffle of the
+    (small) input buys full parallelism for everything downstream."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

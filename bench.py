@@ -50,6 +50,9 @@ def main() -> None:
 
     spark = get_spark("acuvate-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # JVM/codegen warmup so the first measured query isn't paying JIT cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]

@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the plans Catalyst produces for our
+queries must be the plans that survive a 100 TB scale-up — filters
+pushed into the parquet scan, column pruning active, small sides
+broadcast, whole-stage codegen on the hot paths. These tests pin the
+plan shape so a regression (e.g. a filter moving above the scan) fails
+CI, not just the benchmark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acuvate_spark.queries import REGISTRY
+from acuvate_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = REGISTRY["filter_like_family"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # the IN filter must be pushed, not evaluated post-scan
+    assert "In(o_orderstatus" in plan or "o_orderstatus" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan must prune unused columns"
+
+
+def test_small_dim_join_is_broadcast(spark, sf_dir):
+    df = REGISTRY["nearest_tag_join"].fn(spark, sf_dir)
+    assert "Broadcast" in _plan(df), "tag side must broadcast, not shuffle"
+
+
+def test_anti_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    df = REGISTRY["anti_join_customers"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "HashJoin" in plan
+
+
+def test_aggregation_has_partial_combine(spark, sf_dir):
+    df = REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # partial (map-side) + final aggregate = combiner before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_scan_agg_stays_in_codegen(spark, sf_dir):
+    df = REGISTRY["agg_order_stats"].fn(spark, sf_dir)
+    df.collect()  # AQE only annotates codegen ids on the executed final plan
+    assert "codegen id" in _plan(df)

@@ -1,0 +1,67 @@
+"""Storage layout tests: bucketed joins must be exchange-free, and
+partitioned layouts must prune."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acuvate_spark.operators import storage
+from acuvate_spark.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir, tmp_path_factory):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    storage.write_bucketed(o, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+    storage.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8,
+        sort_col="o_orderkey",
+    )
+    yield
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").count()
+    plan = _plan(joined)
+    join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    # co-bucketed join: no shuffle exchange feeding the join
+    assert "hashpartitioning" not in join_section, plan
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderstatus").count()
+    plan = _plan(joined)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "hashpartitioning" in plan  # the baseline the buckets remove
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_part")
+    storage.write_partitioned(o, path, ["status"])
+    back = spark.read.parquet(path).where(F.col("status") == "O")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == o.where(F.col("o_orderstatus") == "O").count()
+
+
+def test_suggest_buckets_power_of_two():
+    assert storage.suggest_buckets(10 * 2**30) == 64  # 10 GiB / 256 MiB = 40 -> 64
+    assert storage.suggest_buckets(100) == 1
