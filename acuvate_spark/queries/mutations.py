@@ -181,3 +181,52 @@ def promote_approved(spark, sf_dir):
             disposition.alias("disposition"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — record move across tables (insert into target + delete from source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "move_record",
+    oracle="""
+WITH equipment AS (
+  SELECT p_partkey AS key, p_retailprice AS price FROM part WHERE p_partkey % 3 <> 0
+), instrument AS (
+  SELECT p_partkey AS key, p_retailprice AS price FROM part WHERE p_partkey % 3 = 0
+), moves AS (
+  SELECT key FROM equipment WHERE key % 5 = 0
+)
+SELECT 'equipment' AS tbl, key, price FROM equipment
+WHERE key NOT IN (SELECT key FROM moves)
+UNION ALL
+SELECT 'instrument', key, price FROM instrument
+UNION ALL
+SELECT 'instrument', e.key, e.price FROM equipment e JOIN moves m ON e.key = m.key
+""",
+    survey_ref="M5",
+)
+def move_record(spark, sf_dir):
+    """Record move across register tables (reference ApprovalEditData
+    app.py:5365-5444: transactional insert-into-target + delete-from-
+    source when a tag's type changes). As a dataflow: the post-state of
+    BOTH tables in one result — source anti-joined against the move
+    set, target unioned with the moved rows. Atomicity comes from
+    writing both post-states in one job (Delta txn at deploy time)."""
+    p = load_table(spark, sf_dir, "part")
+    equipment = p.where(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").alias("key"), F.col("p_retailprice").alias("price")
+    )
+    instrument = p.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("key"), F.col("p_retailprice").alias("price")
+    )
+    moves = equipment.where(F.col("key") % 5 == 0).select("key")
+    remaining = equipment.join(moves, "key", "left_anti").select(
+        F.lit("equipment").alias("tbl"), "key", "price"
+    )
+    target = instrument.select(F.lit("instrument").alias("tbl"), "key", "price")
+    moved = equipment.join(moves, "key", "left_semi").select(
+        F.lit("instrument").alias("tbl"), "key", "price"
+    )
+    return remaining.unionByName(target).unionByName(moved)

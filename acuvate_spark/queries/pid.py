@@ -291,3 +291,54 @@ def nms_detections(spark, sf_dir):
         F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
     )
     return kernels.nms(det, iou_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# O10 — tiling with overlap (1 image row -> N tile rows)
+# ---------------------------------------------------------------------------
+
+_TILE, _OVERLAP = 640, 100
+_STEP = _TILE - _OVERLAP
+
+
+def _starts_sql(size_expr: str) -> str:
+    n_full = f"greatest(ceil(({size_expr} - {_TILE}) / {_STEP}.0)::BIGINT, 0)"
+    lst = f"[least(i * {_STEP}, {size_expr} - {_TILE}) FOR i IN range(0, {n_full} + 1)]"
+    return f"list_distinct(list_filter({lst}, s -> s >= 0))"
+
+
+@register(
+    "tile_grid",
+    oracle=f"""
+WITH imgs AS (
+  SELECT doc_id, 800 + (doc_id % 7) * 100 AS width, 600 + (doc_id % 5) * 80 AS height
+  FROM documents
+)
+SELECT doc_id, tx, ty,
+       least({_TILE}, width - tx) AS tile_w,
+       least({_TILE}, height - ty) AS tile_h
+FROM imgs,
+     unnest({_starts_sql('width')}) AS u1(tx),
+     unnest({_starts_sql('height')}) AS u2(ty)
+""",
+    survey_ref="O10 X6 (tile/overlap inference prep: app.py:2816-2821, 3955-3957)",
+)
+def tile_grid(spark, sf_dir):
+    """Tiling with overlap (reference compute_tile_starts
+    app.py:2816-2821, 640/100 mask params app.py:3955-3957): each image
+    row explodes into its overlapping tile grid, with the last tile
+    clamped to the image edge. The tile rows feed the detection kernel
+    data-parallel — one image no longer binds to one worker. Images
+    smaller than one tile produce no rows (matches the lateral-unnest
+    oracle semantics)."""
+    from ..operators.tiling import explode_tiles
+
+    d = load_table(spark, sf_dir, "documents")
+    imgs = d.select(
+        "doc_id",
+        (F.lit(800) + (F.col("doc_id") % 7) * 100).alias("width"),
+        (F.lit(600) + (F.col("doc_id") % 5) * 80).alias("height"),
+    )
+    return explode_tiles(imgs, "width", "height", _TILE, _OVERLAP).select(
+        "doc_id", "tx", "ty", "tile_w", "tile_h"
+    )
