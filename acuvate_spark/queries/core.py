@@ -699,3 +699,72 @@ def tumbling_event_counts(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted aggregation — SURVEY §4 (salting); proves the
+# two-phase rewrite is result-identical to the plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_agg_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    survey_ref="§4 skew salting (two-phase agg == plain GROUP BY)",
+)
+def salted_agg_lineitem(spark, sf_dir):
+    """Hot-key aggregation via salting: phase 1 groups on (key, salt)
+    so one giant key spreads across 16 tasks; phase 2 merges partials
+    by key. l_returnflag has only 3 values — exactly the
+    few-huge-groups shape where salting matters — and the oracle is
+    the plain GROUP BY, proving the rewrite changes placement, never
+    results."""
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum("l_quantity").alias("s"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n_rows"),
+            F.round(F.sum("s"), 2).alias("sum_qty"),
+            F.min("mn").alias("min_qty"),
+            F.max("mx").alias("max_qty"),
+        ],
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       json_valid(props) AS is_valid
+FROM events
+""",
+    survey_ref="F13 (JSON parse; inverse of to_json serialization)",
+)
+def json_props_extract(spark, sf_dir):
+    """Schema-on-read JSON parsing of a string column with from_json
+    (the inverse of the reference's to_json at app.py:2443): the props
+    column parses against an explicit schema; malformed rows yield
+    null, surfaced by the validity flag."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k int")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed.isNotNull().alias("is_valid"),
+    )

@@ -40,7 +40,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "graph_connected_components",
+    "graph_two_hop",
     "tumbling_event_counts",
+    "pid_connections",
+    "edge_snap_join",
+    "tile_grid",
+    "multimodal_decode",
+    "llm_label_cache",
+    "salted_agg_lineitem",
 ]
 
 
