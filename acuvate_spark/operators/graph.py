@@ -38,31 +38,28 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # neighbor-min pass: node <- min(own label, neighbors' labels)
+        # neighbor-min pass: node <- min(own label, neighbors' labels).
+        # The changed flag is computed inside the same pass, so each
+        # round costs one join job (checkpoint) + one cheap agg over
+        # the checkpointed result — no extra old-vs-new join.
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .select(F.col("a").alias("node"), F.col("component"))
             .groupBy("node")
             .agg(F.min("component").alias("nmin"))
         )
+        new_label = F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
+                new_label.alias("component"),
+                (new_label != F.col("component")).cast("int").alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
+        labels = new_labels.drop("changed")
+        if not n_changed:
             break
     return labels

@@ -100,3 +100,48 @@ def ocr_words_stub(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["page_id", "word", "poly_x", "poly_y"])
 
     return pages.mapInPandas(batches, schema=OCR_WORDS_SCHEMA)
+
+
+SEGMENTS_SCHEMA = "image_id long, segment_id int, points array<array<int>>"
+
+
+def extract_segments(pixels: DataFrame, downsample: int = 10) -> DataFrame:
+    """Pixel-BFS stroke segmentation (reference extract_segments
+    app.py:3034-3059): 'on' pixels of a line mask are grouped into
+    8-connected components by BFS, each emitted as a polyline
+    downsampled to every ``downsample``-th pixel (reference keeps every
+    10th, app.py:3064-3079).
+
+    Input: (image_id, x, y) rows. applyInPandas per image — a mask is
+    one drawing page, so the imperative kernel stays bounded while the
+    corpus scales by partitioning over images.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = int(pdf["image_id"].iloc[0])
+        todo = set(zip(pdf["x"].astype(int), pdf["y"].astype(int)))
+        out_rows = []
+        seg = 0
+        while todo:
+            seed = min(todo)  # deterministic traversal order
+            stack = [seed]
+            todo.discard(seed)
+            component = []
+            while stack:
+                x, y = stack.pop()
+                component.append((x, y))
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        n = (x + dx, y + dy)
+                        if n in todo:
+                            todo.discard(n)
+                            stack.append(n)
+            component.sort()
+            pts = component[::downsample]
+            if component[-1] not in pts:
+                pts.append(component[-1])
+            out_rows.append((image_id, seg, [[px, py] for px, py in pts]))
+            seg += 1
+        return pd.DataFrame(out_rows, columns=["image_id", "segment_id", "points"])
+
+    return pixels.groupBy("image_id").applyInPandas(kernel, schema=SEGMENTS_SCHEMA)

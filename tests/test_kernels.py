@@ -87,3 +87,30 @@ def test_multimodal_feature_dim(spark, sf_dir):
     feats = multimodal.extract_features(multimodal.attach_binary(d)).collect()
     assert len(feats) == 5
     assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+
+
+def test_extract_segments_partitions_pixels(spark):
+    from acuvate_spark.operators.kernels import extract_segments
+
+    # two images: a horizontal stroke + a separate diagonal stroke, and
+    # one image with a single long line
+    rows = []
+    rows += [(1, x, 5) for x in range(0, 30)]          # stroke A (30 px)
+    rows += [(1, 50 + i, 50 + i) for i in range(12)]   # stroke B (12 px, diagonal)
+    rows += [(2, x, 0) for x in range(0, 100)]         # one 100 px line
+    pixels = spark.createDataFrame(rows, "image_id long, x int, y int")
+    segs = extract_segments(pixels, downsample=10).collect()
+
+    by_img = {}
+    for r in segs:
+        by_img.setdefault(r["image_id"], []).append(r)
+    assert len(by_img[1]) == 2 and len(by_img[2]) == 1
+
+    # polylines are downsampled but keep endpoints
+    img2 = by_img[2][0]["points"]
+    assert [0, 0] in [list(p) for p in img2] and [99, 0] in [list(p) for p in img2]
+    assert len(img2) == 11  # 100 px / 10 + endpoint
+
+    # 8-connectivity: the diagonal stroke is ONE segment
+    diag = [s for s in by_img[1] if [50, 50] in [list(p) for p in s["points"]]]
+    assert len(diag) == 1
