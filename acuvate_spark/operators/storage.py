@@ -53,3 +53,19 @@ def suggest_buckets(total_bytes: int, target_bucket_bytes: int = 256 * 1024 * 10
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: only the partitions present in
+    ``df`` are rewritten; untouched partitions survive. This is the
+    partition-level MERGE/replace primitive (SURVEY §4 O11's
+    validate-then-commit lands on it: recompute a day/type partition,
+    swap it atomically-per-partition) without requiring a table
+    format."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

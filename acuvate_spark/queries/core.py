@@ -768,3 +768,59 @@ def json_props_extract(spark, sf_dir):
         parsed["k"].alias("k_val"),
         parsed.isNotNull().alias("is_valid"),
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), purchases AS (
+  SELECT e.user_id, count(*) AS n_purchases,
+         round(sum(e.value), 2) AS purchase_value
+  FROM events e JOIN signup s
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts::TIMESTAMP > s.first_signup
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.first_signup,
+       coalesce(p.n_purchases, 0) AS n_purchases,
+       coalesce(p.purchase_value, 0.0) AS purchase_value,
+       (p.user_id IS NOT NULL) AS converted
+FROM signup s LEFT JOIN purchases p ON p.user_id = s.user_id
+""",
+    survey_ref="idiomatic analytic superset: funnel conversion over events",
+)
+def event_funnel(spark, sf_dir):
+    """Signup -> purchase funnel: first signup per user, then
+    purchases strictly after it; conversion flag per user. Two
+    shuffles on user_id (Catalyst reuses the partitioning for the
+    final left join)."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    return (
+        signup.join(purchases.withColumnRenamed("user_id", "p_user"),
+                    signup.user_id == F.col("p_user"), "left")
+        .select(
+            "user_id",
+            "first_signup",
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+            F.col("p_user").isNotNull().alias("converted"),
+        )
+    )

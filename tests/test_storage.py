@@ -65,3 +65,18 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
 def test_suggest_buckets_power_of_two():
     assert storage.suggest_buckets(10 * 2**30) == 64  # 10 GiB / 256 MiB = 40 -> 64
     assert storage.suggest_buckets(100) == 1
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").withColumn("status", F.col("o_orderstatus"))
+    path = str(tmp_path / "orders_dyn")
+    storage.write_partitioned(o, path, ["status"])
+    before_f = spark.read.parquet(path).where("status = 'F'").count()
+
+    # rewrite ONLY the O partition with a filtered slice
+    slim_o = o.where("status = 'O' AND o_orderkey % 2 = 0")
+    storage.overwrite_partitions(slim_o, path, ["status"])
+
+    back = spark.read.parquet(path)
+    assert back.where("status = 'F'").count() == before_f  # untouched survives
+    assert back.where("status = 'O'").count() == slim_o.count()  # replaced

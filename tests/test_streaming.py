@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from acuvate_spark.streaming import blob_ingest, windows
 
@@ -98,3 +99,107 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
 def test_daily_sync_job(spark, sf_dir, tmp_path):
     n = windows.run_daily_sync(spark, sf_dir, str(tmp_path / "sync_out"))
     assert n > 0
+
+
+def test_stateful_running_totals_across_restarts(spark, sf_dir, tmp_path):
+    """State survives across two AvailableNow runs via the checkpoint:
+    totals after run 2 include run 1's events."""
+    from acuvate_spark.streaming import stateful
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = events.where(F.col("event_id") % 2 == 0)
+    second = events.where(F.col("event_id") % 2 == 1)
+    in_dir = tmp_path / "stream_in"
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").json(str(in_dir))
+    out_dir = str(tmp_path / "totals_out")
+
+    def run():
+        stream = windows.stream_events_from_json(spark, str(in_dir))
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+        q = (
+            stateful.running_user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    second.coalesce(1).write.mode("append").json(str(in_dir))
+    run()
+
+    emitted = spark.read.parquet(out_dir)
+    latest = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .where("rn = 1")
+    )
+    # only assert users updated in the SECOND run (their totals must
+    # include first-run state carried by the checkpoint)
+    max_batch = emitted.agg(F.max("batch_id")).collect()[0][0]
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in latest.where(F.col("batch_id") == max_batch).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got  # users updated in run 2
+    for uid, (n, s) in got.items():
+        assert (n, s) == expected[uid], uid
+
+
+def test_streaming_seen_filter_dedupes(spark, tmp_path):
+    from acuvate_spark.streaming import stateful
+
+    in_dir = tmp_path / "tags_in"
+    ckpt = str(tmp_path / "tags_ckpt")
+    rows = spark.createDataFrame(
+        [("f1", "T-1"), ("f1", "T-1"), ("f1", "T-2"), ("f2", "T-1")],
+        "file_name string, tag string",
+    )
+    out_dir = str(tmp_path / "seen_out")
+
+    def run():
+        stream = spark.readStream.schema("file_name string, tag string").json(str(in_dir))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stateful.streaming_seen_filter(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows.coalesce(1).write.mode("append").json(str(in_dir))
+    run()
+    got = {(r["file_name"], r["tag"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("f1", "T-1"), ("f1", "T-2"), ("f2", "T-1")}
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first == 3  # in-batch duplicate suppressed too
+
+    # re-sending the same tags emits nothing new (state remembers)
+    rows.coalesce(1).write.mode("append").json(str(in_dir))
+    run()
+    assert spark.read.parquet(out_dir).count() == n_first
