@@ -59,25 +59,34 @@ def nms(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
     shape for operators Spark can't express relationally."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["conf", "x1", "y1"], ascending=[False, True, True])
+        import numpy as np
+
+        pdf = pdf.sort_values(["conf", "x1", "y1"], ascending=[False, True, True]).reset_index(
+            drop=True
+        )
+        # vectorized against the kept set: one numpy IoU sweep per
+        # candidate instead of per-(candidate, kept) pandas .loc pairs
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy()
+        y2 = pdf["y2"].to_numpy()
+        areas = np.maximum(0.0, x2 - x1) * np.maximum(0.0, y2 - y1)
         kept: list[int] = []
-        for idx in pdf.index:
-            x1, y1, x2, y2 = pdf.loc[idx, ["x1", "y1", "x2", "y2"]]
-            area = max(0.0, x2 - x1) * max(0.0, y2 - y1)
-            ok = True
-            for kidx in kept:
-                kx1, ky1, kx2, ky2 = pdf.loc[kidx, ["x1", "y1", "x2", "y2"]]
-                ix = max(0.0, min(x2, kx2) - max(x1, kx1))
-                iy = max(0.0, min(y2, ky2) - max(y1, ky1))
+        for i in range(len(pdf)):
+            if kept:
+                k = np.array(kept)
+                ix = np.maximum(
+                    0.0, np.minimum(x2[i], x2[k]) - np.maximum(x1[i], x1[k])
+                )
+                iy = np.maximum(
+                    0.0, np.minimum(y2[i], y2[k]) - np.maximum(y1[i], y1[k])
+                )
                 inter = ix * iy
-                karea = max(0.0, kx2 - kx1) * max(0.0, ky2 - ky1)
-                union = area + karea - inter
-                if union > 0 and inter / union >= iou_threshold:
-                    ok = False
-                    break
-            if ok:
-                kept.append(idx)
-        return pdf.loc[kept]
+                union = areas[i] + areas[k] - inter
+                if np.any((union > 0) & (inter / np.maximum(union, 1e-12) >= iou_threshold)):
+                    continue
+            kept.append(i)
+        return pdf.iloc[kept]
 
     return detections.groupBy("document_id", "cls").applyInPandas(kernel, schema=NMS_SCHEMA)
 

@@ -298,7 +298,9 @@ def dedup_embedding_cosine(spark, sf_dir):
     keeps the dot products JVM-side."""
     from ..functions import vectors
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )

@@ -342,3 +342,101 @@ def tile_grid(spark, sf_dir):
     return explode_tiles(imgs, "width", "height", _TILE, _OVERLAP).select(
         "doc_id", "tx", "ty", "tile_w", "tile_h"
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — the full imageprocess pipeline composed end-to-end (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "imageprocess_pipeline",
+    oracle=None,  # composes the BFS kernel + NMS (sequential kernels) -> rows-only
+    survey_ref="§3.2 end-to-end: X6 X8 O6 J6 J7 A5 X5 O8",
+)
+def imageprocess_pipeline(spark, sf_dir):
+    """The reference's /api/Home/imageprocess pipeline (SURVEY §3.2)
+    composed end-to-end on synthetic inputs:
+
+    1. detections (from part) -> per-class greedy NMS kernel;
+    2. mask pixels (synthetic strokes) -> pixel-BFS segmentation ->
+       downsampled polylines;
+    3. polyline vertices x surviving boxes -> touch join -> pairwise
+       edges per line -> first-line-per-pair;
+    4. edge endpoints labeled via the MD5-cached LLM stub.
+
+    Each stage is the operator verified elsewhere (nms_detections,
+    extract_segments test, pid_connections, llm_label_cache); this
+    query proves they compose into one lazy plan with kernels and
+    joins interleaved — the reference's whole §3.2 trace as a single
+    dataflow."""
+    from ..operators import kernels
+
+    p = load_table(spark, sf_dir, "part")
+
+    # 1. detections -> NMS (per document=brand, class=type)
+    det = p.select(
+        F.col("p_brand").alias("document_id"),
+        F.col("p_type").alias("cls"),
+        ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
+        ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
+        (((F.col("p_size") * 3) % 80) + 12).cast("double").alias("x2"),
+        (((F.col("p_partkey") * 7) % 80) + 12).cast("double").alias("y2"),
+        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
+    )
+    boxes = kernels.nms(det, iou_threshold=0.5).withColumn(
+        "box_id",
+        F.xxhash64(F.col("document_id"), F.col("cls"), F.col("x1"), F.col("y1")),
+    )
+
+    # 2. synthetic mask pixels -> BFS segments -> polylines
+    strokes = (
+        p.where(F.col("p_partkey") % 20 == 0)
+        .select(
+            (F.col("p_partkey") % 97).alias("image_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(40))).alias("i"),
+            ((F.col("p_partkey") * 3) % 60).alias("ybase"),
+        )
+        .select("image_id", F.col("i").alias("x"), F.col("ybase").cast("int").alias("y"))
+        .distinct()
+    )
+    segments = kernels.extract_segments(strokes, downsample=10)
+
+    # 3. polyline vertices x boxes -> touch -> pairwise edges
+    verts = segments.select(
+        "image_id", "segment_id", F.explode("points").alias("pt")
+    ).select(
+        "image_id",
+        "segment_id",
+        F.element_at("pt", 1).cast("double").alias("px"),
+        F.element_at("pt", 2).cast("double").alias("py"),
+    )
+    touch = (
+        verts.join(
+            F.broadcast(boxes),
+            F.col("px").between(F.col("x1") - 2, F.col("x2") + 2)
+            & F.col("py").between(F.col("y1") - 2, F.col("y2") + 2),
+        )
+        .select("image_id", "segment_id", "box_id")
+        .distinct()
+    )
+    a = touch.select("image_id", "segment_id", F.col("box_id").alias("box_a"))
+    b = touch.select(
+        F.col("image_id").alias("ib"), F.col("segment_id").alias("sb"), F.col("box_id").alias("box_b")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("image_id") == F.col("ib"))
+            & (F.col("segment_id") == F.col("sb"))
+            & (F.col("box_a") < F.col("box_b")),
+        )
+        .groupBy("box_a", "box_b")
+        .agg(F.min("segment_id").alias("first_segment"), F.count("*").alias("n_lines"))
+    )
+
+    # 4. label edges via the cached LLM stub
+    labeled = edges.withColumn(
+        "edge_md5", F.md5(F.concat_ws("|", F.col("box_a"), F.col("box_b")))
+    ).withColumn("label", kernels.llm_label_stub_expr(F.col("edge_md5")))
+    return labeled.select("box_a", "box_b", "first_segment", "n_lines", "label")

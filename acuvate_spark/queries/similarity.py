@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 _TOP_K = 5
@@ -52,7 +52,9 @@ def ann_cosine_topk(spark, sf_dir):
     agree). At scale the corpus side stays partitioned and only the
     (tiny) query set is broadcast — a map-side-only pass plus a
     per-query top-k window on k*|queries| rows."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -104,7 +106,9 @@ def ann_lsh_bucketed(spark, sf_dir):
     bucket is an equi-join key, so at 100 TB this is a plain hash
     join on (bucket) instead of an all-pairs scan — recall traded for
     a ~16x candidate reduction per extra plane."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     b = e.withColumn("bucket", vectors.hyperplane_bucket(F.col("embedding"), _PLANES))
     q = b.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),

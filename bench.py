@@ -48,6 +48,8 @@ HEADLINE = [
     "multimodal_decode",
     "llm_label_cache",
     "salted_agg_lineitem",
+    "imageprocess_pipeline",
+    "event_funnel",
 ]
 
 
