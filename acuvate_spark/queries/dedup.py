@@ -50,10 +50,15 @@ def _docs_plus_clones(spark, sf_dir):
 
 def _doc_shingles(docs, n=3):
     w = textual.words(F.trim(F.col("text")))
+    # persisted: the shingle set feeds signatures, per-doc counts AND
+    # both sides of the candidate-verification join — without a persist
+    # the explode+distinct (the most expensive stage) recomputes per use
     return (
-        repartition_for_compute(docs).select("doc_id", F.explode(textual.word_shingles(w, n)).alias("shingle"))
+        repartition_for_compute(docs)
+        .select("doc_id", F.explode(textual.word_shingles(w, n)).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
+        .persist()
     )
 
 

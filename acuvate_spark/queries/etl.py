@@ -161,7 +161,10 @@ def scanner_tag_etl(spark, sf_dir):
         )
     )
     stripped = F.expr("trim(BOTH '()' FROM raw_tag)")
-    uniq = kept.select("file_name", stripped.alias("tag")).distinct()
+    # uniq feeds both the regular-grammar filter and the pipe-remainder
+    # anti-join; kept also feeds the existing-tags set — persist both
+    kept = kept.persist()
+    uniq = kept.select("file_name", stripped.alias("tag")).distinct().persist()
 
     regular = uniq.where(
         F.col("tag").rlike(tags.PAT_REGULAR) & tags.is_valid_plant_tag(F.col("tag"))

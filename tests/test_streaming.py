@@ -203,3 +203,54 @@ def test_streaming_seen_filter_dedupes(spark, tmp_path):
     rows.coalesce(1).write.mode("append").json(str(in_dir))
     run()
     assert spark.read.parquet(out_dir).count() == n_first
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Events older than the watermark horizon are dropped once the
+    watermark has advanced past their window (append mode only emits
+    finalized windows)."""
+    from acuvate_spark.streaming import stateful, windows as W
+
+    in_dir = tmp_path / "late_in"
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("append").json(str(in_dir))
+
+    def run():
+        stream = W.stream_events_from_json(spark, str(in_dir))
+        agg = W.windowed_counts(stream, window_len="1 hour", watermark="1 hour")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    emit([(1, base, 1, "click", 1.0), (2, base + dt.timedelta(hours=3), 1, "click", 1.0)])
+    run()  # watermark advances to ~12:00 — the 10:00 window finalizes
+    emit([(3, base + dt.timedelta(minutes=5), 1, "click", 1.0)])  # LATE: inside 10:00 window
+    emit([(4, base + dt.timedelta(hours=4), 1, "click", 1.0)])
+    run()
+
+    import os
+
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 10:00 window was finalized with 1 event; the late event did not resurrect it
+    assert (base, 1) in got
+    assert (base, 2) not in got
