@@ -824,3 +824,22 @@ def event_funnel(spark, sf_dir):
             F.col("p_user").isNotNull().alias("converted"),
         )
     )
+
+
+@register(
+    "sketch_stats",
+    oracle=None,  # approximate sketches (HLL/KLL) are engine-specific: rows-only
+    survey_ref="A8 approximate variant: sketch aggregates for 100TB profiling",
+)
+def sketch_stats(spark, sf_dir):
+    """Sketch-based profiling aggregates — the approximate forms every
+    100 TB profiling pass uses where exact answers would shuffle the
+    world: HyperLogLog++ distinct counts and quantile approximations,
+    per order status. Exact twins live in agg_order_stats; sketches
+    are mergeable, so these are map-side combinable like any sum."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.count("*").alias("n_rows"),
+    )

@@ -36,6 +36,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Externally-owned sessions keep Spark's default of 200 shuffle
+    # partitions — wasteful scheduling at test scale; 64 + AQE
+    # coalescing is right for local runs, and a cluster deployment
+    # overrides it per-job anyway.
+    "spark.sql.shuffle.partitions": "64",
 }
 
 
