@@ -93,6 +93,28 @@ class TagRegistry:
             .drop("rn")
         )
 
+    def get_data_after(
+        self, register: str, page_size: int = 10, after: tuple | None = None, search: str | None = None
+    ) -> DataFrame:
+        """Keyset pagination — the 100 TB replacement for OFFSET
+        paging: pages are addressed by the (modified_date, tag_no) of
+        the previous page's last row, so every page is a pushable
+        range filter + distributed top-k instead of a global
+        row_number. ``after`` is that (modified_date, tag_no) pair."""
+        df = self.table(register)
+        if search:
+            df = df.where(F.col("tag_no").ilike(f"%{search}%"))
+        if after is not None:
+            last_date, last_tag = after
+            df = df.where(
+                (F.col("modified_date") < F.lit(last_date))
+                | (
+                    (F.col("modified_date") == F.lit(last_date))
+                    & (F.col("tag_no") < F.lit(last_tag))
+                )
+            )
+        return df.orderBy(F.col("modified_date").desc(), F.col("tag_no").desc()).limit(page_size)
+
     def find_tag(self, tag_no: str) -> DataFrame:
         """First match across registers in priority order (reference
         EditData app.py:5186-5209): union with priority + pick-first."""

@@ -14,8 +14,6 @@ the plain GROUP BY via the DuckDB oracle.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

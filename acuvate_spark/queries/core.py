@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import tags, textual
+from ..functions import tags
 from ..tables import load_table
 from .registry import register
 

@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..tables import load_table
 
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 

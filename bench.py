@@ -62,19 +62,24 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    # two passes per query, report the min: steady-state measurement
+    # (first pass may pay scan caching / JIT for that query's operators)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    for attempt in range(2):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            print(f"  [{attempt}] {name}: {elapsed:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_clock",
+                "metric": "headline_queries_total_wall_clock_min_of_2",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

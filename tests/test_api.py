@@ -111,3 +111,27 @@ def test_full_lifecycle(spark, registry):
     out = registry.export_excel("Equipment", str(registry.root) + "/export.xlsx",
                                 header_map={"tag_no": "Tag Number"})
     assert "Tag Number" in open(out).readline()
+
+
+def test_keyset_pagination(spark, registry):
+    registry.upsert_tags(
+        "Line",
+        _incoming(
+            spark,
+            [(f"E17-A_L-{i:04d}", f"line {i}", "", "amy@example.com") for i in range(25)],
+        ),
+    )
+    page1 = registry.get_data_after("Line", page_size=10).collect()
+    assert len(page1) == 10
+    last = page1[-1]
+    page2 = registry.get_data_after(
+        "Line", page_size=10, after=(last["modified_date"], last["tag_no"])
+    ).collect()
+    assert len(page2) == 10
+    assert {r["tag_no"] for r in page1}.isdisjoint({r["tag_no"] for r in page2})
+    # keyset pages, concatenated, equal offset paging of the same order
+    page3 = registry.get_data_after(
+        "Line", page_size=10, after=(page2[-1]["modified_date"], page2[-1]["tag_no"])
+    ).collect()
+    all_keyset = [r["tag_no"] for r in page1 + page2 + page3]
+    assert len(all_keyset) == 25 and len(set(all_keyset)) == 25

@@ -5,8 +5,6 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import functions as F
-
 from acuvate_spark.operators import sinks
 from acuvate_spark.tables import load_table
 
