@@ -75,11 +75,39 @@ def pid_connections(spark, sf_dir):
             ((F.col("line_id") * 11 + F.col("j") * 5) % 110).alias("y"),
         )
     )
+    # Grid-bucketed containment (SURVEY §4 O3): boxes span <=10 px per
+    # axis including margin, so with 10-px cells each box covers <=2
+    # cells per axis. The box side explodes to its covered (cx, cy)
+    # cells; points key by their exact cell; the theta predicate then
+    # only runs within matching cells — an equi-join Catalyst hash-
+    # joins, instead of a |points| x |boxes| nested loop.
+    cell = 10
+    box_cells = boxes.withColumn(
+        "cx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("bx1") - 1) / cell), F.floor((F.col("bx2") + 1) / cell)
+            )
+        ),
+    ).withColumn(
+        "cy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("by1") - 1) / cell), F.floor((F.col("by2") + 1) / cell)
+            )
+        ),
+    )
+    pts = repartition_for_compute(pxy).withColumn(
+        "cx", F.floor(F.col("x") / cell)
+    ).withColumn("cy", F.floor(F.col("y") / cell))
     touch = (
-        repartition_for_compute(pxy).join(
-            F.broadcast(boxes),
+        pts.join(
+            F.broadcast(box_cells),
+            ["cx", "cy"],
+        )
+        .where(
             F.col("x").between(F.col("bx1") - 1, F.col("bx2") + 1)
-            & F.col("y").between(F.col("by1") - 1, F.col("by2") + 1),
+            & F.col("y").between(F.col("by1") - 1, F.col("by2") + 1)
         )
         .select("line_id", "box_id")
         .distinct()
