@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import kernels, multimodal
+from ..operators.spatial import grid_containment_join
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
@@ -75,39 +76,11 @@ def pid_connections(spark, sf_dir):
             ((F.col("line_id") * 11 + F.col("j") * 5) % 110).alias("y"),
         )
     )
-    # Grid-bucketed containment (SURVEY §4 O3): boxes span <=10 px per
-    # axis including margin, so with 10-px cells each box covers <=2
-    # cells per axis. The box side explodes to its covered (cx, cy)
-    # cells; points key by their exact cell; the theta predicate then
-    # only runs within matching cells — an equi-join Catalyst hash-
-    # joins, instead of a |points| x |boxes| nested loop.
-    cell = 10
-    box_cells = boxes.withColumn(
-        "cx",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("bx1") - 1) / cell), F.floor((F.col("bx2") + 1) / cell)
-            )
-        ),
-    ).withColumn(
-        "cy",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("by1") - 1) / cell), F.floor((F.col("by2") + 1) / cell)
-            )
-        ),
-    )
-    pts = repartition_for_compute(pxy).withColumn(
-        "cx", F.floor(F.col("x") / cell)
-    ).withColumn("cy", F.floor(F.col("y") / cell))
+    # Grid-bucketed containment (SURVEY §4 O3, operators.spatial):
+    # the |points| x |boxes| theta join becomes a (cx, cy) equi-join.
     touch = (
-        pts.join(
-            F.broadcast(box_cells),
-            ["cx", "cy"],
-        )
-        .where(
-            F.col("x").between(F.col("bx1") - 1, F.col("bx2") + 1)
-            & F.col("y").between(F.col("by1") - 1, F.col("by2") + 1)
+        grid_containment_join(
+            repartition_for_compute(pxy), boxes, margin=1.0, cell=10
         )
         .select("line_id", "box_id")
         .distinct()
@@ -440,10 +413,10 @@ def imageprocess_pipeline(spark, sf_dir):
         F.element_at("pt", 2).cast("double").alias("py"),
     )
     touch = (
-        verts.join(
-            F.broadcast(boxes),
-            F.col("px").between(F.col("x1") - 2, F.col("x2") + 2)
-            & F.col("py").between(F.col("y1") - 2, F.col("y2") + 2),
+        grid_containment_join(
+            verts, boxes,
+            px="px", py="py", bx1="x1", by1="y1", bx2="x2", by2="y2",
+            margin=2.0, cell=16,
         )
         .select("image_id", "segment_id", "box_id")
         .distinct()
