@@ -151,12 +151,20 @@ def fingerprint_sql(expr: str) -> str:
 
 
 def word_shingles(words_col: Column, n: int) -> Column:
-    """Word n-gram shingles from a words array (dedup'd downstream)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words_col) - F.lit(n - 1), F.lit(0))),
+    """Word n-gram shingles from a words array (dedup'd downstream).
+
+    Documents shorter than n words yield an EMPTY array: Spark's
+    ``sequence(1, 0)`` is the descending [1, 0] (it would index out of
+    bounds), so the guard is explicit — matching the DuckDB rendering,
+    whose ``range(1, 1)`` is empty."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words_col) - F.lit(n - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(words_col, (i + j).cast("int")) for j in range(n)]
         ),
+    )
+    return F.when(F.size(words_col) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

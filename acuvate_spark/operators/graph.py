@@ -62,4 +62,11 @@ def connected_components(
         labels = new_labels.drop("changed")
         if not n_changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} iterations "
+            f"({n_changed} labels still changing) — raise max_iter for graphs "
+            "with propagation distance beyond it (silent partial labels would "
+            "diverge from the reachability semantics)"
+        )
     return labels

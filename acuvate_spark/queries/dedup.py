@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import textual
+from ..functions import textual, vectors
 from ..operators import dedup as dedup_ops
 from ..tables import load_table, repartition_for_compute
 from .registry import register
@@ -27,14 +27,12 @@ docs AS (
 )
 """
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = f"""
 words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM docs
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM docs
 ),
 sh AS (
-  SELECT DISTINCT doc_id,
-         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS shingle
+  SELECT DISTINCT doc_id, unnest({textual.word_shingles_sql('w', 3)}) AS shingle
   FROM words
 )
 """
@@ -100,11 +98,9 @@ def dedup_exact(spark, sf_dir):
     oracle=f"""
 WITH {_DOCS_SQL},
 limited AS (SELECT doc_id, text FROM docs WHERE source = 'src0'),
-words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM limited),
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM limited),
 sh AS (
-  SELECT DISTINCT doc_id,
-         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS shingle
+  SELECT DISTINCT doc_id, unnest({textual.word_shingles_sql('w', 3)}) AS shingle
   FROM words
 ),
 counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -162,7 +158,10 @@ _SIG_SQL = ",\n       ".join(
     f"min(md5('seed{i}|' || shingle)) AS mh{i}" for i in range(_N_HASHES)
 )
 _BANDS_SQL = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || '|' || mh{2 * b + 1} AS band_key FROM sig"
+    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+        b=b,
+        key=" || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+    )
     for b in range(_N_HASHES // _BAND_SIZE)
 )
 
@@ -283,13 +282,7 @@ emb AS (
 WITH {_EMB_SQL},
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(
-           list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                     FOR i IN range(1, len(a.embedding) + 1)])
-           / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
-                             FOR i IN range(1, len(a.embedding) + 1)]))
-              * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                               FOR i IN range(1, len(b.embedding) + 1)]))), 4) AS cos_sim
+         {vectors.cosine_rounded_sql("a.embedding", "b.embedding", 4)} AS cos_sim
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95

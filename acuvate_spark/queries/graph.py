@@ -3,8 +3,10 @@ first-per-pair) and the degree/edge queries that form the Neo4j-parity
 surface (SURVEY §7.1 step 4).
 
 The graph is derived deterministically from ``lineitem``: an edge
-part <-> supplier for every low-quantity line item (part nodes keep
-their key; supplier nodes are offset by 1,000,000 to disambiguate).
+part <-> supplier for every low-quantity line item. Part nodes keep
+their key; supplier nodes map to ``-(s_suppkey + 1)`` — the negative
+range can never collide with part keys at ANY scale factor (a fixed
+positive offset would collide once p_partkey crosses it).
 """
 
 from __future__ import annotations
@@ -15,12 +17,13 @@ from pyspark.sql.window import Window
 from ..operators.graph import connected_components
 from ..tables import load_table, repartition_for_compute
 from .registry import register
+from .synth import SYNTH_BOXES_SQL, synth_boxes
 
-_SUPP_OFFSET = 1_000_000
+
 
 _EDGES_SQL = """
 edges AS (
-  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+  SELECT DISTINCT l_partkey AS src, -(l_suppkey + 1) AS dst
   FROM lineitem WHERE l_quantity < 3
 )
 """
@@ -32,7 +35,7 @@ def _edges(spark, sf_dir):
         li.where(F.col("l_quantity") < 3)
         .select(
             F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
     )
@@ -107,13 +110,8 @@ def first_line_per_pair(spark, sf_dir):
 
 @register(
     "edge_snap_join",
-    oracle="""
-WITH boxes AS (
-  SELECT s_suppkey AS box_id,
-         (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
-         (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
-  FROM supplier
-),
+    oracle=f"""
+WITH {SYNTH_BOXES_SQL},
 eps AS (
   SELECT p_partkey AS line_id, unnest([0, 4]) AS endpoint_idx FROM part
 ),
@@ -149,13 +147,7 @@ def edge_snap_join(spark, sf_dir):
     min(struct) argmin — same scale shape as nearest_tag_join."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
-    boxes = s.select(
-        F.col("s_suppkey").alias("box_id"),
-        ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
-        ((F.col("s_suppkey") * 13) % 100).alias("by1"),
-        ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
-        ((F.col("s_suppkey") * 13) % 100 + 8).alias("by2"),
-    )
+    boxes = synth_boxes(s)
     eps = p.select(
         F.col("p_partkey").alias("line_id"),
         F.explode(F.array(F.lit(0), F.lit(4))).alias("endpoint_idx"),
@@ -192,7 +184,7 @@ def edge_snap_join(spark, sf_dir):
     oracle=f"""
 WITH doc_edges AS (
   SELECT DISTINCT concat('D', CAST(l_orderkey % 4 AS VARCHAR)) AS document_id,
-         l_partkey AS src, l_suppkey + 1000000 AS dst
+         l_partkey AS src, -(l_suppkey + 1) AS dst
   FROM lineitem WHERE l_quantity < 3
 )
 SELECT document_id, src, dst FROM doc_edges WHERE document_id <> 'D0'
@@ -210,7 +202,7 @@ def graph_delete_document(spark, sf_dir):
         .select(
             F.concat(F.lit("D"), (F.col("l_orderkey") % 4).cast("string")).alias("document_id"),
             F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+            (-(F.col("l_suppkey") + 1)).alias("dst"),
         )
         .distinct()
     )

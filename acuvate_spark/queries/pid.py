@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import kernels, multimodal
 from ..operators.spatial import grid_containment_join
+from .synth import SYNTH_BOXES_SQL, synth_boxes, synth_detections
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
@@ -22,13 +23,8 @@ from .registry import register
 
 @register(
     "pid_connections",
-    oracle="""
-WITH boxes AS (
-  SELECT s_suppkey AS box_id,
-         (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
-         (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
-  FROM supplier
-),
+    oracle=f"""
+WITH {SYNTH_BOXES_SQL},
 pts AS (SELECT p_partkey AS line_id, unnest(range(0, 5)) AS j FROM part),
 pxy AS (
   SELECT line_id, (line_id * 3 + j * 7) % 110 AS x, (line_id * 11 + j * 5) % 110 AS y
@@ -61,13 +57,7 @@ def pid_connections(spark, sf_dir):
     Python loops become three shuffle-bounded joins."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
-    boxes = s.select(
-        F.col("s_suppkey").alias("box_id"),
-        ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
-        ((F.col("s_suppkey") * 13) % 100).alias("by1"),
-        ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
-        ((F.col("s_suppkey") * 13) % 100 + 8).alias("by2"),
-    )
+    boxes = synth_boxes(s)
     pxy = (
         p.select(F.col("p_partkey").alias("line_id"), F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
         .select(
@@ -282,15 +272,7 @@ def nms_detections(spark, sf_dir):
     property tests (conflict-free output, max-conf retained) in
     tests/test_kernels.py."""
     p = load_table(spark, sf_dir, "part")
-    det = p.select(
-        F.col("p_brand").alias("document_id"),
-        F.col("p_type").alias("cls"),
-        ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
-        ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
-        (((F.col("p_size") * 3) % 80) + 10).cast("double").alias("x2"),
-        (((F.col("p_partkey") * 7) % 80) + 10).cast("double").alias("y2"),
-        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
-    )
+    det = synth_detections(p, size=10)
     return kernels.nms(det, iou_threshold=0.5)
 
 
@@ -371,20 +353,10 @@ def imageprocess_pipeline(spark, sf_dir):
     query proves they compose into one lazy plan with kernels and
     joins interleaved — the reference's whole §3.2 trace as a single
     dataflow."""
-    from ..operators import kernels
-
     p = load_table(spark, sf_dir, "part")
 
     # 1. detections -> NMS (per document=brand, class=type)
-    det = p.select(
-        F.col("p_brand").alias("document_id"),
-        F.col("p_type").alias("cls"),
-        ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
-        ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
-        (((F.col("p_size") * 3) % 80) + 12).cast("double").alias("x2"),
-        (((F.col("p_partkey") * 7) % 80) + 12).cast("double").alias("y2"),
-        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
-    )
+    det = synth_detections(p, size=12)
     boxes = kernels.nms(det, iou_threshold=0.5).withColumn(
         "box_id",
         F.xxhash64(F.col("document_id"), F.col("cls"), F.col("x1"), F.col("y1")),

@@ -16,15 +16,10 @@ from .registry import register
 
 _TOP_K = 5
 
-_COS_SQL = (
-    "round("
-    "list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE "
-    "FOR i IN range(1, len(q.embedding) + 1)])"
-    " / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE "
-    "FOR i IN range(1, len(q.embedding) + 1)]))"
-    " * sqrt(list_sum([n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE "
-    "FOR i IN range(1, len(n.embedding) + 1)]))), 4)"
-)
+# Rendered by the same library function as the Spark side (the
+# define-once-render-twice invariant of functions/): editing
+# vectors.dot/cosine updates BOTH engines.
+_COS_SQL = vectors.cosine_rounded_sql("q.embedding", "n.embedding", 4)
 
 
 @register(

@@ -1,0 +1,49 @@
+"""Shared synthetic-geometry builders for the spatial queries.
+
+Several queries derive deterministic boxes/detections from the TPC-H
+tables; each shape is defined ONCE here with its SQL rendering so the
+Spark inputs and the DuckDB oracles can't drift (the same
+define-once-render-twice rule as functions/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Boxes from supplier: 8x8 boxes scattered over a 100x100 canvas.
+SYNTH_BOXES_SQL = """
+boxes AS (
+  SELECT s_suppkey AS box_id,
+         (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
+         (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
+  FROM supplier
+)
+"""
+
+
+def synth_boxes(supplier: DataFrame) -> DataFrame:
+    return supplier.select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
+        ((F.col("s_suppkey") * 13) % 100).alias("by1"),
+        ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
+        ((F.col("s_suppkey") * 13) % 100 + 8).alias("by2"),
+    )
+
+
+def synth_detections(part: DataFrame, size: int) -> DataFrame:
+    """Detection boxes from part: per (document=brand, class=type)
+    with ``size``-px squares; confidence from the retail price. Used
+    by nms_detections (size=10) and imageprocess_pipeline (size=12 —
+    slightly larger so the composed pipeline produces denser overlaps;
+    the parameter makes the variation explicit)."""
+    return part.select(
+        F.col("p_brand").alias("document_id"),
+        F.col("p_type").alias("cls"),
+        ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
+        ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
+        (((F.col("p_size") * 3) % 80) + size).cast("double").alias("x2"),
+        (((F.col("p_partkey") * 7) % 80) + size).cast("double").alias("y2"),
+        F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
+    )

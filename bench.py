@@ -75,6 +75,9 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             print(f"  [{attempt}] {name}: {elapsed:.3f}s", file=sys.stderr)
+            # queries persist multi-use intermediates; drop them so one
+            # query's cache never pressures the next measurement
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

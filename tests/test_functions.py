@@ -49,3 +49,20 @@ def test_tile_starts_matches_reference_semantics(spark):
     got = {r["size"]: list(r["starts"]) for r in df.collect()}
     for s in sizes:
         assert got[s] == _py_starts(s, 640, 100), f"size={s}"
+
+
+def test_word_shingles_short_documents_yield_empty(spark):
+    # regression: sequence(1, 0) is DESCENDING in Spark — docs shorter
+    # than n words must produce [] (matching DuckDB's empty range), not
+    # crash element_at with out-of-range indices
+    from acuvate_spark.functions import textual
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",), ("a b c d",)],
+        "text string",
+    ).select(textual.word_shingles(textual.words(F.col("text")), 3).alias("sh"))
+    got = [list(r["sh"]) for r in df.collect()]
+    assert got[0] == [""] or got[0] == []  # split('') -> [''] edge
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three"]
+    assert got[4] == ["a b c", "b c d"]
