@@ -55,13 +55,20 @@ class TagRegistry:
         d = self._versions_dir(register)
         if not os.path.isdir(d):
             return None
-        versions = sorted(v for v in os.listdir(d) if v.startswith("v"))
-        return os.path.join(d, versions[-1]) if versions else None
+        # numeric selection: lexicographic sort would pick a stale
+        # version whenever the digit count changes
+        versions = [v for v in os.listdir(d) if v.startswith("v") and v[1:].isdigit()]
+        if not versions:
+            return None
+        return os.path.join(d, max(versions, key=lambda v: int(v[1:])))
 
     def _write_version(self, register: str, df: DataFrame) -> str:
         d = self._versions_dir(register)
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"v{time.monotonic_ns()}")
+        # wall-clock ns, zero-padded: survives process restarts
+        # (monotonic_ns has an undefined epoch across processes) and
+        # keeps even naive lexicographic ordering correct
+        path = os.path.join(d, f"v{time.time_ns():025d}")
         df.write.mode("overwrite").parquet(path)
         return path
 
@@ -104,16 +111,21 @@ class TagRegistry:
         df = self.table(register)
         if search:
             df = df.where(F.col("tag_no").ilike(f"%{search}%"))
+        # NULL modified_date sorts (and compares) as the epoch so such
+        # rows stay reachable — a raw NULL < cursor predicate would
+        # silently drop them from every page after the first
+        eff_date = F.coalesce(
+            F.col("modified_date"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
         if after is not None:
             last_date, last_tag = after
+            if last_date is None:
+                last_date = "1970-01-01 00:00:00"
             df = df.where(
-                (F.col("modified_date") < F.lit(last_date))
-                | (
-                    (F.col("modified_date") == F.lit(last_date))
-                    & (F.col("tag_no") < F.lit(last_tag))
-                )
+                (eff_date < F.lit(last_date))
+                | ((eff_date == F.lit(last_date)) & (F.col("tag_no") < F.lit(last_tag)))
             )
-        return df.orderBy(F.col("modified_date").desc(), F.col("tag_no").desc()).limit(page_size)
+        return df.orderBy(eff_date.desc(), F.col("tag_no").desc()).limit(page_size)
 
     def find_tag(self, tag_no: str) -> DataFrame:
         """First match across registers in priority order (reference
@@ -180,10 +192,20 @@ class TagRegistry:
         with validation; returns the per-row dispositions and commits
         the post-state."""
         main = self.table(register)
-        h = history.where(F.col("approval_status") == "PENDING").select(
-            F.col("tag_no").alias("h_tag_no"),
-            F.col("description").alias("h_description"),
-            F.col("action"),
+        # one pending row per tag: duplicates (resubmitted approvals)
+        # would fan out through the join and commit duplicate register
+        # rows; deterministic pick = first by (description, action)
+        w = Window.partitionBy("h_tag_no").orderBy("h_description", "action")
+        h = (
+            history.where(F.col("approval_status") == "PENDING")
+            .select(
+                F.col("tag_no").alias("h_tag_no"),
+                F.col("description").alias("h_description"),
+                F.col("action"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
         )
         j = main.join(h, main.tag_no == h.h_tag_no, "full_outer")
         disposition = (
@@ -193,17 +215,25 @@ class TagRegistry:
             .when(F.col("action") == "Add", F.lit("added"))
             .otherwise(F.lit("rejected_edit"))
         )
+        applied = disposition.isin("edited", "added")
         result = j.select(
             F.coalesce(F.col("tag_no"), F.col("h_tag_no")).alias("tag_no"),
-            F.when(disposition.isin("edited", "added"), F.col("h_description"))
-            .otherwise(F.col("description"))
-            .alias("description"),
-            F.col("document"),
-            F.col("modified_by"),
-            F.col("modified_date"),
+            F.when(applied, F.col("h_description")).otherwise(F.col("description")).alias(
+                "description"
+            ),
+            F.coalesce(F.col("document"), F.lit("")).alias("document"),
+            # applied rows get the approval stamp (reference stamps the
+            # approval time, app.py:4838-4841) — otherwise added rows
+            # carry NULLs that the sync window and pagination never see
+            F.when(applied, F.lit("approval")).otherwise(F.col("modified_by")).alias(
+                "modified_by"
+            ),
+            F.when(applied, F.current_timestamp().cast("timestamp"))
+            .otherwise(F.col("modified_date"))
+            .alias("modified_date"),
             disposition.alias("disposition"),
         ).where(F.col("disposition") != "rejected_edit")
-        post = result.where(F.col("disposition") != "rejected_edit").drop("disposition")
+        post = result.drop("disposition")
         self._write_version(register, post)
         return result
 

@@ -32,8 +32,8 @@ def minhash_strings(shingle: Column, n_hashes: int) -> list[Column]:
 def minhash_signature(shingles_df: DataFrame, key: str, shingle_col: str, n_hashes: int) -> DataFrame:
     """(key, shingle) rows -> (key, mh0..mh{n-1}) signature rows."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}|"), F.col(shingle_col)))).alias(f"mh{i}")
-        for i in range(n_hashes)
+        F.min(c).alias(f"mh{i}")
+        for i, c in enumerate(minhash_strings(F.col(shingle_col), n_hashes))
     ]
     return shingles_df.groupBy(key).agg(*aggs)
 

@@ -129,10 +129,16 @@ def extract_segments(pixels: DataFrame, downsample: int = 10) -> DataFrame:
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         image_id = int(pdf["image_id"].iloc[0])
         todo = set(zip(pdf["x"].astype(int), pdf["y"].astype(int)))
+        # seeds come from ONE upfront sort + index advance: min(todo)
+        # per component would be O(pixels x components) on noisy masks
+        ordered = sorted(todo)
+        seed_idx = 0
         out_rows = []
         seg = 0
         while todo:
-            seed = min(todo)  # deterministic traversal order
+            while ordered[seed_idx] not in todo:
+                seed_idx += 1
+            seed = ordered[seed_idx]  # deterministic traversal order
             stack = [seed]
             todo.discard(seed)
             component = []

@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame
@@ -68,7 +69,8 @@ def export_excel(df: DataFrame, path: str, header_map: dict[str, str] | None = N
         pdf.to_excel(path, index=False)  # needs openpyxl
         return path
     except (ImportError, ModuleNotFoundError):
-        csv_path = path.rsplit(".", 1)[0] + ".csv"
+        root, _ = os.path.splitext(path)  # rsplit('.') would truncate at a dotted dir name
+        csv_path = root + ".csv"
         pdf.to_csv(csv_path, index=False)
         return csv_path
 

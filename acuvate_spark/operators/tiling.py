@@ -19,14 +19,17 @@ def tile_starts(size: Column, tile: int, overlap: int) -> Column:
     """Start offsets covering ``size`` with ``tile``-sized windows and
     ``overlap`` px of overlap; the final tile is clamped so it ends
     exactly at the edge (reference semantics: last start = size-tile
-    when it would overrun). Returns an array<long>."""
+    when it would overrun). An image smaller than one tile yields the
+    single whole-image start [0] — dropping it entirely would silently
+    exclude small pages from inference. Returns an array<long>."""
     step = tile - overlap
     # starts: 0, step, 2*step, ... while start + tile < size, plus the clamped tail
     n_full = F.greatest(F.ceil((size - F.lit(tile)).cast("double") / F.lit(step)).cast("long"), F.lit(0))
     starts = F.transform(
         F.sequence(F.lit(0), n_full), lambda i: F.least(i * F.lit(step), size - F.lit(tile))
     )
-    return F.array_distinct(F.filter(starts, lambda s: s >= 0))
+    covering = F.array_distinct(F.filter(starts, lambda s: s >= 0))
+    return F.when(size < tile, F.array(F.lit(0).cast("long"))).otherwise(covering)
 
 
 def explode_tiles(images: DataFrame, width_col: str, height_col: str, tile: int, overlap: int) -> DataFrame:

@@ -287,7 +287,8 @@ _STEP = _TILE - _OVERLAP
 def _starts_sql(size_expr: str) -> str:
     n_full = f"greatest(ceil(({size_expr} - {_TILE}) / {_STEP}.0)::BIGINT, 0)"
     lst = f"[least(i * {_STEP}, {size_expr} - {_TILE}) FOR i IN range(0, {n_full} + 1)]"
-    return f"list_distinct(list_filter({lst}, s -> s >= 0))"
+    covering = f"list_distinct(list_filter({lst}, s -> s >= 0))"
+    return f"CASE WHEN {size_expr} < {_TILE} THEN [0::BIGINT] ELSE {covering} END"
 
 
 @register(
@@ -312,8 +313,7 @@ def tile_grid(spark, sf_dir):
     row explodes into its overlapping tile grid, with the last tile
     clamped to the image edge. The tile rows feed the detection kernel
     data-parallel — one image no longer binds to one worker. Images
-    smaller than one tile produce no rows (matches the lateral-unnest
-    oracle semantics)."""
+    smaller than one tile produce one whole-image tile."""
     from ..operators.tiling import explode_tiles
 
     d = load_table(spark, sf_dir, "documents")

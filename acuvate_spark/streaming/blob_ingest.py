@@ -85,6 +85,15 @@ def start_blob_ingest(
     dlq_dir = os.path.join(out_dir, "dlq")
     retry_dir = os.path.join(out_dir, "retry_state")
 
+    # The checkpointed file source delivers each path exactly once, so
+    # retries are driven from the retry-state table, not the source:
+    # each ingest pass FIRST re-attempts everything pending (the
+    # reference's poll loop re-encounters failed blobs every cycle,
+    # app.py:7030-7031), THEN streams the genuinely new files. Running
+    # the retry step outside foreachBatch also covers passes where the
+    # source has no new files (AvailableNow then runs zero batches).
+    _retry_pass(spark, routed_dir, dlq_dir, retry_dir, fail_marker)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         batch = batch_df.withColumn("route", route(F.col("path")))
@@ -92,25 +101,18 @@ def start_blob_ingest(
         # reference's per-blob download/OCR exceptions)
         batch = batch.withColumn("failed", F.col("path").contains(fail_marker))
 
-        ok = batch.where(~F.col("failed")).drop("failed")
+        ok = batch.where(~F.col("failed")).select("path", "route")
         ok.write.mode("append").partitionBy("route").parquet(routed_dir)
 
         prev = _load_retry_state(s, retry_dir)
-        failures = (
+        new_failures = (
             batch.where(F.col("failed"))
-            .select("path")
-            .join(prev, "path", "left")
-            .select("path", (F.coalesce(F.col("attempts"), F.lit(0)) + 1).alias("attempts"))
+            .select("path", F.lit(1).alias("attempts"))
+            .join(prev.select("path"), "path", "left_anti")
         )
-        # carry forward failures of earlier batches that are still pending
-        still_pending = prev.join(batch.select("path"), "path", "left_anti")
-        new_state = failures.unionByName(still_pending)
-
-        dead = new_state.where(F.col("attempts") >= MAX_RETRIES)
-        dead.write.mode("append").parquet(dlq_dir)
-        pending = new_state.where(F.col("attempts") < MAX_RETRIES)
+        state = prev.unionByName(new_failures)
         # overwrite retry state atomically-enough for the local emulation
-        pending.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
+        state.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -118,6 +120,29 @@ def start_blob_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _retry_pass(
+    spark: SparkSession, routed_dir: str, dlq_dir: str, retry_dir: str, fail_marker: str
+) -> None:
+    """Re-attempt every pending blob: successes route normally,
+    failures increment attempts, exhausted budgets dead-letter."""
+    prev = _load_retry_state(spark, retry_dir)
+    if not prev.take(1):
+        return
+    attempt = prev.withColumn("route", route(F.col("path"))).withColumn(
+        "failed", F.col("path").contains(fail_marker)
+    )
+    ok = attempt.where(~F.col("failed")).select("path", "route")
+    ok.write.mode("append").partitionBy("route").parquet(routed_dir)
+    failures = attempt.where(F.col("failed")).select(
+        "path", (F.col("attempts") + 1).alias("attempts")
+    )
+    dead = failures.where(F.col("attempts") >= MAX_RETRIES)
+    if dead.take(1):
+        dead.write.mode("append").parquet(dlq_dir)
+    pending = failures.where(F.col("attempts") < MAX_RETRIES)
+    pending.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
 
 
 def retry_pending(spark: SparkSession, out_dir: str) -> DataFrame:

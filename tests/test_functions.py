@@ -32,7 +32,7 @@ def _py_starts(size: int, tile: int, overlap: int) -> list[int]:
     last tile clamped to end at the image edge."""
     step = tile - overlap
     if size < tile:
-        return []
+        return [0]
     starts, s = [], 0
     while s + tile < size:
         starts.append(s)

@@ -56,12 +56,25 @@ def test_blob_ingest_checkpoint_and_dlq(spark, tmp_path):
     pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
     assert len(pend) == 1 and pend[0]["attempts"] == 1
 
-    # second pass: only the NEW file is processed (checkpoint = ledger)
+    # second pass: only the NEW file enters from the source (checkpoint
+    # = ledger), and the pending failure is retried -> attempts = 2
     _touch(str(input_dir / "E17-D_A6-0004.png"))
     q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
     q.awaitTermination()
     routed = spark.read.parquet(os.path.join(str(out_dir), "routed"))
-    assert routed.count() == 3  # 2 + 1, no reprocessing of old files
+    assert routed.count() == 3  # 2 + 1, no reprocessing of succeeded files
+    pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
+    assert len(pend) == 1 and pend[0]["attempts"] == 2
+
+    # exhaust the retry budget: each pass increments attempts; at
+    # MAX_RETRIES the blob dead-letters and leaves the retry queue
+    for _ in range(blob_ingest.MAX_RETRIES - 2):
+        q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
+        q.awaitTermination()
+    assert blob_ingest.retry_pending(spark, str(out_dir)).count() == 0
+    dlq = spark.read.parquet(os.path.join(str(out_dir), "dlq")).collect()
+    assert len(dlq) == 1 and "bad.corrupt.pdf" in dlq[0]["path"]
+    assert dlq[0]["attempts"] == blob_ingest.MAX_RETRIES
 
 
 def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
