@@ -22,11 +22,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_SLICES_PER_MD5 = 4  # 4 x 8 hex chars (32 bits each) per 128-bit digest
+
+
+def minhash_slice_sql(shingle_expr: str, i: int) -> str:
+    """DuckDB rendering of minhash function i (same slicing scheme as
+    minhash_strings — defined here once so Spark and the oracle agree)."""
+    seed = i // _SLICES_PER_MD5
+    start = (i % _SLICES_PER_MD5) * 8 + 1
+    return f"substr(md5('seed{seed}|' || {shingle_expr}), {start}, 8)"
+
+
 def minhash_strings(shingle: Column, n_hashes: int) -> list[Column]:
-    """One min-able hash string per seed: md5 is uniform enough that
-    the lexicographic min of md5(seed || shingle) is a valid minhash
-    permutation, and it is engine-portable (same bytes in DuckDB)."""
-    return [F.md5(F.concat(F.lit(f"seed{i}|"), shingle)) for i in range(n_hashes)]
+    """One min-able hash string per permutation. Each md5 digest yields
+    4 independent 32-bit slices, so n hashes cost ceil(n/4) md5 calls
+    per shingle instead of n — the md5 is the dominant signature cost
+    at corpus scale. Lexicographic min over the fixed-width hex slices
+    is a valid minhash, and the strings are byte-identical in DuckDB
+    (minhash_slice_sql renders the same slices)."""
+    digests = [
+        F.md5(F.concat(F.lit(f"seed{s}|"), shingle))
+        for s in range((n_hashes + _SLICES_PER_MD5 - 1) // _SLICES_PER_MD5)
+    ]
+    return [
+        F.substring(digests[i // _SLICES_PER_MD5], (i % _SLICES_PER_MD5) * 8 + 1, 8)
+        for i in range(n_hashes)
+    ]
 
 
 def minhash_signature(shingles_df: DataFrame, key: str, shingle_col: str, n_hashes: int) -> DataFrame:

@@ -155,7 +155,7 @@ _N_HASHES = 8
 _BAND_SIZE = 2
 
 _SIG_SQL = ",\n       ".join(
-    f"min(md5('seed{i}|' || shingle)) AS mh{i}" for i in range(_N_HASHES)
+    f"min({dedup_ops.minhash_slice_sql('shingle', i)}) AS mh{i}" for i in range(_N_HASHES)
 )
 _BANDS_SQL = "\nUNION ALL\n".join(
     "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
