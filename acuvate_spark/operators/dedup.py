@@ -8,12 +8,13 @@ Scale-first designs:
   band keys -> equi-join on band -> verify candidates. The O(n²)
   pairwise problem becomes an equi-join whose cost tracks the number
   of *colliding* pairs, not all pairs — this is the 100 TB path.
-* **SimHash**: 64-bit signature from per-token xxhash64 bit votes;
-  near-dup = identical 16-bit band + hamming <= k on candidates.
-  Spark-only (bit votes aren't portable SQL) -> rows-only check.
+* **SimHash**: 64-bit signature from per-token md5 hex-digit bit
+  votes; near-dup = identical 16-bit band + hamming <= k on
+  candidates. The signature is a '0'/'1' string so every step (votes,
+  bands, hamming) is portable SQL.
 
-md5 is used wherever the DuckDB oracle must agree bit-for-bit
-(xxhash64 is Spark-specific and only appears in rows-only operators).
+md5 is the only hash used anywhere: it is the one hash every engine
+computes identically, so all signatures stay oracle-checkable.
 """
 
 from __future__ import annotations
@@ -79,48 +80,76 @@ def band_keys(sig_df: DataFrame, key: str, n_hashes: int, band_size: int) -> Dat
     )
 
 
-def simhash64(tokens_df: DataFrame, key: str, token_col: str) -> DataFrame:
-    """(key, token) rows -> (key, simhash long). Bit i of the signature
-    is the sign of the vote sum over tokens' xxhash64 bit i. One
-    groupBy, 64 codegen'd aggregate expressions — no Python."""
-    h = F.xxhash64(F.col(token_col))
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 4
+_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+
+
+def _simhash_bit_sources() -> list[tuple[int, int]]:
+    """Bit i of the signature votes on hex digit ``pos`` (1-based) of
+    digest ``seed`` = md5('s{seed}|' || token). Two digests cover all
+    64 bits (32 hex chars each). Defined once so the Spark builder and
+    the SQL renderer cannot disagree on the mapping."""
+    return [(i // 32, i % 32 + 1) for i in range(_SIMHASH_BITS)]
+
+
+def simhash_signature(tokens_df: DataFrame, key: str, token_col: str) -> DataFrame:
+    """(key, token) rows -> (key, sig) where sig is a 64-char '0'/'1'
+    string. Bit i is the sign of the vote sum over tokens: hex digit i
+    of the token's md5 digests votes +1 if >= '8' (high bit set) else
+    -1. One groupBy, 64 codegen'd sum aggregates — no Python, and the
+    md5/hex primitives make the signature bit-identical in any engine
+    (xxhash64 would be ~2x faster per token but is Spark-specific;
+    signature hashing is not the dominant cost of the pipeline)."""
+    digests = tokens_df.select(
+        key,
+        F.md5(F.concat(F.lit("s0|"), F.col(token_col))).alias("d0"),
+        F.md5(F.concat(F.lit("s1|"), F.col(token_col))).alias("d1"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.substring(F.col(f"d{seed}"), pos, 1) >= "8", 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i, (seed, pos) in enumerate(_simhash_bit_sources())
     ]
-    voted = tokens_df.groupBy(key).agg(*votes)
-    sig = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return voted.select(key, sig.alias("simhash"))
+    voted = digests.groupBy(key).agg(*votes)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    return voted.select(key, sig.alias("sig"))
+
+
+def simhash_vote_sql(i: int) -> str:
+    """DuckDB rendering of bit i's vote term (mirrors simhash_signature)."""
+    seed, pos = _simhash_bit_sources()[i]
+    return f"sum(CASE WHEN substr(d{seed}, {pos}, 1) >= '8' THEN 1 ELSE -1 END)"
 
 
 def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs via 16-bit band equality (pigeonhole: hamming<=3
-    over 4 bands guarantees one identical band), verified by
-    bit_count(xor) <= max_hamming."""
+    over 4 bands guarantees one identical band), verified by exact
+    hamming distance over the bit strings. The band equi-join is the
+    whole point: cost tracks band collisions, not n² pairs."""
     banded = sig_df.select(
         key,
-        "simhash",
+        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        F.substring(F.col("sig"), b * _BAND_BITS + 1, _BAND_BITS).alias(
+                            "band_val"
+                        ),
                     )
-                    for b in range(4)
+                    for b in range(_SIMHASH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select(key, "simhash", "band.band_idx", "band.band_val")
+    ).select(key, "sig", "band.band_idx", "band.band_val")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -133,12 +162,28 @@ def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> Dat
         .select(
             F.col(f"a.{key}").alias("key_a"),
             F.col(f"b.{key}").alias("key_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
-        "key_a", "key_b", "hamming"
+    hamming = sum(
+        F.when(
+            F.substring(F.col("sig_a"), i + 1, 1) != F.substring(F.col("sig_b"), i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(_SIMHASH_BITS)
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
     )
+
+
+def simhash_hamming_sql(sa: str, sb: str) -> str:
+    """DuckDB rendering of the bit-string hamming distance."""
+    terms = " + ".join(
+        f"CAST(substr({sa}, {i + 1}, 1) <> substr({sb}, {i + 1}, 1) AS INT)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"

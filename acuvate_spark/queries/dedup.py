@@ -243,20 +243,62 @@ def dedup_minhash_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_VOTES_SQL = ",\n         ".join(
+    f"{dedup_ops.simhash_vote_sql(i)} AS v{i}" for i in range(64)
+)
+_SIMHASH_SIG_SQL = "concat(" + ", ".join(
+    f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+) + ")"
+_SIMHASH_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, substr(sig, {b * 16 + 1}, 16) AS band_val, sig FROM sig"
+    for b in range(4)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 bit votes aren't portable SQL -> rows-only check
+    oracle=f"""
+WITH {_DOCS_SQL},
+tok0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '{textual.WS_REGEX}')) AS token
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, md5('s0|' || token) AS d0, md5('s1|' || token) AS d1
+  FROM tok0 WHERE token <> ''
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES_SQL}
+  FROM tok GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS sig FROM votes),
+bands AS ({_SIMHASH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b, {dedup_ops.simhash_hamming_sql("sa", "sb")} AS hamming FROM cand
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""",
     survey_ref="training-data: SimHash near-dup",
 )
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signatures from per-word xxhash64 bit votes,
+    """64-bit SimHash from per-word md5 hex-digit bit votes,
     16-bit-band LSH candidates, hamming <= 3 verification. Entirely
-    JVM-side expressions (64 codegen'd aggregates) — no Python."""
+    JVM-side expressions (64 codegen'd sum aggregates, a band
+    equi-join, a char-compare hamming) — no Python, no all-pairs, and
+    every step is portable SQL, so the oracle pins the full pipeline
+    bit-for-bit (round 1 used xxhash64 votes, which forced a weaker
+    rows-only check)."""
     docs = _docs_plus_clones(spark, sf_dir)
     tokens = docs.select(
         "doc_id", F.explode(textual.words(F.lower(F.col("text")))).alias("token")
     ).where(F.col("token") != "")
-    sig = dedup_ops.simhash64(tokens, "doc_id", "token")
+    sig = dedup_ops.simhash_signature(tokens, "doc_id", "token")
     pairs = dedup_ops.simhash_near_pairs(sig, "doc_id", max_hamming=3)
     return pairs.select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"), "hamming"
