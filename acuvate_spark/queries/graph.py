@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.graph import connected_components
+from ..operators.spatial import grid_containment_join
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 from .synth import SYNTH_BOXES_SQL, synth_boxes
@@ -143,8 +144,13 @@ def edge_snap_join(spark, sf_dir):
     ImprovedLineConnectionManager.connect_lines_to_boxes
     app.py:508-581): each line endpoint snaps to the nearest box by
     rectangle-boundary distance (clamped-axis formula), one box per
-    endpoint, within a snap radius. Broadcast the box side + map-side
-    min(struct) argmin — same scale shape as nearest_tag_join."""
+    endpoint, within a snap radius. Candidates come from the shared
+    grid equi-join with margin = snap radius (a point within Euclid 6
+    of a box is within the 6-expanded box, so the grid prefilter loses
+    nothing); the exact distance predicate and min(struct) argmin run
+    on candidates only. Round 1 used crossJoin(broadcast) here — the
+    one O(|endpoints|*|boxes|)-per-partition plan in the repo; the
+    grid join scales with cell co-occupancy instead."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     boxes = synth_boxes(s)
@@ -161,9 +167,11 @@ def edge_snap_join(spark, sf_dir):
     dx = F.greatest(F.col("bx1") - F.col("x"), zero, F.col("x") - F.col("bx2"))
     dy = F.greatest(F.col("by1") - F.col("y"), zero, F.col("y") - F.col("by2"))
     dist = F.sqrt(dx * dx + dy * dy)
+    # cell = box span (8) + 2 * snap radius (6) => <= 2 cells per axis
     pairs = (
-        repartition_for_compute(eps)
-        .crossJoin(F.broadcast(boxes))
+        grid_containment_join(
+            repartition_for_compute(eps), boxes, margin=6.0, cell=20
+        )
         .withColumn("dist", dist)
         .where(F.col("dist") <= 6)
     )

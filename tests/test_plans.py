@@ -57,3 +57,10 @@ def test_scan_agg_stays_in_codegen(spark, sf_dir):
     df = REGISTRY["agg_order_stats"].fn(spark, sf_dir)
     df.collect()  # AQE only annotates codegen ids on the executed final plan
     assert "codegen id" in _plan(df)
+
+
+def test_edge_snap_is_grid_equijoin_not_nested_loop(spark, sf_dir):
+    df = REGISTRY["edge_snap_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, "snap must use the cell grid equi-join"
+    assert "BroadcastHashJoin" in plan
