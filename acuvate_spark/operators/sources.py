@@ -71,15 +71,25 @@ def explode_connections(comps: DataFrame) -> DataFrame:
     )
 
 
+def sheet_frame_to_rows(spark: SparkSession, pdf) -> DataFrame:
+    """Normalize a pandas sheet frame (Excel or its CSV interchange)
+    into a DataFrame: stripped string headers, Arrow-batched transfer.
+    Split from the binary decode so the ingestion semantics are
+    testable in environments without an Excel engine."""
+    pdf = pdf.copy()
+    pdf.columns = [str(c).strip() for c in pdf.columns]
+    return spark.createDataFrame(pdf)
+
+
 def read_excel_rows(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (S2): pandas.read_excel -> createDataFrame. Gated on
     the engine being available in the environment; CSV is the
-    fallback interchange in this container."""
+    fallback interchange in this container (sheet_frame_to_rows covers
+    everything after the binary decode)."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path)  # requires openpyxl/xlrd
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(f"Excel engine not available: {exc}") from exc
-    pdf.columns = [str(c).strip() for c in pdf.columns]
-    return spark.createDataFrame(pdf)
+    return sheet_frame_to_rows(spark, pdf)

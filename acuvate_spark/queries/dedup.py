@@ -60,6 +60,15 @@ def _doc_shingles(docs, n=3):
     )
 
 
+def _materialize_and_release(result, cached):
+    """Run the query now (eager localCheckpoint — the pair results are
+    tiny), then drop the big shingle cache so back-to-back dedup
+    queries never accumulate cached blocks across a long run."""
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy
 # ---------------------------------------------------------------------------
@@ -139,12 +148,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
+    result = (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .where(jac >= 0.3)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return _materialize_and_release(result, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -230,12 +240,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
+    result = (
         common.join(ca, "doc_a")
         .join(cb, "doc_b")
         .where(jac >= 0.7)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return _materialize_and_release(result, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a noop-format write (full computation,
 no driver collect) so the timing reflects the distributed plan, not
 result transfer.
+
+Regression guard: per-query times are compared against
+BENCH_BASELINE.json (the round-1 numbers BASELINE.md pins as the 2x
+bound). Regressions are listed in the JSON line under "regressions"
+and on stderr; with SPARK_GRAFT_BENCH_STRICT=1 they also fail the
+script (exit 2). The default stays exit 0 so one noisy query can't
+void the whole round's bench record.
 """
 
 from __future__ import annotations
@@ -79,6 +86,9 @@ def main() -> None:
             # query's cache never pressures the next measurement
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+    regressions = _regressions(timings, sf)
+    for line in regressions:
+        print(f"  REGRESSION: {line}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -87,10 +97,33 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "regressions": regressions,
             }
         )
     )
     spark.stop()
+    if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        sys.exit(2)
+
+
+def _regressions(timings: dict[str, float], sf: str) -> list[str]:
+    """Queries past 2x their recorded baseline (plus a 0.5 s absolute
+    floor so sub-second queries don't trip on scheduler noise). Only
+    meaningful at the baseline's scale factor."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except OSError:
+        return []
+    if str(base.get("sf")) != sf:
+        return []
+    out = []
+    for name, t in timings.items():
+        b = base["queries"].get(name)
+        if b is not None and t > 2 * b and t - b > 0.5:
+            out.append(f"{name}: {t:.3f}s vs baseline {b:.3f}s (>2x)")
+    return out
 
 
 if __name__ == "__main__":

@@ -73,3 +73,87 @@ def test_nested_json_flatten(spark, tmp_path):
     assert all(e["n_segments"] == 2 for e in edges)
     leaves = conns.where(conns.to_component.isNull()).count()
     assert leaves == 3  # explode_outer keeps connection-less components
+
+
+def test_excel_interchange_via_csv(spark, tmp_path):
+    """S2 minus the binary decode: the reference's Excel sheets arrive
+    as pandas frames (app.py:6062 pd.read_excel); in this container
+    the engine is absent, so the CSV interchange exercises the same
+    header-normalization + Arrow transfer path."""
+    import pandas as pd
+
+    p = tmp_path / "sheet.csv"
+    p.write_text(" Tag Number ,Description,Area\nP-1001,Pump,A1\nV-2002,Valve,B2\n")
+    df = sources.sheet_frame_to_rows(spark, pd.read_csv(p))
+    assert df.columns == ["Tag Number", "Description", "Area"]
+    rows = df.collect()
+    assert len(rows) == 2 and rows[0]["Tag Number"] == "P-1001"
+
+
+def _minimal_xlsx(path) -> None:
+    """Hand-zip a one-sheet xlsx (inline strings) — no writer lib."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    parts = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+            'package.relationships+xml"/><Default Extension="xml" ContentType='
+            '"application/xml"/><Override PartName="/xl/workbook.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+        ),
+        "_rels/.rels": (
+            f'<?xml version="1.0"?><Relationships xmlns="{rns}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r='
+            '"http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            f'<?xml version="1.0"?><Relationships xmlns="{rns}">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t> Tag Number </t></is></c></row>'
+            '<row r="2"><c r="A2" t="inlineStr"><is><t>P-1001</t></is></c></row>'
+            "</sheetData></worksheet>"
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as z:
+        for name, data in parts.items():
+            z.writestr(name, data)
+
+
+def test_excel_binary_decode_is_env_gated(spark, tmp_path):
+    """With no Excel engine the decode must fail loudly as
+    NotImplementedError (not silently return junk); with an engine it
+    must round-trip the sheet including header normalization."""
+    import pytest
+
+    try:
+        import openpyxl  # noqa: F401
+
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    p = tmp_path / "wb.xlsx"
+    _minimal_xlsx(p)
+    if not has_engine:
+        with pytest.raises(NotImplementedError):
+            sources.read_excel_rows(spark, str(p))
+    else:  # pragma: no cover - env-dependent
+        df = sources.read_excel_rows(spark, str(p))
+        assert df.columns == ["Tag Number"]
+        assert df.collect()[0]["Tag Number"] == "P-1001"
