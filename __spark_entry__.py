@@ -61,6 +61,7 @@ _DRIVER_ORDER = [
     "doc_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_flat",
     "sessionize_events",
     # joins J1-J11
     "anti_join_customers",
@@ -82,8 +83,8 @@ _DRIVER_ORDER = [
     "slash_expand_tags",
     "semicolon_merge",
     "null_normalize_counts",
-    "json_props_extract",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "json_props_extract",
     "pricing_summary",
     "filter_like_family",
     "filter_null_safe",

@@ -124,3 +124,99 @@ def ann_lsh_bucketed(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
     )
+
+
+_IVF_K = 16  # centroid count (cells)
+_IVF_NPROBE = 2  # cells searched per query
+
+
+@register(
+    "ann_ivf_flat",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, s.centroid_id,
+         {vectors.cosine_rounded_sql('e.embedding', 's.ce', 4)} AS ccos
+  FROM embeddings e CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT vec_id, embedding, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT vec_id AS query_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign0 WHERE vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.centroid_id,
+         {vectors.cosine_rounded_sql('q.embedding', 'a.embedding', 4)} AS cos_sim
+  FROM probes p
+  JOIN assigned a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, centroid_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, centroid_id, cos_sim, rn AS rank
+FROM ranked WHERE rn <= 3
+""",
+    survey_ref="training-data: IVF-flat ANN (cell-probed scale path)",
+)
+def ann_ivf_flat(spark, sf_dir):
+    """IVF-flat ANN: the corpus is inverted-file-partitioned by
+    nearest centroid; a query probes only its nprobe nearest cells and
+    runs exact cosine inside them. The assign pass broadcasts the K
+    centroids over the corpus (map-side only), so at 100 TB the index
+    build is one scan and the probe is an equi-join on centroid_id —
+    candidates shrink ~K/nprobe-fold vs the full corpus. Centroids
+    here are deterministic seed vectors (the K smallest vec_ids) so
+    the oracle can replay training bit-for-bit; production IVF runs a
+    few Lloyd rounds through the identical assign pass (mean-agg per
+    cell) without changing the probe-side plan."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    )
+    ccos = vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+    assign0 = e.crossJoin(F.broadcast(seeds)).withColumn("ccos", ccos)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    ranked_cells = assign0.withColumn("rn", F.row_number().over(w_assign))
+    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
+    probes = (
+        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
+        .join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+    )
+    pairs = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", vectors.cosine_rounded(F.col("qe"), F.col("embedding"), 4))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "centroid_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )
