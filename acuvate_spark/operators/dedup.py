@@ -51,12 +51,25 @@ def minhash_strings(shingle: Column, n_hashes: int) -> list[Column]:
     ]
 
 
-def minhash_signature(shingles_df: DataFrame, key: str, shingle_col: str, n_hashes: int) -> DataFrame:
-    """(key, shingle) rows -> (key, mh0..mh{n-1}) signature rows."""
+def minhash_signature(
+    shingles_df: DataFrame,
+    key: str,
+    shingle_col: str,
+    n_hashes: int,
+    *,
+    with_count: bool = False,
+) -> DataFrame:
+    """(key, shingle) rows -> (key, mh0..mh{n-1}) signature rows.
+    ``with_count`` adds an ``n`` column (shingles per key) to the same
+    aggregation — the Jaccard verify step needs per-doc set sizes, and
+    folding the count into the signature pass saves a second full
+    shuffle over the shingle set."""
     aggs = [
         F.min(c).alias(f"mh{i}")
         for i, c in enumerate(minhash_strings(F.col(shingle_col), n_hashes))
     ]
+    if with_count:
+        aggs.append(F.count("*").alias("n"))
     return shingles_df.groupBy(key).agg(*aggs)
 
 

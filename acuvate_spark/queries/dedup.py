@@ -215,8 +215,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     keeps the signature engine-portable for the oracle."""
     docs = _docs_plus_clones(spark, sf_dir)
     sh = _doc_shingles(docs)
-    sig = dedup_ops.minhash_signature(sh, "doc_id", "shingle", _N_HASHES)
-    bands = dedup_ops.band_keys(sig, "doc_id", _N_HASHES, _BAND_SIZE)
+    # one aggregation yields both the signature and the per-doc set
+    # size the verify step needs — no second shuffle over shingles
+    sig = dedup_ops.minhash_signature(sh, "doc_id", "shingle", _N_HASHES, with_count=True)
+    counts = sig.select("doc_id", "n")
+    bands = dedup_ops.band_keys(sig.drop("n"), "doc_id", _N_HASHES, _BAND_SIZE)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -228,7 +231,6 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
     common = (
