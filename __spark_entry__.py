@@ -59,10 +59,12 @@ _DRIVER_ORDER = [
     "quality_scores",
     "lang_id_heuristic",
     "doc_fingerprints",
+    "curation_pipeline",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_flat",
     "sessionize_events",
+    "sliding_event_counts",
     # joins J1-J11
     "anti_join_customers",
     "semi_join_customers",
@@ -81,9 +83,9 @@ _DRIVER_ORDER = [
     "classify_tags",
     "split_project_rename",
     "slash_expand_tags",
+    # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "semicolon_merge",
     "null_normalize_counts",
-    # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "json_props_extract",
     "pricing_summary",
     "filter_like_family",

@@ -701,6 +701,35 @@ def tumbling_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "sliding_event_counts",
+    oracle="""
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+exp AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS window_start,
+         event_type, value
+  FROM ev, unnest([0, 1]) AS t(k)
+)
+SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM exp GROUP BY 1, 2
+""",
+    survey_ref="§2.9 (batch view of the streaming sliding-window agg)",
+)
+def sliding_event_counts(spark, sf_dir):
+    """Sliding 1-hour/30-minute windowed aggregation — batch twin of
+    the hopping-window stream (F.window with a slide expands each
+    event into its overlapping windows before the partial agg, so the
+    shuffle carries window-expanded partial aggregates, not raw rows).
+    The oracle expands the same two windows per event from the 30-min
+    time bucket."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe salted aggregation — SURVEY §4 (salting); proves the
 # two-phase rewrite is result-identical to the plain GROUP BY.

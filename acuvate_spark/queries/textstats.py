@@ -99,3 +99,69 @@ def doc_fingerprints(spark, sf_dir):
         .cast("long")
         .alias("n_distinct_words"),
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source FROM documents WHERE doc_id % 50 = 0
+),
+hashed AS (
+  SELECT doc_id, text, md5(lower(trim(text))) AS content_hash FROM docs
+),
+canon AS (
+  SELECT doc_id, text,
+         doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+  FROM hashed
+),
+scored AS (
+  SELECT doc_id, is_canonical,
+         {textual.lang_id_sql('text')} AS predicted_lang,
+         {textual.token_count_sql('text')} AS n_tokens,
+         {textual.quality_score_sql('text')} AS quality
+  FROM canon
+)
+SELECT doc_id, predicted_lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       is_canonical,
+       (is_canonical AND n_tokens >= 10 AND quality >= 450
+        AND predicted_lang = 'en') AS keep
+FROM scored
+""",
+    survey_ref="training-data: end-to-end curation trace (dedup + lang + quality gate)",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation decision table — the composed pass a
+    training-data pipeline runs per corpus snapshot: exact-dedup
+    canonicalization (md5 window, the cheap first stage every corpus
+    pass starts with), language ID, token gate, quality gate, one
+    ``keep`` verdict per document with the full reasoning trace kept
+    as columns (auditable filtering, not silent drops). Everything is
+    narrow expressions plus ONE window over content_hash — at 100 TB
+    this is a single shuffle on a 32-byte key, then map-only."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    d = docs.unionByName(clones)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    scored = d.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        textual.lang_id(F.col("text")).alias("predicted_lang"),
+        textual.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textual.quality_score(F.col("text")).alias("quality"),
+    )
+    keep = (
+        F.col("is_canonical")
+        & (F.col("n_tokens") >= 10)
+        & (F.col("quality") >= 450)
+        & (F.col("predicted_lang") == "en")
+    )
+    return scored.select(
+        "doc_id", "predicted_lang", "n_tokens", "quality", "is_canonical", keep.alias("keep")
+    )

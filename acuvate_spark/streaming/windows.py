@@ -14,13 +14,20 @@ from ..session import tune
 EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
-def windowed_counts(stream: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts with late-data watermark. Same logical
-    result as queries.core.tumbling_event_counts run in batch — the
+def windowed_counts(
+    stream: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, hopping) window counts with a
+    late-data watermark. Same logical result as the batch twins
+    queries.core.tumbling_event_counts / sliding_event_counts — the
     batch/stream parity is asserted in tests/test_streaming.py."""
+    win = F.window("ts", window_len, slide) if slide else F.window("ts", window_len)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )

@@ -267,3 +267,36 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window was finalized with 1 event; the late event did not resurrect it
     assert (base, 1) in got
     assert (base, 2) not in got
+
+
+def test_sliding_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Hopping-window stream (1h window / 30m slide) must equal the
+    batch twin sliding_event_counts row for row."""
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    in_dir = tmp_path / "events_json_sliding"
+    events.coalesce(1).write.json(str(in_dir))
+
+    stream = windows.stream_events_from_json(spark, str(in_dir))
+    agg = windows.windowed_counts(stream, slide="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_counts").collect()
+    }
+    batch = REGISTRY["sliding_event_counts"].fn(spark, sf_dir).collect()
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in batch
+    }
+    assert got == expected
