@@ -60,6 +60,7 @@ _DRIVER_ORDER = [
     "lang_id_heuristic",
     "doc_fingerprints",
     "curation_pipeline",
+    "stratified_sample",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_flat",
@@ -82,8 +83,8 @@ _DRIVER_ORDER = [
     "getdata_page",
     "classify_tags",
     "split_project_rename",
-    "slash_expand_tags",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "slash_expand_tags",
     "semicolon_merge",
     "null_normalize_counts",
     "json_props_extract",

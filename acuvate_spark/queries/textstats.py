@@ -165,3 +165,37 @@ def curation_pipeline(spark, sf_dir):
     return scored.select(
         "doc_id", "predicted_lang", "n_tokens", "quality", "is_canonical", keep.alias("keep")
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('smpl|' || text), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, sample_rank FROM ranked WHERE sample_rank <= 50
+""",
+    survey_ref="training-data: deterministic stratified sampling (dataset mixing)",
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic k-per-stratum sample — the dataset-mixing
+    primitive (k docs per source, selection order = md5 of the text,
+    so the sample is reproducible across runs and engines with no RNG
+    state). One shuffle on the stratum key. For proportional sampling
+    at 100 TB the shuffle disappears entirely: filter on a hash-prefix
+    threshold (md5 < rate) is map-only and needs no window; the
+    rank-based form here is for exact-k quotas."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("smpl|"), F.col("text"))), "doc_id"
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 50)
+        .select("source", "doc_id", "sample_rank")
+    )

@@ -64,3 +64,18 @@ def test_edge_snap_is_grid_equijoin_not_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, "snap must use the cell grid equi-join"
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_probe_side_is_broadcast(spark, sf_dir):
+    df = REGISTRY["ann_ivf_flat"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # centroid assign + probe joins broadcast the tiny sides; the
+    # corpus never shuffles for candidate generation
+    assert "Broadcast" in plan
+
+
+def test_curation_pipeline_no_nested_loop(spark, sf_dir):
+    df = REGISTRY["curation_pipeline"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
