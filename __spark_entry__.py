@@ -54,6 +54,7 @@ _DRIVER_ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_embedding_cosine",
     "token_stats",
     "quality_scores",
@@ -82,8 +83,8 @@ _DRIVER_ORDER = [
     # core essentials
     "getdata_page",
     "classify_tags",
-    "split_project_rename",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "split_project_rename",
     "slash_expand_tags",
     "semicolon_merge",
     "null_normalize_counts",

@@ -176,10 +176,10 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_DOCS_SQL},
+# The full MinHash pair pipeline as a reusable CTE block: both the
+# pair query and the cluster query (connected components over these
+# pairs) render the identical pipeline.
+_MH_PAIRS_CTES = f"""{_DOCS_SQL},
 {_SHINGLES_SQL},
 sig AS (
   SELECT doc_id, {_SIG_SQL}
@@ -198,12 +198,21 @@ common AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT m.doc_a, m.doc_b, round(m.c::DOUBLE / (ca.n + cb.n - m.c), 6) AS jaccard
-FROM common m
-JOIN counts ca ON ca.doc_id = m.doc_a
-JOIN counts cb ON cb.doc_id = m.doc_b
-WHERE m.c::DOUBLE / (ca.n + cb.n - m.c) >= 0.7
+),
+mh_pairs AS (
+  SELECT m.doc_a, m.doc_b, round(m.c::DOUBLE / (ca.n + cb.n - m.c), 6) AS jaccard
+  FROM common m
+  JOIN counts ca ON ca.doc_id = m.doc_a
+  JOIN counts cb ON cb.doc_id = m.doc_b
+  WHERE m.c::DOUBLE / (ca.n + cb.n - m.c) >= 0.7
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_MH_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
 """,
     survey_ref="training-data: MinHash+LSH dedup",
 )
@@ -249,6 +258,52 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     return _materialize_and_release(result, sh)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_MH_PAIRS_CTES},
+ue AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM ue)
+  UNION
+  SELECT ue.b, r.m FROM reach r JOIN ue ON ue.a = r.n
+),
+comp AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+""",
+    survey_ref="training-data: near-dup cluster resolution (pairs -> groups -> canonical)",
+)
+def dedup_clusters(spark, sf_dir):
+    """What a dedup pass actually ships: near-dup PAIRS resolved into
+    CLUSTERS (connected components over the MinHash pair graph) with
+    one canonical doc per cluster — transitive duplicates (A~B~C with
+    A!~C) collapse to one keep. Composes dedup_minhash_lsh with the
+    label-propagation CC operator; the pair graph is tiny relative to
+    the corpus, so the iterative step runs on collisions only. The
+    oracle replays the identical pipeline with a recursive-CTE
+    closure."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # localCheckpointed: bounded lineage for CC
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = _docs_plus_clones(spark, sf_dir).select("doc_id")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (F.col("doc_id") == cluster).alias("is_canonical"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
