@@ -225,8 +225,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     docs = _docs_plus_clones(spark, sf_dir)
     sh = _doc_shingles(docs)
     # one aggregation yields both the signature and the per-doc set
-    # size the verify step needs — no second shuffle over shingles
-    sig = dedup_ops.minhash_signature(sh, "doc_id", "shingle", _N_HASHES, with_count=True)
+    # size the verify step needs — no second shuffle over shingles;
+    # materialized once (one row per doc) because counts and bands are
+    # separate consumers that would otherwise re-run the aggregation
+    sig = dedup_ops.minhash_signature(
+        sh, "doc_id", "shingle", _N_HASHES, with_count=True
+    ).localCheckpoint(eager=True)
     counts = sig.select("doc_id", "n")
     bands = dedup_ops.band_keys(sig.drop("n"), "doc_id", _N_HASHES, _BAND_SIZE)
     a, b = bands.alias("a"), bands.alias("b")
@@ -239,9 +243,25 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # candidates are collision-bounded and tiny next to the corpus;
+        # materializing them once stops the band pipeline running twice
+        # (the broadcast id-set below is a second consumer)
+        .localCheckpoint(eager=True)
     )
-    sa = sh.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
+    # verify only needs shingles of docs that appear in some candidate
+    # pair — a broadcast semi-join prunes the shingle set map-side
+    # BEFORE the expensive (doc, shingle) join, so the full corpus
+    # shingle set is never shuffled for verification (candidates are
+    # collision-bounded; at extreme candidate volumes this semi-join
+    # falls back to shuffle-hash and the plan is still candidate-bound)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sa = sh_cand.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sh_a"))
+    sb = sh_cand.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
     common = (
         cand.join(sa, F.col("doc_a") == F.col("da"))
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
