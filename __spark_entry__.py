@@ -77,13 +77,14 @@ _DRIVER_ORDER = [
     "interval_overlap_join",
     "distance_dedupe",
     "merge_lookup_update",
+    "asof_join_events",
     # graph core
     "graph_connected_components",
     "graph_degrees",
     # core essentials
-    "getdata_page",
     "classify_tags",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "getdata_page",  # still smoke-checked every round via entry()
     "split_project_rename",
     "slash_expand_tags",
     "semicolon_merge",

@@ -423,3 +423,70 @@ def merge_lookup_update(spark, sf_dir):
         tagfn.merge_semicolon_sorted(F.col("e.document"), F.col("i.new_document"))
     )
     return joined.select("p_partkey", merged.alias("document"))
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 200 AS user_id, o_orderdate::TIMESTAMP AS ots
+  FROM orders
+),
+cand AS (
+  SELECT o.o_orderkey, e.event_id, e.event_type,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts::TIMESTAMP DESC, e.event_id DESC) AS rn
+  FROM o JOIN events e
+    ON e.user_id = o.user_id AND e.ts::TIMESTAMP <= o.ots
+)
+SELECT o.o_orderkey, o.user_id,
+       c.event_id AS last_event_id, c.event_type AS last_event_type
+FROM o LEFT JOIN cand c ON c.o_orderkey = o.o_orderkey AND c.rn = 1
+""",
+    survey_ref="J-family extension: as-of (point-in-time) join",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join — each order picks the user's latest event at or
+    before the order date (the point-in-time lookup every time-series
+    feature store needs; Spark has no native ASOF). The scalable form
+    used here is union-and-carry: tag both sides, sort each user's
+    merged timeline once, and carry the last non-null event forward
+    with a running window — ONE shuffle on the key, no per-row range
+    probe and no interval explosion. The oracle verifies via the
+    naive rank-per-order formulation (fixture-scale only, O(orders x
+    events-per-user)); ties at equal ts resolve to the highest
+    event_id on both sides."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 200).alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # kind sorts event rows before order rows at equal ts, so "<=" ties
+    # are visible to the order row; event_id asc makes the carried
+    # value the max id within a tied timestamp
+    orders_tagged = o.select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    events_tagged = e.select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "event_id", "event_type",
+    )
+    merged = events_tagged.unionByName(orders_tagged)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "user_id", "kind", "o_orderkey",
+        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last("event_type", ignorenulls=True).over(w).alias("last_event_type"),
+    )
+    return carried.where(F.col("kind") == 1).select(
+        "o_orderkey", "user_id", "last_event_id", "last_event_type"
+    )
