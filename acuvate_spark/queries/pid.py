@@ -74,6 +74,10 @@ def pid_connections(spark, sf_dir):
         )
         .select("line_id", "box_id")
         .distinct()
+        # both sides of the pairwise self-join consume touch; one
+        # eager materialization of the (small) touch set stops the
+        # grid join from running twice
+        .localCheckpoint(eager=True)
     )
     a = touch.select(F.col("line_id"), F.col("box_id").alias("box_a"))
     b = touch.select(F.col("line_id").alias("lb"), F.col("box_id").alias("box_b"))
