@@ -41,6 +41,7 @@ _DRIVER_ORDER = [
     "multimodal_frames",
     "multimodal_features",
     "nms_detections",
+    "nms_parallel",
     "tile_grid",
     "imageprocess_pipeline",
     # round-1 gap: graph extras
@@ -81,9 +82,8 @@ _DRIVER_ORDER = [
     # graph core
     "graph_connected_components",
     "graph_degrees",
-    # core essentials
-    "classify_tags",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "classify_tags",
     "getdata_page",  # still smoke-checked every round via entry()
     "split_project_rename",
     "slash_expand_tags",

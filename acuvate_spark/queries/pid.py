@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import kernels, multimodal
 from ..operators.spatial import grid_containment_join
-from .synth import SYNTH_BOXES_SQL, synth_boxes, synth_detections
+from .synth import SYNTH_BOXES_SQL, synth_boxes, synth_detections, synth_dets_sql
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
@@ -417,3 +417,69 @@ def imageprocess_pipeline(spark, sf_dir):
         "edge_md5", F.md5(F.concat_ws("|", F.col("box_a"), F.col("box_b")))
     ).withColumn("label", kernels.llm_label_stub_expr(F.col("edge_md5")))
     return labeled.select("box_a", "box_b", "first_segment", "n_lines", "label")
+
+
+@register(
+    "nms_parallel",
+    oracle=f"""
+WITH {synth_dets_sql(10)},
+det AS (SELECT DISTINCT document_id, cls, x1, y1, x2, y2, conf FROM dets),
+sup AS (
+  SELECT a.document_id, a.cls, a.x1, a.y1, a.x2, a.y2, a.conf,
+         count(b.x1) > 0 AS suppressed
+  FROM det a LEFT JOIN det b
+    ON a.document_id = b.document_id AND a.cls = b.cls
+   AND (b.conf > a.conf OR (b.conf = a.conf AND (b.y1 < a.y1 OR (b.y1 = a.y1 AND b.x1 < a.x1))))
+   AND 2 * (greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+          * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0))
+       > ((a.x2 - a.x1) * (a.y2 - a.y1) + (b.x2 - b.x1) * (b.y2 - b.y1)
+          - greatest(least(a.x2, b.x2) - greatest(a.x1, b.x1), 0)
+            * greatest(least(a.y2, b.y2) - greatest(a.y1, b.y1), 0))
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+)
+SELECT document_id, cls, x1, y1, x2, y2, conf, suppressed FROM sup
+""",
+    survey_ref="X6 parallel twin: one-pass dataflow NMS (no Python)",
+)
+def nms_parallel(spark, sf_dir):
+    """Parallel (Matrix-NMS-style) suppression: a box is suppressed
+    iff ANY higher-ranked box in its (document, class) group overlaps
+    it past IoU 0.5 — one self-equi-join on the group key, zero
+    Python. This is the declarative 100 TB twin of the greedy
+    applyInPandas kernel (nms_detections): it differs from greedy
+    only on chains where a suppressed box would itself have
+    suppressed others (greedy keeps those survivors). The IoU
+    threshold compares as 2*inter > union in exact integer-valued
+    arithmetic, and confidence ties break on (y1, x1), so both
+    engines agree bit-for-bit."""
+    p = load_table(spark, sf_dir, "part")
+    det = synth_detections(p, size=10).distinct()
+    a, b = det.alias("a"), det.alias("b")
+    c = F.col
+    inter = F.greatest(F.least(c("a.x2"), c("b.x2")) - F.greatest(c("a.x1"), c("b.x1")), F.lit(0.0)) \
+        * F.greatest(F.least(c("a.y2"), c("b.y2")) - F.greatest(c("a.y1"), c("b.y1")), F.lit(0.0))
+    union_area = (
+        (c("a.x2") - c("a.x1")) * (c("a.y2") - c("a.y1"))
+        + (c("b.x2") - c("b.x1")) * (c("b.y2") - c("b.y1"))
+        - inter
+    )
+    dominates = (c("b.conf") > c("a.conf")) | (
+        (c("b.conf") == c("a.conf"))
+        & ((c("b.y1") < c("a.y1")) | ((c("b.y1") == c("a.y1")) & (c("b.x1") < c("a.x1"))))
+    )
+    joined = a.join(
+        b,
+        (c("a.document_id") == c("b.document_id"))
+        & (c("a.cls") == c("b.cls"))
+        & dominates
+        & (2 * inter > union_area),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            c("a.document_id").alias("document_id"), c("a.cls").alias("cls"),
+            c("a.x1").alias("x1"), c("a.y1").alias("y1"),
+            c("a.x2").alias("x2"), c("a.y2").alias("y2"), c("a.conf").alias("conf"),
+        )
+        .agg((F.count(c("b.x1")) > 0).alias("suppressed"))
+    )

@@ -47,3 +47,16 @@ def synth_detections(part: DataFrame, size: int) -> DataFrame:
         (((F.col("p_partkey") * 7) % 80) + size).cast("double").alias("y2"),
         F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
     )
+
+
+def synth_dets_sql(size: int) -> str:
+    """DuckDB rendering of synth_detections (same shapes, same conf)."""
+    return f"""dets AS (
+  SELECT p_brand AS document_id, p_type AS cls,
+         CAST((p_size * 3) % 80 AS DOUBLE) AS x1,
+         CAST((p_partkey * 7) % 80 AS DOUBLE) AS y1,
+         CAST((p_size * 3) % 80 + {size} AS DOUBLE) AS x2,
+         CAST((p_partkey * 7) % 80 + {size} AS DOUBLE) AS y2,
+         round(p_retailprice - 900.0, 2) AS conf
+  FROM part
+)"""

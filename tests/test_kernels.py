@@ -114,3 +114,18 @@ def test_extract_segments_partitions_pixels(spark):
     # 8-connectivity: the diagonal stroke is ONE segment
     diag = [s for s in by_img[1] if [50, 50] in [list(p) for p in s["points"]]]
     assert len(diag) == 1
+
+
+def test_parallel_nms_is_conservative_subset_of_greedy(spark, sf_dir):
+    """Parallel suppression kills a superset of greedy's kills (any
+    dominated overlap suppresses, even by a box greedy discarded), so
+    its kept set must be a subset of greedy's — and the per-group
+    max-conf box survives both."""
+    par = REGISTRY["nms_parallel"].fn(spark, sf_dir).toPandas()
+    greedy = REGISTRY["nms_detections"].fn(spark, sf_dir).toPandas()
+    key = ["document_id", "cls", "x1", "y1", "x2", "y2", "conf"]
+    par_kept = {tuple(r) for r in par[~par.suppressed][key].itertuples(index=False)}
+    greedy_kept = {tuple(r) for r in greedy.drop_duplicates()[key].itertuples(index=False)}
+    assert par_kept <= greedy_kept
+    top = par.sort_values("conf").groupby(["document_id", "cls"]).tail(1)
+    assert not top.suppressed.any()
