@@ -252,17 +252,37 @@ def multimodal_frames(spark, sf_dir):
     return multimodal.sample_frames(multimodal.attach_binary(d), n_frames=3)
 
 
+_HEX = "0123456789abcdef"
+
+
 @register(
     "multimodal_features",
-    oracle=None,  # array<double> output: rows-only check by design
+    oracle=f"""
+WITH f AS (SELECT doc_id, md5(text) AS m FROM documents),
+dims AS (SELECT doc_id, m, unnest(range(0, 8)) AS dim FROM f)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       round(((strpos('{_HEX}', substr(m, CAST(2 * dim + 1 AS INT), 1)) - 1) * 16
+            + (strpos('{_HEX}', substr(m, CAST(2 * dim + 2 AS INT), 1)) - 1)) / 255.0, 6)
+         AS value
+FROM dims
+""",
     survey_ref="X6 (feature extraction -> embedding column)",
 )
 def multimodal_features(spark, sf_dir):
     """Media -> fixed-dim feature vector (md5-seeded deterministic
-    fake). Output feeds the similarity operators without reshuffling
-    raw bytes."""
+    fake) via Arrow-batched mapInPandas — the vector column feeds the
+    similarity operators without reshuffling raw bytes. The registry
+    query posexplodes to (doc_id, dim, value) rows: scalar columns
+    keep the result frame canonicalizable (arrays crashed the
+    harness's sorter for sketch_stats in round 1) and let the oracle
+    replay the md5-byte feature derivation value by value (k/255
+    rounded at 6 decimals never sits on a .5 boundary, so Python and
+    SQL round identically)."""
     d = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_binary(d))
+    feats = multimodal.extract_features(multimodal.attach_binary(d))
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("long"))
 
 
 @register(
