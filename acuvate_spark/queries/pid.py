@@ -416,6 +416,10 @@ def imageprocess_pipeline(spark, sf_dir):
         )
         .select("image_id", "segment_id", "box_id")
         .distinct()
+        # both sides of the pairwise self-join consume touch, and its
+        # lineage includes BOTH Python kernels (NMS + BFS) — without a
+        # materialization the kernels run twice
+        .localCheckpoint(eager=True)
     )
     a = touch.select("image_id", "segment_id", F.col("box_id").alias("box_a"))
     b = touch.select(
