@@ -76,7 +76,9 @@ SELECT a AS node, count(*) AS degree FROM ue GROUP BY a
     survey_ref="graph parity: degree counts (Neo4j surface)",
 )
 def graph_degrees(spark, sf_dir):
-    e = _edges(spark, sf_dir)
+    # the union reads the edge set twice; materialize the (distinct)
+    # edges once so the lineitem distinct shuffle doesn't run per side
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = e.select(F.col("src").alias("node")).unionByName(
         e.select(F.col("dst").alias("node"))
     )
@@ -233,7 +235,9 @@ def graph_two_hop(spark, sf_dir):
     shape): parts connected through a shared supplier node, with the
     shared-neighbor count. Equi-join on the hub key; hub skew is the
     classic hazard, handled by AQE skew-join at scale."""
-    e = _edges(spark, sf_dir)
+    # both self-join sides consume the edge set; one materialization
+    # replaces two lineitem distinct shuffles
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     a = e.select(F.col("src").alias("part_a"), F.col("dst").alias("hub"))
     b = e.select(F.col("src").alias("part_b"), F.col("dst").alias("hub"))
     return (
