@@ -831,6 +831,9 @@ def event_funnel(spark, sf_dir):
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_signup"))
+        # consumed by the purchase filter AND the final left join;
+        # materialize the (one-row-per-user) frame once
+        .localCheckpoint(eager=True)
     )
     purchases = (
         e.where(F.col("event_type") == "purchase")
