@@ -68,6 +68,8 @@ _DRIVER_ORDER = [
     "ann_ivf_flat",
     "sessionize_events",
     "sliding_event_counts",
+    "rollup_sales",
+    "pivot_order_status",
     # joins J1-J11
     "anti_join_customers",
     "semi_join_customers",
@@ -77,12 +79,12 @@ _DRIVER_ORDER = [
     "pairwise_self_join",
     "interval_overlap_join",
     "distance_dedupe",
-    "merge_lookup_update",
     "asof_join_events",
     # graph core
     "graph_connected_components",
-    "graph_degrees",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "merge_lookup_update",
+    "graph_degrees",
     "classify_tags",
     "getdata_page",  # still smoke-checked every round via entry()
     "split_project_rename",

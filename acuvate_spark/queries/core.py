@@ -925,3 +925,69 @@ def sketch_hll_distinct(spark, sf_dir):
         "exact_customers",
         (err <= 0.06 * F.col("exact_customers")).alias("hll_ok"),
     )
+
+
+@register(
+    "rollup_sales",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    survey_ref="A-family extension: hierarchical rollup (grouping sets)",
+)
+def rollup_sales(spark, sf_dir):
+    """Hierarchical totals in ONE pass: (flag, status), per-flag
+    subtotals, and the grand total via ROLLUP — the multi-resolution
+    aggregate a warehouse serves from a single shuffle instead of
+    three queries. grouping_id disambiguates subtotal rows from real
+    NULL groups (both engines use the same bitmask order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
+    )
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+SELECT CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS order_year,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0), 2) AS f_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0), 2) AS o_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0), 2) AS p_total
+FROM orders GROUP BY 1
+""",
+    survey_ref="A-family extension: pivot (long -> wide conditional aggregation)",
+)
+def pivot_order_status(spark, sf_dir):
+    """Long-to-wide pivot: total price per order year with one column
+    per status. An explicit pivot value list keeps the plan one-pass
+    (Spark otherwise runs an extra distinct job to discover values —
+    never do that at 100 TB) and pins the output schema for the
+    oracle, which renders the same thing as conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.select(
+            F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("o_totalprice")
+    )
+    return wide.select(
+        "order_year",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
+    )
