@@ -76,13 +76,14 @@ _DRIVER_ORDER = [
     "lookup_first_match",
     "nearest_tag_join",
     "containment_join",
-    "pairwise_self_join",
     "interval_overlap_join",
     "distance_dedupe",
     "asof_join_events",
+    "fuzzy_match_blocked",
     # graph core
     "graph_connected_components",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "pairwise_self_join",
     "merge_lookup_update",
     "graph_degrees",
     "classify_tags",

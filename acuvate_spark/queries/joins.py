@@ -490,3 +490,83 @@ def asof_join_events(spark, sf_dir):
     return carried.where(F.col("kind") == 1).select(
         "o_orderkey", "user_id", "last_event_id", "last_event_type"
     )
+
+# ---------------------------------------------------------------------------
+# J-family extension — blocked fuzzy match (edit-distance entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_match_blocked",
+    oracle="""
+WITH vocab AS (SELECT DISTINCT p_type AS canon FROM part),
+scans AS (
+  SELECT p_partkey AS scan_id,
+         CASE WHEN p_partkey % 7 = 0 THEN p_type
+              ELSE substr(p_type, 1, p_partkey % 5)
+                   || 'X' || substr(p_type, (p_partkey % 5) + 2)
+         END AS scanned
+  FROM part
+),
+cand AS (
+  SELECT s.scan_id, s.scanned, v.canon,
+         CAST(levenshtein(s.scanned, v.canon) AS BIGINT) AS dist
+  FROM scans s JOIN vocab v ON substr(s.scanned, 6) = substr(v.canon, 6)
+  WHERE levenshtein(s.scanned, v.canon) <= 2
+),
+ranked AS (
+  SELECT scan_id, scanned, canon, dist,
+         row_number() OVER (PARTITION BY scan_id ORDER BY dist, canon) AS rn
+  FROM cand
+)
+SELECT scan_id, scanned, canon AS matched, dist FROM ranked WHERE rn = 1
+""",
+    survey_ref="§2.13 extension: blocked fuzzy match (generalizes S2 header "
+    "matching, app.py:5999-6019)",
+)
+def fuzzy_match_blocked(spark, sf_dir):
+    """Blocked fuzzy match — resolve noisy scanned labels against a
+    canonical vocabulary by edit distance, the entity-resolution shape
+    behind the reference's Excel-header-to-DB-column fuzzy matcher
+    (``map_excel_to_db_columns``, app.py:5999-6019) and every
+    OCR'd-tag-to-registry correction a scanning pipeline needs.
+
+    The scalable form is blocking, not all-pairs: candidates meet on a
+    cheap equi-join block key, and ``levenshtein`` (JVM codegen) runs
+    only inside a block. Corruptions here are deterministic single-char
+    substitutions at positions 1-5, so the untouched suffix from
+    position 6 is a sound block key (in production: a phonetic key,
+    k-gram key, or untouched field). The vocabulary is dim-sized and
+    broadcast — the 100 TB scan side never shuffles; the best-match
+    argmin is ``min(struct(dist, canon))``, map-side combinable."""
+    part = load_table(spark, sf_dir, "part")
+    vocab = part.select(F.col("p_type").alias("canon")).distinct()
+    pos = F.col("p_partkey") % 5  # corrupt char at 1-based position pos+1
+    corrupted = F.concat(
+        F.expr("substring(p_type, 1, p_partkey % 5)"),
+        F.lit("X"),
+        F.expr("substring(p_type, p_partkey % 5 + 2)"),
+    )
+    scans = part.select(
+        F.col("p_partkey").alias("scan_id"),
+        F.when(F.col("p_partkey") % 7 == 0, F.col("p_type"))
+        .otherwise(corrupted)
+        .alias("scanned"),
+    )
+    cand = (
+        scans.join(
+            F.broadcast(vocab),
+            F.expr("substring(scanned, 6)") == F.expr("substring(canon, 6)"),
+        )
+        .withColumn("dist", F.levenshtein("scanned", "canon").cast("long"))
+        .where(F.col("dist") <= 2)
+    )
+    best = cand.groupBy("scan_id", "scanned").agg(
+        F.min(F.struct("dist", "canon")).alias("best")
+    )
+    return best.select(
+        "scan_id",
+        "scanned",
+        F.col("best.canon").alias("matched"),
+        F.col("best.dist").alias("dist"),
+    )

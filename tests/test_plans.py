@@ -79,3 +79,13 @@ def test_curation_pipeline_no_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_block_key_is_hash_join(spark, sf_dir):
+    df = REGISTRY["fuzzy_match_blocked"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # blocking must turn the edit-distance theta join into a
+    # broadcast-hash equi-join on the block key; levenshtein runs
+    # only on block-collision candidates
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
