@@ -30,6 +30,7 @@ _DRIVER_ORDER = [
     "soft_delete_users",
     "promote_approved",
     "move_record",
+    "scd2_history",
     # round-1 gap: end-to-end ETL traces
     "scanner_tag_etl",
     "excel_validate_etl",
@@ -61,6 +62,7 @@ _DRIVER_ORDER = [
     "quality_scores",
     "lang_id_heuristic",
     "doc_fingerprints",
+    "heavy_hitters",
     "curation_pipeline",
     "stratified_sample",
     "ann_cosine_topk",
@@ -75,14 +77,15 @@ _DRIVER_ORDER = [
     "semi_join_customers",
     "lookup_first_match",
     "nearest_tag_join",
+    "asof_join_events",
+    "fuzzy_match_blocked",
+    # graph core + extension
+    "graph_connected_components",
+    "triangle_count",
+    # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "containment_join",
     "interval_overlap_join",
     "distance_dedupe",
-    "asof_join_events",
-    "fuzzy_match_blocked",
-    # graph core
-    "graph_connected_components",
-    # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "pairwise_self_join",
     "merge_lookup_update",
     "graph_degrees",

@@ -246,3 +246,63 @@ def graph_two_hop(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.countDistinct("hub").alias("shared_tags"))
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 10
+),
+co_edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST((SELECT COUNT(*) FROM co_edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM co_edges e1
+               JOIN co_edges e2 ON e2.u = e1.v
+               JOIN co_edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+         AS n_triangles
+""",
+    survey_ref="A-family extension: triangle counting on the co-occurrence "
+    "projection (graph analytics beyond CC, SURVEY §7.1 step 4)",
+)
+def triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-purchase graph (parts
+    sharing an order; the part<->supplier graph itself is bipartite,
+    hence triangle-free). Two classic distributed steps: (1) the
+    co-occurrence projection — a self-equi-join on the grouping key,
+    bounded because order size is bounded; (2) node-iterator triangle
+    join — edges oriented low-id -> high-id so each triangle is
+    counted exactly once as u<v<w, wedge-join on the shared vertex,
+    then one equi-join closes the wedge. At web scale the orientation
+    would be by degree (cuts wedge count from sum(deg^2) to
+    m^(3/2)); id-orientation keeps the oracle expressible and the
+    join shape identical. Edges are materialized once
+    (localCheckpoint) — three consumers plus the count would
+    otherwise recompute the projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.where(F.col("l_quantity") <= 10)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    triangles = e1.join(e2, F.col("y") == F.col("y2")).join(
+        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    n_tri = triangles.agg(F.count("*").cast("long").alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)

@@ -8,6 +8,7 @@ verifies the per-row merge semantics, not just the end count.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..tables import load_table
 from .registry import register
@@ -230,3 +231,59 @@ def move_record(spark, sf_dir):
         F.lit("instrument").alias("tbl"), "key", "price"
     )
     return remaining.unionByName(target).unionByName(moved)
+
+
+@register(
+    "scd2_history",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+v AS (SELECT * FROM latest WHERE rn = 1)
+SELECT o_custkey AS cust_id,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       o_orderstatus AS status,
+       o_totalprice AS price,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM v
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+    survey_ref="M-family extension: SCD2 history build (generalizes M2/M6 "
+    "overwrite-in-place, app.py:5287-5319, into kept history)",
+)
+def scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 — rebuild a keyed change log
+    into validity intervals [valid_from, valid_to) with an is_current
+    flag. The reference's UpdateData/approval flows overwrite rows in
+    place (app.py:5287-5319); SCD2 is the warehouse-native variant
+    that keeps every version, and the dataflow is pure windowing: one
+    shuffle on the entity key, then lead() closes each interval and
+    row_number() stamps the version. Same-day duplicate changes
+    collapse to the highest o_orderkey first (deterministic both
+    engines), so intervals never zero-width."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    v = (
+        o.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return v.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

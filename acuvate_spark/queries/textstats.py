@@ -7,6 +7,7 @@ column expressions from ``functions.textual``.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import textual
 from ..tables import load_table
@@ -198,4 +199,50 @@ def stratified_sample(spark, sf_dir):
         d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= 50)
         .select("source", "doc_id", "sample_rank")
+    )
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+WITH words AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE word <> '' GROUP BY word
+),
+ranked AS (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, word, n FROM ranked WHERE rank <= 25
+""",
+    survey_ref="training-data: vocabulary heavy hitters (exact top-k)",
+)
+def heavy_hitters(spark, sf_dir):
+    """Exact corpus-wide top-25 most frequent words — the vocabulary /
+    stopword-discovery pass of a training-data pipeline. The canonical
+    map-reduce: tokenize narrow, groupBy word with map-side partial
+    counts (the only shuffle moves (word, partial_count) pairs, never
+    text), then a global top-k. The top-k is orderBy+limit, which
+    Spark plans as TakeOrderedAndProject — each partition keeps only
+    its local top 25 and the driver merges heaps, so no single-
+    partition global sort exists at any scale. Ties break on the word
+    itself so both engines rank identically."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+    ).select(F.lower(F.col("raw")).alias("word"))
+    counts = (
+        words.where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "word").limit(25)
+    # rank window runs over 25 rows only — post-top-k, scale-free
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "word", "n"
     )
