@@ -72,9 +72,9 @@ _DRIVER_ORDER = [
     "sliding_event_counts",
     "rollup_sales",
     "pivot_order_status",
+    "cube_order_year",
+    "running_totals",
     # joins J1-J11
-    "anti_join_customers",
-    "semi_join_customers",
     "lookup_first_match",
     "nearest_tag_join",
     "asof_join_events",
@@ -83,6 +83,8 @@ _DRIVER_ORDER = [
     "graph_connected_components",
     "triangle_count",
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
+    "anti_join_customers",
+    "semi_join_customers",
     "containment_join",
     "interval_overlap_join",
     "distance_dedupe",

@@ -991,3 +991,89 @@ def pivot_order_status(spark, sf_dir):
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
         F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
     )
+
+
+@register(
+    "cube_order_year",
+    oracle="""
+WITH v AS (
+  SELECT o_orderstatus,
+         CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS order_year,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, order_year,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_year) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM v
+GROUP BY CUBE (o_orderstatus, order_year)
+""",
+    survey_ref="A-family extension: cube (all grouping-set resolutions)",
+)
+def cube_order_year(spark, sf_dir):
+    """CUBE — every resolution of (status, year) including both
+    one-dimensional margins and the grand total, from ONE shuffle.
+    Completes the grouping-sets trio next to rollup_sales and
+    pivot_order_status; grouping_id's bitmask disambiguates margin
+    rows from genuine NULL groups identically in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        o.cube("o_orderstatus", "order_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "order_year", "gid", "n_orders", "total")
+    )
+
+
+@register(
+    "running_totals",
+    oracle="""
+WITH v AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+  FROM orders
+)
+SELECT o_custkey AS cust_id, o_orderdate, o_orderkey,
+       CAST(count(*) OVER w AS BIGINT) AS n_orders_so_far,
+       CAST(sum(p) OVER w AS DOUBLE) AS spend_so_far
+FROM v
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    survey_ref="W-family extension: rows-frame running aggregate",
+)
+def running_totals(spark, sf_dir):
+    """Running per-customer order count and cumulative spend — the
+    rows-frame window family (UNBOUNDED PRECEDING .. CURRENT ROW)
+    none of W1-W4 exercises. One shuffle on the entity key, then the
+    frame accumulates within each sorted partition. The money column
+    goes through DECIMAL(12,2) so the running sum is exact (float
+    accumulation order would differ between engines); the final cast
+    back to double is deterministic. o_orderkey breaks same-day ties
+    so every prefix is uniquely defined."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("cust_id"),
+        "o_orderdate",
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_orders_so_far"),
+        F.sum("p").over(w).cast("double").alias("spend_so_far"),
+    )
