@@ -57,6 +57,13 @@ HEADLINE = [
     "salted_agg_lineitem",
     "imageprocess_pipeline",
     "event_funnel",
+    # round-2 additions
+    "fuzzy_match_blocked",
+    "heavy_hitters",
+    "scd2_history",
+    "triangle_count",
+    "cube_order_year",
+    "running_totals",
 ]
 
 
