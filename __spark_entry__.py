@@ -74,9 +74,9 @@ _DRIVER_ORDER = [
     "pivot_order_status",
     "cube_order_year",
     "running_totals",
+    "unpivot_part_metrics",
     # joins J1-J11
     "lookup_first_match",
-    "nearest_tag_join",
     "asof_join_events",
     "fuzzy_match_blocked",
     # graph core + extension
@@ -85,6 +85,7 @@ _DRIVER_ORDER = [
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "anti_join_customers",
     "semi_join_customers",
+    "nearest_tag_join",
     "containment_join",
     "interval_overlap_join",
     "distance_dedupe",

@@ -1077,3 +1077,27 @@ def running_totals(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_orders_so_far"),
         F.sum("p").over(w).cast("double").alias("spend_so_far"),
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+""",
+    survey_ref="A-family extension: unpivot (wide -> long melt)",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of pivot_order_status: one wide row
+    becomes one long row per metric. Spark plans this as a single
+    Expand node: a narrow, shuffle-free map-side expansion, so at
+    100 TB it costs exactly one scan regardless of how many metric
+    columns melt. The oracle renders the same thing as UNION ALL
+    branches over one table."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
