@@ -16,13 +16,15 @@ from acuvate_spark.queries import REGISTRY
 # The correctness harness evaluates queries in dict order and runs at
 # most ~50 per round (CORRECTNESS_r01 stopped at exactly the first 50
 # registered names), so ordering decides which queries get a hard
-# verification row. Priority for round 2: the 19 queries absent from
+# verification row. Round-2 priority: the 19 queries absent from
 # CORRECTNESS_r01 (all §2.11 mutations, both §3 ETL traces, the
-# pid/multimodal family, graph extras), then the two repaired rows
-# (sketch_stats, dedup_simhash), then the training-data-pipeline
-# family, joins, graph, and core essentials. Queries past the cap all
-# have green CORRECTNESS_r01 rows; the plan is to rotate membership
-# each round so every query re-verifies regularly.
+# pid/multimodal family, graph extras), the two repaired rows
+# (sketch_stats, dedup_simhash), and every operator added this round
+# (T20-T31). Everything past the cap has a green CORRECTNESS_r01 row;
+# round 3 should rotate the below-fold block (anti/semi/containment/
+# interval/distance/nearest/pairwise joins, merge_lookup_update, the
+# core scan/function family) back into the window so every query
+# re-verifies regularly.
 _DRIVER_ORDER = [
     # round-1 gap: mutations (M1-M7)
     "upsert_orders",
