@@ -89,3 +89,12 @@ def test_fuzzy_match_block_key_is_hash_join(spark, sf_dir):
     # only on block-collision candidates
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_topk_has_no_global_sort(spark, sf_dir):
+    df = REGISTRY["heavy_hitters"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # counts must partial-aggregate before the shuffle and the top-k
+    # must be a per-partition heap merge, not a full Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
