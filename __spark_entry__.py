@@ -59,7 +59,8 @@ _DRIVER_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_embedding_cosine",
+    "contamination_check",
+    "redact_pii",
     "token_stats",
     "quality_scores",
     "lang_id_heuristic",
@@ -78,7 +79,6 @@ _DRIVER_ORDER = [
     "running_totals",
     "unpivot_part_metrics",
     # joins J1-J11
-    "lookup_first_match",
     "asof_join_events",
     "fuzzy_match_blocked",
     # graph core + extension
@@ -87,6 +87,8 @@ _DRIVER_ORDER = [
     # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
     "anti_join_customers",
     "semi_join_customers",
+    "lookup_first_match",
+    "dedup_embedding_cosine",
     "nearest_tag_join",
     "containment_join",
     "interval_overlap_join",

@@ -439,3 +439,79 @@ def dedup_embedding_cosine(spark, sf_dir):
         "cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4)
     )
     return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination check (cross-corpus shingle overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM bench
+),
+bw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM bench
+),
+bsh AS (SELECT DISTINCT unnest({textual.word_shingles_sql('w', 3)}) AS shingle FROM bw),
+cw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM corpus
+),
+csh AS (
+  SELECT DISTINCT doc_id, unnest({textual.word_shingles_sql('w', 3)}) AS shingle
+  FROM cw
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM csh GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM csh c WHERE EXISTS (SELECT 1 FROM bsh b WHERE b.shingle = c.shingle)
+  GROUP BY c.doc_id
+)
+SELECT h.doc_id, n.n_shingles, h.n_overlap,
+       h.n_overlap::DOUBLE / n.n_shingles AS contamination
+FROM hits h JOIN counts n ON n.doc_id = h.doc_id
+WHERE h.n_overlap::DOUBLE / n.n_shingles >= 0.8
+""",
+    survey_ref="training-data: benchmark contamination check (cross-corpus "
+    "shingle overlap)",
+)
+def contamination_check(spark, sf_dir):
+    """Train/test contamination — flag training documents whose 3-gram
+    shingles are mostly contained in a held-out benchmark set (planted
+    here by cloning the benchmark docs into the corpus at +200000, so
+    both engines must find exactly those clones plus any natural
+    overlap). The scalable shape: the benchmark shingle set is small
+    by definition — it broadcasts — and the corpus side is a
+    shingle-level semi-join + two map-side-combinable counts; corpus
+    text never shuffles. The contamination fraction is an exact
+    integer ratio, so the double is bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0).unionByName(
+        bench.withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    )
+    w = textual.words(F.trim(F.col("text")))
+    bsh = (
+        bench.select(F.explode(textual.word_shingles(w, 3)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    csh = _doc_shingles(corpus, 3)
+    counts = csh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    hits = (
+        csh.join(F.broadcast(bsh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    result = (
+        hits.join(counts, "doc_id")
+        .withColumn("contamination", F.col("n_overlap") / F.col("n_shingles"))
+        .where(F.col("contamination") >= 0.8)
+        .select("doc_id", "n_shingles", "n_overlap", "contamination")
+    )
+    return _materialize_and_release(result, csh)

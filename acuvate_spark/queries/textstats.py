@@ -246,3 +246,62 @@ def heavy_hitters(spark, sf_dir):
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "word", "n"
     )
+
+
+# PII patterns shared by the Spark and DuckDB renderings (ASCII-scoped
+# so Java regex and RE2 agree).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "redact_pii",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM planted
+""",
+    survey_ref="training-data: PII redaction (regex scrub before training)",
+)
+def redact_pii(spark, sf_dir):
+    """PII scrub — count and redact email/phone patterns per document
+    (every curation pipeline runs this before text reaches a training
+    corpus). PII is planted deterministically so both engines must
+    find and redact the identical spans; the comparison pins the full
+    redacted text via md5, not just the counts. Pure narrow JVM
+    expressions — no shuffle, no UDF; at 100 TB this is a map-only
+    pass fused into the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

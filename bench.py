@@ -64,6 +64,8 @@ HEADLINE = [
     "triangle_count",
     "cube_order_year",
     "running_totals",
+    "contamination_check",
+    "redact_pii",
 ]
 
 
