@@ -490,6 +490,14 @@ def contamination_check(spark, sf_dir):
     shingle-level semi-join + two map-side-combinable counts; corpus
     text never shuffles. The contamination fraction is an exact
     integer ratio, so the double is bit-identical across engines."""
+    result, csh = _contamination_plan(spark, sf_dir)
+    return _materialize_and_release(result, csh)
+
+
+def _contamination_plan(spark, sf_dir):
+    """Unmaterialized (result, shingle-cache) pair; the plan tests
+    assert the broadcast semi-join on this frame, since the registered
+    query returns a localCheckpoint whose plan is opaque."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0).unionByName(
@@ -514,4 +522,4 @@ def contamination_check(spark, sf_dir):
         .where(F.col("contamination") >= 0.8)
         .select("doc_id", "n_shingles", "n_overlap", "contamination")
     )
-    return _materialize_and_release(result, csh)
+    return result, csh

@@ -98,3 +98,17 @@ def test_heavy_hitters_topk_has_no_global_sort(spark, sf_dir):
     # must be a per-partition heap merge, not a full Sort
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_contamination_semi_join_is_broadcast(spark, sf_dir):
+    # the registered query returns a localCheckpoint (opaque plan), so
+    # assert on the unmaterialized core it is built from
+    from acuvate_spark.queries.dedup import _contamination_plan
+
+    result, csh = _contamination_plan(spark, sf_dir)
+    try:
+        plan = _plan(result)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    finally:
+        csh.unpersist()
