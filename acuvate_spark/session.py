@@ -32,6 +32,12 @@ from pyspark.sql import SparkSession
 # Settings safe (and necessary) to apply to an externally-owned session.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver-generated parquet has also shipped events.ts as plain
+    # TIMESTAMP(MICROS) with no UTC flag; Spark 4 infers that as
+    # TIMESTAMP_NTZ, which unix_micros()/window() reject or treat
+    # differently. Read it as the session-local TIMESTAMP instead —
+    # with the UTC session timezone below the values are identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

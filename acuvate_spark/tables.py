@@ -41,10 +41,18 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # INT64 TIMESTAMP(NANOS) read as long; truncate to micros with
-        # integer division (ts/1000 in double would round above 2^53).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # INT64 TIMESTAMP(NANOS) read as long; truncate to micros
+            # with integer division (ts/1000 in double would round
+            # above 2^53).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Belt-and-braces for sessions where inferTimestampNTZ
+            # couldn't be unset: NTZ -> session-local timestamp is
+            # value-preserving under the UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
