@@ -1,0 +1,481 @@
+"""Training-data pipeline extensions, batch 3 (SURVEY.md §2.13
+T34-T41): repetition filtering, sequence packing, inverted index,
+TF-IDF, deterministic splits, fixed-point PageRank, session windows,
+length-percentile bucketing.
+
+Design rules are the same as the rest of the registry: declarative
+DataFrame plans only (no Python row UDFs), every arithmetic that
+reaches the result is engine-portable (integer, or a SINGLE IEEE
+division of exact integers — correctly rounded, hence bit-identical
+in Spark and DuckDB), and every query states its 100 TB shuffle
+story in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import textual
+from ..tables import load_table
+from .graph import _EDGES_SQL, _edges
+from .registry import register
+
+_WS = textual.WS_REGEX
+
+
+def _lower_words(text_col):
+    return textual.words(F.lower(text_col))
+
+
+def _lower_words_sql(expr: str) -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '{_WS}')"
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 uses
+# 0.18 for top-2-gram fraction; the duplicate-word bound is adapted to
+# this synthetic corpus's tiny vocabulary).
+TOP_BIGRAM_MAX = 0.18
+DUP_WORD_MAX = 0.90
+
+
+@register(
+    "repetition_metrics",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, {_lower_words_sql('text')} AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest({textual.word_shingles_sql('w', 2)}) AS bigram FROM ws
+),
+bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+per_doc AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM bgc GROUP BY doc_id
+),
+wstats AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+  FROM ws
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(p.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(COALESCE(p.top_bigram_n, 0) AS DOUBLE)
+         / CAST(greatest(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) AS top_bigram_frac,
+       CAST(s.n_words - s.n_distinct AS DOUBLE)
+         / CAST(greatest(s.n_words, 1) AS DOUBLE) AS dup_word_frac,
+       (CAST(COALESCE(p.top_bigram_n, 0) AS DOUBLE)
+          / CAST(greatest(COALESCE(p.n_bigrams, 0), 1) AS DOUBLE) <= {TOP_BIGRAM_MAX}
+        AND CAST(s.n_words - s.n_distinct AS DOUBLE)
+          / CAST(greatest(s.n_words, 1) AS DOUBLE) <= {DUP_WORD_MAX}) AS keep
+FROM wstats s LEFT JOIN per_doc p USING (doc_id)
+""",
+    survey_ref="training-data: repetition/boilerplate filter (Gopher rules)",
+)
+def repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filter: per-document top-2-gram
+    fraction and duplicate-word fraction, with the keep verdict kept
+    as an auditable column. The bigram counts shuffle on (doc_id,
+    bigram) and immediately re-aggregate per doc_id — both map-side
+    combinable, and nothing wider than a 2-gram string ever moves.
+    The word-level stats are narrow array expressions fused into the
+    scan. At 100 TB this is two partial-agg shuffles keyed by doc,
+    i.e. embarrassingly parallel. Fractions are single divisions of
+    exact integers, so Spark and DuckDB agree bitwise."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", _lower_words(F.col("text")).alias("w"))
+    bigrams = ws.select(
+        "doc_id", F.explode(textual.word_shingles(F.col("w"), 2)).alias("bigram")
+    )
+    per_doc = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    wstats = ws.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+    )
+    j = wstats.join(per_doc, "doc_id", "left")
+    top_n = F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+    top_frac = top_n.cast("double") / F.greatest(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)
+    ).cast("double")
+    dup_frac = (F.col("n_words") - F.col("n_distinct")).cast("double") / F.greatest(
+        F.col("n_words"), F.lit(1)
+    ).cast("double")
+    return j.select(
+        "doc_id",
+        "n_words",
+        top_n.alias("top_bigram_n"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        ((top_frac <= TOP_BIGRAM_MAX) & (dup_frac <= DUP_WORD_MAX)).alias("keep"),
+    )
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST({textual.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // {SEQ_BUDGET} AS chunk_id,
+       start_offset % {SEQ_BUDGET} AS offset_in_chunk
+FROM s
+""",
+    survey_ref="training-data: concat-and-chunk sequence packing",
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: within each source shard, documents are concatenated in
+    doc_id order and cut into fixed {budget}-token training sequences;
+    each doc gets its global token start offset, its chunk id, and its
+    offset inside the chunk. One running-sum window PARTITIONED BY
+    source — the packing is shard-parallel, never a global funnel
+    (packing across shard boundaries buys nothing: a chunk boundary at
+    a shard edge costs at most one partial sequence per shard). All
+    integer arithmetic, so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        textual.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = t.withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {SEQ_BUDGET}").alias("chunk_id"),
+        (F.col("start_offset") % SEQ_BUDGET).alias("offset_in_chunk"),
+    )
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_lower_words_sql('text')}) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(COUNT(*) AS BIGINT) AS tf_total,
+       array_to_string(list_sort(list_distinct(list(doc_id)))[1:5], ',') AS postings_head
+FROM w WHERE term <> '' GROUP BY term
+""",
+    survey_ref="training-data: inverted index build (term -> postings)",
+)
+def inverted_index(spark, sf_dir):
+    """Postings-list build: one row per term with document frequency,
+    total term frequency, and the first five doc ids of the sorted
+    postings list rendered as a string (the driver's canonicalizer
+    can't hash array cells, and a full postings column in a RESULT
+    would be presentation anyway — the real sink writes term-bucketed
+    parquet). Single groupBy(term) with map-side partial aggregation;
+    only (term, doc_id) pairs shuffle, never text. At 100 TB the term
+    key is skewed (stopwords) — AQE skew-split handles it, and the
+    heavy_hitters query is the profiling pass that would drive an
+    explicit stopword cap upstream."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    postings = F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5)
+    return w.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df"),
+        F.count("*").cast("long").alias("tf_total"),
+        F.concat_ws(
+            ",", F.transform(postings, lambda x: x.cast("string"))
+        ).alias("postings_head"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_lower_words_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+           / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    survey_ref="training-data: TF-IDF salient terms per document",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 salient terms per document by a rational TF-IDF score
+    (tf * N / df — deliberately log-free: one IEEE division of exact
+    integers is bit-identical across engines, while log() is
+    implementation-defined in its last bit). tf is a (doc, term)
+    partial-agg shuffle; df re-aggregates the (already tiny) tf frame
+    by term; the df side is broadcast back; the final top-3 is a
+    row_number window per doc_id — each partition ranks its own docs.
+    N arrives via a broadcast 1-row frame, not a collect."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# Hash-range split bounds on the first two md5 hex chars (256 cells):
+# < 'cd' (205/256 ~ 80%) train, < 'e6' (230/256 ~ 90%) val, else test.
+SPLIT_TRAIN_UB = "cd"
+SPLIT_VAL_UB = "e6"
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+SELECT doc_id,
+       substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+       CASE WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_UB}'
+              THEN 'train'
+            WHEN substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_UB}'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    survey_ref="training-data: deterministic hash train/val/test split",
+)
+def train_test_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 hash range —
+    the split every training pipeline needs to be reproducible across
+    runs, engines, and data arrival order (no RNG state, no global
+    count). Pure map-only narrow expressions fused into the scan; at
+    100 TB this costs exactly one pass and zero shuffles. The hash
+    range comparison is on the hex string itself (ASCII compare —
+    collation-free in both engines), sidestepping hex->int conversion
+    portability."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 2)
+    split = (
+        F.when(h2 < SPLIT_TRAIN_UB, "train")
+        .when(h2 < SPLIT_VAL_UB, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", h2.alias("h2"), split.alias("split"))
+
+
+PR_SCALE = 1_000_000_000  # fixed-point rank scale (10^9)
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled {PR_ITERS}-iteration integer PageRank CTE chain."""
+    base = (15 * PR_SCALE) // 100
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""
+it{i} AS (
+  SELECT nodes.n,
+         CAST({base} + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN (
+    SELECT ue.b AS n, SUM({prev}.r // deg.d) AS inc
+    FROM ue JOIN {prev} ON {prev}.n = ue.a JOIN deg ON deg.a = ue.a
+    GROUP BY ue.b) s USING (n))"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH {_EDGES_SQL},
+ue AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY a),
+nodes AS (SELECT a AS n FROM deg),
+r0 AS (SELECT n, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT n AS node, r AS rank_scaled FROM {prev}
+"""
+
+
+@register(
+    "pagerank_fixed",
+    oracle=_pagerank_oracle(),
+    survey_ref="training-data / graph: fixed-point PageRank (O4 family)",
+)
+def pagerank_fixed(spark, sf_dir):
+    """{PR_ITERS}-iteration PageRank over the lineitem part-supplier
+    graph in scaled INTEGER fixed-point (rank x 10^9, damping 0.85 as
+    85//100): floating-point PageRank is order-of-summation dependent
+    and can't be oracle-checked bit-exactly, while integer sums are
+    associative — so this is the portable formulation. Each iteration
+    is one join (rank onto edge source) + one groupBy(dst) with
+    map-side combine; the edge set and degrees are computed once and
+    checkpointed so the 3-iteration plan doesn't recompute lineitem.
+    Fixed small iteration count = bounded lineage (the CC operator
+    documents the convergence-loop variant of this pattern)."""
+    e = _edges(spark, sf_dir)
+    ue = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = ue.groupBy("a").agg(F.count("*").cast("long").alias("d"))
+    nodes = deg.select(F.col("a").alias("n"), "d").localCheckpoint(eager=True)
+    base = (15 * PR_SCALE) // 100
+    ranks = nodes.select("n", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            ue.join(ranks.join(deg, ranks.n == deg.a).select("n", "r", "d"), ue.a == F.col("n"))
+            .select(F.col("b"), F.expr("r div d").alias("contrib"))
+            .groupBy("b")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.select("n")
+            .join(contribs, nodes.n == contribs.b, "left")
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(inc, 0) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank_scaled"))
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "session_window_counts",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    survey_ref="training-data / §2.9: session windows (batch twin of streaming)",
+)
+def session_window_counts(spark, sf_dir):
+    """Session-window aggregation via Spark's native session_window —
+    gap-based sessions ({SESSION_GAP_MIN} min) per user with event
+    counts; window end = last event + gap, which the oracle reproduces
+    with the lag/cumsum formulation (the same one sessionize_events
+    uses row-wise). One shuffle on user_id; session merging happens
+    inside the aggregation operator, and the identical expression runs
+    under Structured Streaming with a watermark (the streaming parity
+    test drives it)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "length_quartiles",
+    oracle="""
+SELECT doc_id, source, n_chars,
+       CAST(ntile(4) OVER (PARTITION BY source
+                           ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+FROM documents
+""",
+    survey_ref="training-data: length-percentile bucketing (outlier trim)",
+)
+def length_quartiles(spark, sf_dir):
+    """Per-source length quartile assignment — the percentile-bucket
+    primitive behind 'trim the shortest/longest X% per shard' outlier
+    filtering. ntile is rank-based (no floating point at all) and the
+    (n_chars, doc_id) order is total, so bucket assignment is exact in
+    both engines. Window partitioned by source: shard-parallel, no
+    global sort. For corpus-wide percentile cuts at 100 TB the right
+    tool is the mergeable quantile sketch (sketch_stats) feeding a
+    broadcast threshold filter — that pairing is the scale path; this
+    is the exact per-shard form."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
