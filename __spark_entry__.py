@@ -3,132 +3,71 @@
 Thin view over ``acuvate_spark.queries.REGISTRY``: every implemented
 operator from SURVEY.md §2 (plus the training-data pipeline ops) is a
 named query with, where SQL-expressible, a DuckDB oracle.
+
+The correctness harness evaluates queries in dict order and runs at
+most ~50 per round, so ordering decides which queries get a hard
+verification row.  Instead of a hand-maintained list (which went stale
+in rounds 1 and 2), the order is *computed* from the committed
+``CORRECTNESS_r*.json`` files: least-recently-verified first, so
+
+  1. queries with no passing row in any committed round lead,
+  2. then queries whose newest passing row is oldest,
+  3. ties broken by registry (registration) order.
+
+A row counts as "passing" only if its value-hash matched (or it is a
+rows-only-by-design query that produced rows); failed or errored rows
+push a query back to the front of the next round's window.
+``tests/test_docs.py`` pins this rotation so it cannot regress.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from acuvate_spark.queries import REGISTRY
 
-# The correctness harness evaluates queries in dict order and runs at
-# most ~50 per round (CORRECTNESS_r01 stopped at exactly the first 50
-# registered names), so ordering decides which queries get a hard
-# verification row. Round-2 priority: the 19 queries absent from
-# CORRECTNESS_r01 (all §2.11 mutations, both §3 ETL traces, the
-# pid/multimodal family, graph extras), the two repaired rows
-# (sketch_stats, dedup_simhash), and every operator added this round
-# (T20-T31). Everything past the cap has a green CORRECTNESS_r01 row;
-# round 3 should rotate the below-fold block (anti/semi/containment/
-# interval/distance/nearest/pairwise joins, merge_lookup_update, the
-# core scan/function family) back into the window so every query
-# re-verifies regularly.
-_DRIVER_ORDER = [
-    # round-1 gap: mutations (M1-M7)
-    "upsert_orders",
-    "delete_by_key",
-    "soft_delete_users",
-    "promote_approved",
-    "move_record",
-    "scd2_history",
-    # round-1 gap: end-to-end ETL traces
-    "scanner_tag_etl",
-    "excel_validate_etl",
-    # round-1 gap: pid / multimodal / kernels
-    "pid_connections",
-    "parse_tag_roundtrip",
-    "llm_label_cache",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_features",
-    "nms_detections",
-    "nms_parallel",
-    "tile_grid",
-    "imageprocess_pipeline",
-    # round-1 gap: graph extras
-    "edge_snap_join",
-    "graph_delete_document",
-    "graph_two_hop",
-    # round-1 broken rows, repaired this round
-    "sketch_stats",
-    "dedup_simhash",
-    # training-data pipeline family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "contamination_check",
-    "redact_pii",
-    "token_stats",
-    "quality_scores",
-    "lang_id_heuristic",
-    "doc_fingerprints",
-    "heavy_hitters",
-    "curation_pipeline",
-    "stratified_sample",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_flat",
-    "sessionize_events",
-    "sliding_event_counts",
-    "rollup_sales",
-    "pivot_order_status",
-    "cube_order_year",
-    "running_totals",
-    "unpivot_part_metrics",
-    # joins J1-J11
-    "asof_join_events",
-    "fuzzy_match_blocked",
-    # graph core + extension
-    "graph_connected_components",
-    "triangle_count",
-    # --- past the ~50-query cap this round (green in CORRECTNESS_r01) ---
-    "anti_join_customers",
-    "semi_join_customers",
-    "lookup_first_match",
-    "dedup_embedding_cosine",
-    "nearest_tag_join",
-    "containment_join",
-    "interval_overlap_join",
-    "distance_dedupe",
-    "pairwise_self_join",
-    "merge_lookup_update",
-    "graph_degrees",
-    "classify_tags",
-    "getdata_page",  # still smoke-checked every round via entry()
-    "split_project_rename",
-    "slash_expand_tags",
-    "semicolon_merge",
-    "null_normalize_counts",
-    "json_props_extract",
-    "pricing_summary",
-    "filter_like_family",
-    "filter_null_safe",
-    "regexp_extract_props",
-    "explode_words",
-    "date_functions",
-    "hash_functions",
-    "agg_order_stats",
-    "distinct_pairs",
-    "group_envelope",
-    "collect_list_per_group",
-    "latest_event_per_user",
-    "top_orders",
-    "union_all_sync",
-    "except_customers",
-    "tumbling_event_counts",
-    "salted_agg_lineitem",
-    "event_funnel",
-    "first_line_per_pair",
-]
+_ROOT = Path(__file__).resolve().parent
+
+
+def _round_results() -> dict[int, dict]:
+    """Parsed CORRECTNESS_r{N}.json files keyed by round number N."""
+    out: dict[int, dict] = {}
+    for p in sorted(_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            n = int(p.stem.replace("CORRECTNESS_r", ""))
+            out[n] = json.loads(p.read_text())
+        except (ValueError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def _row_passed(row: dict) -> bool:
+    if not isinstance(row, dict):
+        return False
+    if row.get("hash_match") is True:
+        return True
+    # rows-only-by-design queries (no oracle): a row count is the signal
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def _last_verified() -> dict[str, int]:
+    """Newest round in which each query had a passing row (0 = never)."""
+    last: dict[str, int] = {name: 0 for name in REGISTRY}
+    for rnd, results in _round_results().items():
+        for name, row in results.items():
+            if name in last and _row_passed(row):
+                last[name] = max(last[name], rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
-    listed = [n for n in _DRIVER_ORDER if n in REGISTRY]
-    extra = [n for n in REGISTRY if n not in _DRIVER_ORDER]
-    return listed + extra
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    last = _last_verified()
+    return sorted(REGISTRY, key=lambda n: (last[n], reg_index[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -144,11 +144,18 @@ FROM ranked WHERE rn = 1 AND dist < 40
 )
 def nearest_tag_join(spark, sf_dir):
     """find_closest_tag (reference app.py:2025-2041): nearest Tag box
-    by Euclidean distance under a threshold. Broadcast cross join
-    against the small Tag side + min-distance window. At 100 TB the
-    Tag side stays per-document-small (SURVEY §7.1), so broadcast is
-    the right physical plan; sqrt is IEEE-deterministic so distances
-    are bit-identical across engines."""
+    by Euclidean distance under a threshold. Grid-bucketed (SURVEY §4
+    O3, same scheme as distance_dedupe): cell size = the 40-unit
+    threshold, the tag side explodes to its 3x3 neighbor cells and is
+    broadcast, so the theta join becomes a broadcast-hash EQUI-join on
+    (cellx, celly). Any tag within distance < 40 of a point differs by
+    < 40 per axis, hence lies in one of the point's 9 neighbor cells —
+    same result as the cross join, but candidate pairs track grid
+    collisions instead of |parts| x |tags| (the one geometric join
+    that was still cross-join shaped through round 2; flagged by the
+    r02 bench guard). sqrt is IEEE-deterministic so distances are
+    bit-identical across engines."""
+    CELL = 40.0
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_size").cast("double").alias("px"),
@@ -159,18 +166,36 @@ def nearest_tag_join(spark, sf_dir):
         ((F.col("s_suppkey") * 5) % 50).cast("double").alias("sx"),
         (F.col("s_acctbal").cast("double") % 100).alias("sy"),
     )
+    scx = F.floor(F.col("sx") / CELL).cast("long")
+    scy = F.floor(F.col("sy") / CELL).cast("long")
+    neighbor_cells = F.array(
+        *[
+            F.struct((scx + dx).alias("cellx"), (scy + dy).alias("celly"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    tags = s.withColumn("c", F.explode(neighbor_cells)).select(
+        "s_suppkey", "sx", "sy", F.col("c.cellx").alias("cellx"), F.col("c.celly").alias("celly")
+    )
+    probe = repartition_for_compute(p).select(
+        "p_partkey",
+        "px",
+        "py",
+        F.floor(F.col("px") / CELL).cast("long").alias("cellx"),
+        F.floor(F.col("py") / CELL).cast("long").alias("celly"),
+    )
     dist = F.sqrt(
         (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx"))
         + (F.col("py") - F.col("sy")) * (F.col("py") - F.col("sy"))
     )
     # argmin via min(struct(dist, key)): map-side combinable, so the
-    # |parts| x |tags| pair set never shuffles (a row_number window
-    # would shuffle all pairs; measured 5x slower at sf0.1). The
+    # candidate pair set never shuffles (a row_number window would
+    # shuffle all pairs; measured 5x slower at sf0.1). The
     # dist<threshold filter is applied before the agg — it can only
     # remove non-qualifying minima, and qualifying minima survive it.
     pairs = (
-        repartition_for_compute(p)
-        .crossJoin(F.broadcast(s))
+        probe.join(F.broadcast(tags), ["cellx", "celly"])
         .withColumn("dist", dist)
         .where(F.col("dist") < 40)
     )

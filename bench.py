@@ -78,10 +78,12 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
-    # two passes per query, report the min: steady-state measurement
-    # (first pass may pay scan caching / JIT for that query's operators)
+    # three passes per query, report the min: steady-state measurement
+    # (first pass may pay scan caching / JIT for that query's operators;
+    # min-of-3 because min-of-2 at sub-second scale could not separate
+    # machine noise from regression — r02's three false flags)
     timings: dict[str, float] = {}
-    for attempt in range(2):
+    for attempt in range(3):
         for name in HEADLINE:
             spec = REGISTRY[name]
             t0 = time.perf_counter()
@@ -101,7 +103,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall_clock_min_of_2",
+                "metric": "headline_queries_total_wall_clock_min_of_3",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -116,11 +118,17 @@ def main() -> None:
 
 
 def _regressions(timings: dict[str, float], sf: str) -> list[str]:
-    """Queries past 2x their recorded baseline (plus a 1 s absolute
-    floor: machine-load runs show sub-second queries drifting 2-3x
-    uniformly with no code change, and a plan regression worth acting
-    on costs seconds, not tenths). Only meaningful at the baseline's
-    scale factor."""
+    """Queries past 2x their recorded baseline, with a floor on BOTH
+    sides of the guard (VERDICT r02 item 3): machine-load runs show
+    sub-second queries drifting 2-3x uniformly with no code change, and
+    a plan regression worth acting on costs seconds, not tenths.
+
+    - baseline >= 1 s: the plain 2x rule applies;
+    - baseline  < 1 s: flag only a drift that no load spike produces —
+      past 4x AND at least 2 s absolute (r02's three false flags were
+      1.9-3.2 s on 0.4-1.3 s baselines, all under this bar while a real
+      broadcast->BNL or pushdown loss lands seconds over it).
+    Only meaningful at the baseline's scale factor."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     try:
         with open(path) as f:
@@ -132,7 +140,13 @@ def _regressions(timings: dict[str, float], sf: str) -> list[str]:
     out = []
     for name, t in timings.items():
         b = base["queries"].get(name)
-        if b is not None and t > 2 * b and t - b > 1.0:
+        if b is None:
+            continue
+        if b >= 1.0:
+            flagged = t > 2 * b
+        else:
+            flagged = t > 4 * b and t - b > 2.0
+        if flagged:
             out.append(f"{name}: {t:.3f}s vs baseline {b:.3f}s (>2x)")
     return out
 

@@ -60,3 +60,26 @@ def test_driver_contract_covers_registry():
     names = list(entry.queries())
     assert len(names) == len(set(names)) == len(REGISTRY)
     assert set(entry.oracle_sql()) <= set(names)
+
+
+def test_driver_order_rotates_least_recently_verified_first():
+    """VERDICT r02 item 7: the correctness harness only runs ~50 queries
+    per round, so the driver order must put never-verified queries first
+    and otherwise ascend by last-verified round — guaranteeing every
+    registry query re-verifies within ceil(96/50) = 2 rounds."""
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as entry
+
+    last = entry._last_verified()
+    names = list(entry.queries())
+
+    # every never-verified query sits inside the ~50-row window
+    never = [n for n, rnd in last.items() if rnd == 0]
+    window = set(names[:50])
+    assert set(never) <= window, f"never-verified outside window: {set(never) - window}"
+
+    # the order is non-decreasing in last-verified round (stalest first)
+    rounds = [last[n] for n in names]
+    assert rounds == sorted(rounds), "driver order is not stalest-first"

@@ -38,6 +38,15 @@ def test_small_dim_join_is_broadcast(spark, sf_dir):
     assert "Broadcast" in _plan(df), "tag side must broadcast, not shuffle"
 
 
+def test_nearest_tag_is_grid_equijoin_not_cross(spark, sf_dir):
+    """VERDICT r02 item 4: the nearest-tag join must meet on the 2D
+    grid cell (equi-join), never as a cross/nested-loop pair stream."""
+    df = REGISTRY["nearest_tag_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "cellx" in plan
+
+
 def test_anti_join_is_hash_join_not_nested_loop(spark, sf_dir):
     df = REGISTRY["anti_join_customers"].fn(spark, sf_dir)
     plan = _plan(df)
