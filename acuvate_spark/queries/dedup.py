@@ -10,6 +10,8 @@ input, so the planted duplicates must be found by both.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
 from ..functions import textual, vectors
@@ -406,26 +408,60 @@ emb AS (
 """
 
 
+# Banded random-hyperplane LSH for embedding near-dup: one 64-bit sign
+# signature per vector (seeded planes, embedded as literals so Spark and
+# DuckDB share them exactly — same scheme ann_lsh_bucketed proves out),
+# sliced into 8 bands x 8 bits. For cosine >= 0.95 (angle <= 18.2 deg,
+# per-bit agreement p ~ 0.899) the probability a true near-dup pair
+# collides in no band is (1 - 0.899^8)^8 ~ 1.2% — and exact clones
+# always collide. Band width/count trade recall vs candidate volume.
+_emb_rng = random.Random(13)
+_EMB_PLANES = [[round(_emb_rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(64)]
+_EMB_BANDS = 8
+_EMB_BITS = 8
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
 WITH {_EMB_SQL},
+sig AS (
+  SELECT vec_id, embedding,
+         {vectors.hyperplane_signature_sql('embedding', _EMB_PLANES)} AS sig
+  FROM emb
+),
+bands AS (
+  SELECT vec_id, band, substr(sig, band * {_EMB_BITS} + 1, {_EMB_BITS}) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(range({_EMB_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {vectors.cosine_rounded_sql("a.embedding", "b.embedding", 4)} AS cos_sim
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         {vectors.cosine_rounded_sql("ea.embedding", "eb.embedding", 4)} AS cos_sim
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.vec_a
+  JOIN emb eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
 """,
     survey_ref="training-data: embedding near-dup",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-duplicate pairs (cosine >= 0.95) via brute-force
-    self-join — correct baseline at fixture scale; the LSH-bucketed
-    variant (ann_lsh_bucketed) is the 100 TB path. zip_with/aggregate
-    keeps the dot products JVM-side."""
-    from ..functions import vectors
-
+    """Embedding near-duplicate pairs (cosine >= 0.95) via banded
+    hyperplane LSH (VERDICT r02 item 5 — the all-pairs self-join is
+    gone): each vector gets a 64-bit sign signature, candidates meet
+    on an 8x8-bit band equi-join, and exact cosine verifies only the
+    collision-bounded candidate set. The signature is a pure column
+    expression (zip_with/aggregate dots, JVM-side) and the oracle
+    computes the identical signature, so both engines see the same
+    candidate set. At 100 TB: band join cost tracks bucket collisions
+    (~n^2/2^bits per band, uniform case), never |n|^2; embeddings
+    re-join the candidate pairs by id, so full vectors cross the wire
+    only for verified candidates."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
@@ -433,10 +469,33 @@ def dedup_embedding_cosine(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4)
+    sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), _EMB_PLANES))
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("sig", i * _EMB_BITS + 1, _EMB_BITS).alias("bkey"),
+                    )
+                    for i in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.band", "c.bkey")
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
+        .withColumn("cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4))
     )
     return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")
 

@@ -146,7 +146,7 @@ FROM s
 def pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing — the GPT-style pretraining
     layout: within each source shard, documents are concatenated in
-    doc_id order and cut into fixed {budget}-token training sequences;
+    doc_id order and cut into fixed 512-token training sequences;
     each doc gets its global token start offset, its chunk id, and its
     offset inside the chunk. One running-sum window PARTITIONED BY
     source — the packing is shard-parallel, never a global funnel
@@ -195,23 +195,39 @@ def inverted_index(spark, sf_dir):
     postings list rendered as a string (the driver's canonicalizer
     can't hash array cells, and a full postings column in a RESULT
     would be presentation anyway — the real sink writes term-bucketed
-    parquet). Single groupBy(term) with map-side partial aggregation;
-    only (term, doc_id) pairs shuffle, never text. At 100 TB the term
-    key is skewed (stopwords) — AQE skew-split handles it, and the
-    heavy_hitters query is the profiling pass that would drive an
-    explicit stopword cap upstream."""
+    parquet). Shuffle story: (doc, term) counts first — that key is
+    near-unique, so its agg buffer is bounded — then per-term df/tf
+    re-aggregate the tiny tf frame with map-side combine. The
+    5-doc postings head comes from a row_number window on the distinct
+    (term, doc) frame, NOT from a collect_set of the full postings: a
+    stopword term's aggregation state stays O(5) while the window's
+    per-term sort is disk-spillable (sorts spill; hash-agg buffers on
+    one key don't). A true 100 TB run still caps stopwords upstream —
+    heavy_hitters is the profiling pass that drives that cap."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
     ).where(F.col("term") != "")
-    postings = F.slice(F.sort_array(F.collect_set("doc_id")), 1, 5)
-    return w.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("long").alias("df"),
-        F.count("*").cast("long").alias("tf_total"),
-        F.concat_ws(
-            ",", F.transform(postings, lambda x: x.cast("string"))
-        ).alias("postings_head"),
+    td = w.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    stats = td.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
     )
+    rn = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        td.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") <= 5)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(head, "term").select("term", "df", "tf_total", "postings_head")
 
 
 @register(
@@ -249,9 +265,13 @@ def tfidf_top_terms(spark, sf_dir):
     integers is bit-identical across engines, while log() is
     implementation-defined in its last bit). tf is a (doc, term)
     partial-agg shuffle; df re-aggregates the (already tiny) tf frame
-    by term; the df side is broadcast back; the final top-3 is a
-    row_number window per doc_id — each partition ranks its own docs.
-    N arrives via a broadcast 1-row frame, not a collect."""
+    by term; the tf-df join is a plain equi-join on term with NO
+    broadcast hint — the vocabulary is unbounded in principle, so the
+    strategy is left to Catalyst/AQE, which broadcasts only when df
+    actually fits under the threshold and otherwise shuffles both
+    sides on term. The final top-3 is a row_number window per doc_id —
+    each partition ranks its own docs. N arrives via a broadcast 1-row
+    frame, not a collect."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
@@ -260,7 +280,7 @@ def tfidf_top_terms(spark, sf_dir):
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -324,7 +344,7 @@ PR_ITERS = 3
 
 
 def _pagerank_oracle() -> str:
-    """Unrolled {PR_ITERS}-iteration integer PageRank CTE chain."""
+    """Unrolled PR_ITERS(=3)-iteration integer PageRank CTE chain."""
     base = (15 * PR_SCALE) // 100
     steps = []
     prev = "r0"
@@ -357,7 +377,7 @@ SELECT n AS node, r AS rank_scaled FROM {prev}
     survey_ref="training-data / graph: fixed-point PageRank (O4 family)",
 )
 def pagerank_fixed(spark, sf_dir):
-    """{PR_ITERS}-iteration PageRank over the lineitem part-supplier
+    """3-iteration PageRank over the lineitem part-supplier
     graph in scaled INTEGER fixed-point (rank x 10^9, damping 0.85 as
     85//100): floating-point PageRank is order-of-summation dependent
     and can't be oracle-checked bit-exactly, while integer sums are
@@ -431,7 +451,7 @@ FROM sess GROUP BY user_id, sid
 )
 def session_window_counts(spark, sf_dir):
     """Session-window aggregation via Spark's native session_window —
-    gap-based sessions ({SESSION_GAP_MIN} min) per user with event
+    gap-based sessions (30 min) per user with event
     counts; window end = last event + gap, which the oracle reproduces
     with the lag/cumsum formulation (the same one sessionize_events
     uses row-wise). One shuffle on user_id; session merging happens

@@ -38,6 +38,15 @@ def test_small_dim_join_is_broadcast(spark, sf_dir):
     assert "Broadcast" in _plan(df), "tag side must broadcast, not shuffle"
 
 
+def test_embedding_dedup_is_banded_equijoin_not_all_pairs(spark, sf_dir):
+    """VERDICT r02 item 5: embedding near-dup must meet on LSH band
+    keys (equi-join), never as the vec_a < vec_b all-pairs stream."""
+    df = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bkey" in plan
+
+
 def test_nearest_tag_is_grid_equijoin_not_cross(spark, sf_dir):
     """VERDICT r02 item 4: the nearest-tag join must meet on the 2D
     grid cell (equi-join), never as a cross/nested-loop pair stream."""

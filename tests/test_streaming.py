@@ -269,6 +269,54 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert (base, 2) not in got
 
 
+def test_session_window_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Session-window stream (30 min gap, watermarked) must equal the
+    batch twin session_window_counts row for row (VERDICT r02 item 6)."""
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.queries.training import SESSION_GAP_MIN
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    in_dir = tmp_path / "events_json_session"
+    # default JSON write truncates to milliseconds; session bounds are
+    # raw event timestamps, so microseconds must survive the round-trip
+    events.coalesce(1).write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(str(in_dir))
+
+    stream = windows.stream_events_from_json(spark, str(in_dir))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_counts").collect()
+    }
+    batch = REGISTRY["session_window_counts"].fn(spark, sf_dir).collect()
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"] for r in batch
+    }
+    assert got == expected
+
+
 def test_sliding_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     """Hopping-window stream (1h window / 30m slide) must equal the
     batch twin sliding_event_counts row for row."""
