@@ -13,6 +13,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import textual, vectors
 from ..operators import dedup as dedup_ops
@@ -582,3 +583,171 @@ def _contamination_plan(spark, sf_dir):
         .select("doc_id", "n_shingles", "n_overlap", "contamination")
     )
     return result, csh
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (MinHash LSH semi-join)
+# ---------------------------------------------------------------------------
+
+_INC_SIG_SQL = ",\n       ".join(
+    f"min({dedup_ops.minhash_slice_sql('shingle', i)}) AS mh{i}" for i in range(_N_HASHES)
+)
+
+
+def _inc_bands_sql(src: str, key: str) -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT {key}, {b} AS band_idx, {bk} AS band_key FROM {src}".format(
+            key=key,
+            b=b,
+            bk=" || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+            src=src,
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 300000 AS batch_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS batch_id, substr(text, 1, length(text) // 2) AS text
+  FROM documents WHERE doc_id % 50 = 25
+),
+cw AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM corpus
+),
+csh AS (
+  SELECT DISTINCT doc_id, unnest({textual.word_shingles_sql('w', 3)}) AS shingle
+  FROM cw
+),
+csh2 AS (SELECT doc_id, shingle FROM csh WHERE shingle <> ''),
+bw AS (
+  SELECT batch_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM batch
+),
+bsh AS (
+  SELECT DISTINCT batch_id, unnest({textual.word_shingles_sql('w', 3)}) AS shingle
+  FROM bw
+),
+bsh2 AS (SELECT batch_id, shingle FROM bsh WHERE shingle <> ''),
+csig AS (SELECT doc_id, {_INC_SIG_SQL} FROM csh2 GROUP BY doc_id),
+bsig AS (SELECT batch_id, {_INC_SIG_SQL} FROM bsh2 GROUP BY batch_id),
+cbands AS ({_inc_bands_sql('csig', 'doc_id')}),
+bbands AS ({_inc_bands_sql('bsig', 'batch_id')}),
+cand AS (
+  SELECT DISTINCT b.batch_id, c.doc_id
+  FROM bbands b JOIN cbands c
+    ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+),
+ccounts AS (SELECT doc_id, count(*) AS n FROM csh2 GROUP BY doc_id),
+bcounts AS (SELECT batch_id, count(*) AS n FROM bsh2 GROUP BY batch_id),
+common AS (
+  SELECT c.batch_id, c.doc_id, count(*) AS c
+  FROM cand c
+  JOIN bsh2 sb ON sb.batch_id = c.batch_id
+  JOIN csh2 sc ON sc.doc_id = c.doc_id AND sc.shingle = sb.shingle
+  GROUP BY c.batch_id, c.doc_id
+),
+scored AS (
+  SELECT m.batch_id, m.doc_id,
+         round(m.c::DOUBLE / (cb.n + cc.n - m.c), 6) AS jaccard
+  FROM common m
+  JOIN bcounts cb ON cb.batch_id = m.batch_id
+  JOIN ccounts cc ON cc.doc_id = m.doc_id
+  WHERE m.c::DOUBLE / (cb.n + cc.n - m.c) >= 0.7
+),
+best AS (
+  SELECT batch_id, doc_id, jaccard FROM (
+    SELECT batch_id, doc_id, jaccard,
+           row_number() OVER (PARTITION BY batch_id
+                              ORDER BY jaccard DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT b.batch_id, s.doc_id AS matched_doc_id, s.jaccard,
+       s.doc_id IS NOT NULL AS is_duplicate
+FROM batch b LEFT JOIN best s USING (batch_id)
+""",
+    survey_ref="training-data: incremental dedup (new batch vs existing corpus)",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the shape a continuously-ingesting pipeline
+    actually runs: a small NEW batch is checked against the big
+    EXISTING corpus, not corpus-vs-itself. Planted batch: exact
+    re-submissions of corpus docs (doc_id%50==0, must match at
+    jaccard 1.0) plus half-truncated variants (doc_id%50==25, whose
+    ~0.5 jaccard must NOT clear the 0.7 bar). MinHash band keys on
+    both sides; candidates come from the batch-bands x corpus-bands
+    equi-join, verification joins shingles of candidate docs only.
+    At 100 TB the corpus band keys are a precomputed index (bucketed
+    parquet in the real sink — storage.py); the batch side is tiny and
+    broadcast everywhere, so the corpus text and shingles never
+    shuffle and per-batch cost tracks band collisions, not corpus
+    size. Best match per batch doc via one row_number over the
+    (tiny) scored candidate set; left join back marks non-duplicates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d
+    batch = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 300000).alias("batch_id"), "text")
+        .unionByName(
+            d.where(F.col("doc_id") % 50 == 25).select(
+                (F.col("doc_id") + 400000).alias("batch_id"),
+                F.expr("substring(text, 1, length(text) div 2)").alias("text"),
+            )
+        )
+    )
+    csh = _doc_shingles(corpus, 3)
+    w = textual.words(F.trim(F.col("text")))
+    bsh = (
+        batch.select("batch_id", F.explode(textual.word_shingles(w, 3)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+        .persist()
+    )
+    csig = dedup_ops.minhash_signature(csh, "doc_id", "shingle", _N_HASHES, with_count=True)
+    bsig = dedup_ops.minhash_signature(bsh, "batch_id", "shingle", _N_HASHES, with_count=True)
+    ccounts = csig.select("doc_id", F.col("n").alias("nc"))
+    bcounts = bsig.select("batch_id", F.col("n").alias("nb"))
+    cbands = dedup_ops.band_keys(csig.drop("n"), "doc_id", _N_HASHES, _BAND_SIZE)
+    bbands = dedup_ops.band_keys(bsig.drop("n"), "batch_id", _N_HASHES, _BAND_SIZE)
+    cand = (
+        cbands.join(F.broadcast(bbands), ["band_idx", "band_key"])
+        .select("batch_id", "doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_corpus_ids = cand.select("doc_id").distinct()
+    csh_cand = csh.join(F.broadcast(cand_corpus_ids), "doc_id", "left_semi")
+    sb = bsh.select("batch_id", F.col("shingle").alias("sh_b"))
+    sc = csh_cand.select(F.col("doc_id").alias("cd"), F.col("shingle").alias("sh_c"))
+    common = (
+        cand.join(sb, "batch_id")
+        .join(sc, (F.col("doc_id") == F.col("cd")) & (F.col("sh_b") == F.col("sh_c")))
+        .groupBy("batch_id", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("nb") + F.col("nc") - F.col("c"))
+    scored = (
+        common.join(bcounts, "batch_id")
+        .join(ccounts, "doc_id")
+        .where(jac >= 0.7)
+        .select("batch_id", "doc_id", F.round(jac, 6).alias("jaccard"))
+    )
+    rn = Window.partitionBy("batch_id").orderBy(F.col("jaccard").desc(), "doc_id")
+    best = scored.withColumn("rn", F.row_number().over(rn)).where(F.col("rn") == 1)
+    result = (
+        batch.select("batch_id")
+        .join(best.select("batch_id", "doc_id", "jaccard"), "batch_id", "left")
+        .select(
+            "batch_id",
+            F.col("doc_id").alias("matched_doc_id"),
+            "jaccard",
+            F.col("doc_id").isNotNull().alias("is_duplicate"),
+        )
+    )
+    out = _materialize_and_release(result, csh)
+    bsh.unpersist()
+    return out

@@ -220,3 +220,251 @@ def ann_ivf_flat(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
     )
+
+
+_LLOYD_SCALE = 1_000_000  # fixed-point component scale (10^6)
+
+
+@register(
+    "ann_ivf_lloyd",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, s.centroid_id,
+         {vectors.cosine_rounded_sql('e.embedding', 's.ce', 4)} AS ccos
+  FROM embeddings e CROSS JOIN seeds s
+),
+cell0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT vec_id, embedding, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+comp AS (
+  SELECT centroid_id, i AS pos,
+         CAST(floor(embedding[i]::DOUBLE * {_LLOYD_SCALE}) AS BIGINT) AS v
+  FROM cell0, range(1, 65) t(i)
+),
+cmean AS (
+  SELECT centroid_id, pos,
+         CAST(floor(SUM(v)::DOUBLE / COUNT(*)) AS BIGINT) AS mean_scaled
+  FROM comp GROUP BY centroid_id, pos
+),
+cent AS (
+  SELECT centroid_id,
+         list(mean_scaled::DOUBLE / {_LLOYD_SCALE}.0 ORDER BY pos) AS ce
+  FROM cmean GROUP BY centroid_id
+),
+assign1 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {vectors.cosine_rounded_sql('e.embedding', 'c.ce', 4)} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+cell1 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT vec_id, embedding, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign1
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT vec_id AS query_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign1 WHERE vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.centroid_id,
+         {vectors.cosine_rounded_sql('q.embedding', 'a.embedding', 4)} AS cos_sim
+  FROM probes p
+  JOIN cell1 a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, centroid_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, centroid_id, cos_sim, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+    survey_ref="training-data: IVF with one Lloyd refinement (VERDICT r02 item 8)",
+)
+def ann_ivf_lloyd(spark, sf_dir):
+    """IVF-flat with ONE Lloyd (k-means) refinement of the seeded
+    centroids before the probe — the production IVF build that
+    ann_ivf_flat's docstring promises. The refinement is the same
+    broadcast-assign pass run twice, with the centroid mean computed
+    in scaled INTEGER fixed-point (floor(x*10^6) per component, sums
+    of exact integers, floor-divided by the member count): float mean
+    aggregation is order-of-summation dependent and could never be
+    oracle-checked bit-exactly, while integer sums are associative —
+    the same portability rule pagerank_fixed uses. Per iteration at
+    100 TB: one broadcast join (K centroids over the corpus) + one
+    (cell, dim) partial-agg shuffle of 64 longs per vector — the
+    corpus embedding column itself never shuffles; more Lloyd rounds
+    repeat the identical plan with bounded lineage."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    )
+
+    def best_cell(frame, cent_frame):
+        ccos = vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+        assign = frame.crossJoin(F.broadcast(cent_frame)).withColumn("ccos", ccos)
+        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+        return assign.withColumn("rn", F.row_number().over(w))
+
+    cell0 = (
+        best_cell(e, seeds).where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
+    )
+    comp = cell0.select(
+        "centroid_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "x"),
+    ).select(
+        "centroid_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("x").cast("double") * _LLOYD_SCALE).cast("long").alias("v"),
+    )
+    cmean = comp.groupBy("centroid_id", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("mean_scaled")
+    )
+    cent = cmean.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("mean_scaled").cast("double") / F.lit(float(_LLOYD_SCALE))).alias(
+                            "val"
+                        ),
+                    )
+                )
+            ),
+            lambda s: s.val,
+        ).alias("ce")
+    )
+    ranked1 = best_cell(e, cent)
+    cell1 = ranked1.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
+    probes = (
+        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
+        .join(
+            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
+            "query_id",
+        )
+    )
+    pairs = (
+        cell1.join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos_sim", vectors.cosine_rounded(F.col("qe"), F.col("embedding"), 4))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "centroid_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )
+
+
+_QUANT_LEVELS = 254  # quantized values land in [0, 254] (255 levels)
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH comp AS (
+  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) t(i)
+),
+dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY pos),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mn_arr, list(mx ORDER BY pos) AS mx_arr FROM dims
+),
+q AS (
+  SELECT e.vec_id, e.embedding, s.mn_arr, s.mx_arr,
+         [CASE WHEN (s.mx_arr[i] - s.mn_arr[i]) > 0
+               THEN CAST(floor((e.embedding[i]::DOUBLE - s.mn_arr[i])
+                               / (s.mx_arr[i] - s.mn_arr[i]) * {_QUANT_LEVELS}) AS BIGINT)
+               ELSE 0 END
+          FOR i IN range(1, 65)] AS qarr
+  FROM embeddings e CROSS JOIN stats s
+)
+SELECT vec_id,
+       array_to_string(qarr[1:8], ',') AS q_head,
+       CAST(list_sum(qarr) AS BIGINT) AS q_sum,
+       CAST(floor(list_max([
+         abs(embedding[i]::DOUBLE
+             - ((qarr[i] / {_QUANT_LEVELS}.0 * (mx_arr[i] - mn_arr[i])) + mn_arr[i]))
+         FOR i IN range(1, 65)]) * 1000000000) AS BIGINT) AS max_err_scaled
+FROM q
+""",
+    survey_ref="training-data: embedding scalar quantization (int8-style)",
+)
+def embedding_quantize(spark, sf_dir):
+    """Scalar quantization of the embedding column — the 4x memory/IO
+    compression step an ANN index build runs before sharding (int8
+    codes + per-dimension ranges; subtract 127 for a signed int8
+    layout). Per-dimension min/max is one (pos, x) partial-agg shuffle
+    of 64 doubles per vector; the 64-entry range table broadcasts back
+    and quantization is a pure map-side array expression — vectors
+    never shuffle. Portability: min/max are comparisons (exact);
+    quantize/dequantize are fixed-order IEEE chains identical in both
+    engines, with the error reported as floor(err * 1e9) so the result
+    hash is integer-stable. The q_sum checksum pins every code, not
+    just the 8-value head the result displays."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    comp = e.select(F.posexplode("embedding").alias("pos0", "x0")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("x0").cast("double").alias("x")
+    )
+    dims = comp.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    stats = dims.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mn_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("mx_arr"),
+    )
+    q = e.crossJoin(F.broadcast(stats))
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rng = F.zip_with(F.col("mx_arr"), F.col("mn_arr"), lambda a, b: a - b)
+    shifted = F.zip_with(xd, F.col("mn_arr"), lambda x, m: x - m)
+    qarr = F.zip_with(
+        shifted,
+        rng,
+        lambda s, r: F.when(r > 0, F.floor(s / r * _QUANT_LEVELS)).otherwise(F.lit(0)).cast(
+            "long"
+        ),
+    )
+    q = q.withColumn("qarr", qarr)
+    dq = F.zip_with(
+        F.col("qarr"), rng, lambda qv, r: qv / float(_QUANT_LEVELS) * r
+    )
+    dequant = F.zip_with(dq, F.col("mn_arr"), lambda d, m: d + m)
+    err = F.array_max(F.zip_with(xd, dequant, lambda x, d: F.abs(x - d)))
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.slice(F.col("qarr"), 1, 8), lambda v: v.cast("string"))
+        ).alias("q_head"),
+        F.aggregate(F.col("qarr"), F.lit(0).cast("long"), lambda acc, v: acc + v).alias(
+            "q_sum"
+        ),
+        F.floor(err * 1000000000).cast("long").alias("max_err_scaled"),
+    )

@@ -499,3 +499,100 @@ def length_quartiles(spark, sf_dir):
         "n_chars",
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_lower_words_sql('text')}) AS word FROM documents
+),
+w2 AS (SELECT word FROM w WHERE length(word) >= 2),
+p AS (
+  SELECT unnest([substr(word, i, 2) FOR i IN range(1, length(word))]) AS pair
+  FROM w2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""",
+    survey_ref="training-data: BPE merge-step pair counting (tokenizer induction)",
+)
+def bpe_pair_counts(spark, sf_dir):
+    """One BPE induction step: count adjacent character pairs across
+    the corpus and rank the merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training (each round merges the top
+    pair and recounts; this query is that round as a dataflow). Words
+    explode to their length-1 adjacent pairs via a JVM transform over
+    sequence() — no Python — then one map-side-combinable groupBy and
+    a TakeOrderedAndProject top-20 (no global sort). At 100 TB the
+    pair-key space is tiny (alphabet^2), so the shuffle is bounded by
+    distinct pairs per partition, not corpus size; ties break on the
+    pair string so both engines pick the identical top-20."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(_lower_words(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 2)
+    )
+    p = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        p.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+# Target-mix acceptance rates per source shard, expressed in 65536ths
+# and compared against the first 4 md5 hex chars — the same
+# hash-threshold trick train_test_split uses, so acceptance is
+# deterministic, engine-portable, and needs no RNG state. Rendered
+# once into both the Spark CASE and the SQL CASE.
+_MIX_RATES = {f"src{k}": (5 + (k * 3) % 11) / 16 for k in range(20)}
+
+
+def _mix_bound(rate: float) -> str:
+    return format(int(rate * 65536), "04x")
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS h4,
+       CAST(CASE {' '.join(f"WHEN source = '{s}' THEN {int(r * 65536)}" for s, r in _MIX_RATES.items())} ELSE 0 END AS BIGINT) AS rate_64k,
+       substring(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4)
+         < CASE {' '.join(f"WHEN source = '{s}' THEN '{_mix_bound(r)}'" for s, r in _MIX_RATES.items())} ELSE '0000' END AS accepted
+FROM documents
+""",
+    survey_ref="training-data: domain-mix importance resampling",
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Domain-mix resampling — accept each document with a per-source
+    target rate (the importance-sampling step that rebalances a corpus
+    toward a desired domain mix, e.g. upweight books / downweight
+    boilerplate web). Acceptance is md5-hash-thresholded per doc:
+    deterministic across runs, engines, and data order, and exactly
+    proportional in expectation. Pure map-only narrow expressions
+    fused into the scan — zero shuffles at any scale. The rate table
+    is a literal CASE rendered from ONE Python dict into both engines
+    (the define-once-render-twice invariant), reported as rate_64k so
+    the audit trail shows the exact threshold applied."""
+    d = load_table(spark, sf_dir, "documents")
+    h4 = F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 4)
+    rate = F.lit(0)
+    bound = F.lit("0000")
+    for s, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == s, F.lit(int(r * 65536))).otherwise(rate)
+        bound = F.when(F.col("source") == s, F.lit(_mix_bound(r))).otherwise(bound)
+    return d.select(
+        "doc_id",
+        "source",
+        h4.alias("h4"),
+        rate.cast("long").alias("rate_64k"),
+        (h4 < bound).alias("accepted"),
+    )

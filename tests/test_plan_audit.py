@@ -1,0 +1,62 @@
+"""Registry-wide physical-plan audit: NO registered query may plan an
+unbounded join (CartesianProduct / BroadcastNestedLoopJoin) unless it
+is on the explicit allowlist below with a documented bound. This is
+the repo's standing guard against the quiet way scale bugs arrive — a
+predicate change or a Catalyst version bump silently degrading an
+equi-join into a nested loop. Complements the per-query pins in
+test_plans.py: those assert the plan a query SHOULD have, this one
+asserts the plan shapes no query may EVER have.
+
+Queries that eagerly materialize (localCheckpoint) return an opaque
+``Scan ExistingRDD`` plan; those are skipped here and carry dedicated
+plan assertions on their unmaterialized frames in test_plans.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from acuvate_spark.queries import REGISTRY
+
+# Queries allowed to contain a nested-loop/cartesian join because the
+# streamed side is bounded by construction (broadcast of a tiny,
+# documented-constant frame). Keep each entry justified.
+ALLOWED_UNBOUNDED = {
+    # <= 5 boxes broadcast; per-document-small at scale (docstring)
+    "containment_join",
+    # broadcast query set (vec_id % 100 == 0) against the corpus;
+    # corpus stays partitioned — the theta predicate is `!=`, which is
+    # the documented exact-baseline shape
+    "ann_cosine_topk",
+    # K=16 seed centroids / refined centroids broadcast over the
+    # corpus — the IVF assign pass is definitionally a small cross
+    "ann_ivf_flat",
+    "ann_ivf_lloyd",
+    # 1-row broadcast frames (corpus size N, quantization ranges)
+    "tfidf_top_terms",
+    "embedding_quantize",
+    # 1-row x 1-row cross assembling the (n_edges, n_triangles) scalar
+    "triangle_count",
+}
+
+_UNBOUNDED_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_join_in_plan(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _plan(df)
+    if "Scan ExistingRDD" in plan and not any(m in plan for m in _UNBOUNDED_MARKERS):
+        pytest.skip("materialized result (plan pinned separately in test_plans.py)")
+    if name in ALLOWED_UNBOUNDED:
+        return  # documented-bounded; nothing to assert
+    for marker in _UNBOUNDED_MARKERS:
+        assert marker not in plan, (
+            f"{name} plans a {marker}: an unbounded join reached the registry. "
+            "Re-key it to an equi-join (grid cell / LSH band / block key) or "
+            "add it to ALLOWED_UNBOUNDED with a documented bound."
+        )
