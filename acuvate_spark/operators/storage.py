@@ -69,3 +69,42 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-running
+    ingest needs (streaming micro-batches and dynamic-partition
+    appends strand thousands of tiny parquet files; at 100 TB the
+    scan's task-per-file overhead and NameNode/listing pressure
+    dominate before a single row is read). Rewrites ``path`` to
+    ceil(total_bytes / target) files via ``coalesce`` — a NARROW
+    repartitioning, no shuffle — then swaps directories. Returns the
+    resulting file count; a no-op (returning the current count) when
+    the layout is already at or under target. The directory swap is
+    atomic only on a real filesystem; on an object store this commit
+    step is what a table format (Delta/Iceberg rewrite-files action)
+    provides — the dataflow half is identical."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= len(files):
+        return len(files)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compacting__"
+    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + ".__pre_compact__"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_target

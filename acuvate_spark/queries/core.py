@@ -1101,3 +1101,46 @@ def unpivot_part_metrics(spark, sf_dir):
         F.col("p_size").cast("double").alias("size"),
     )
     return p.unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+
+
+@register(
+    "click_attribution",
+    oracle="""
+SELECT c2.user_id,
+       c2.event_id AS purchase_id, c2.ts::TIMESTAMP AS purchase_ts,
+       c1.event_id AS click_id, c1.ts::TIMESTAMP AS click_ts
+FROM events c1 JOIN events c2
+  ON c1.user_id = c2.user_id
+ AND c1.event_type = 'click' AND c2.event_type = 'purchase'
+ AND c2.ts::TIMESTAMP > c1.ts::TIMESTAMP
+ AND c2.ts::TIMESTAMP <= c1.ts::TIMESTAMP + INTERVAL 1 HOUR
+""",
+    survey_ref="§2.9 extension: interval attribution join (batch twin of the "
+    "stream-stream join in streaming/windows.py)",
+)
+def click_attribution(spark, sf_dir):
+    """Click-to-purchase attribution: every (click, purchase) pair for
+    the same user where the purchase lands within an hour after the
+    click — the batch twin of the stream-stream watermarked join in
+    ``streaming.windows.click_purchase_attribution`` (parity-tested).
+    The join is an equi-join on user_id with the time-range predicate
+    evaluated inside each co-partitioned user group — one shuffle per
+    side, pair volume bounded by per-user activity within the horizon,
+    never |clicks| x |purchases|."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")

@@ -751,3 +751,99 @@ def dedup_incremental(spark, sf_dir):
     out = _materialize_and_release(result, csh)
     bsh.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring contamination (char n-grams; complements the word-shingle
+# contamination_check the way Lee et al. 2021's exact-substring dedup
+# complements MinHash)
+# ---------------------------------------------------------------------------
+
+_SUB_N = 30  # char n-gram length
+_SUB_MIN_HITS = 3  # flag docs sharing at least this many distinct grams
+
+
+@register(
+    "contamination_substring",
+    oracle=f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, substr(text, 50, 200) AS text FROM bench
+),
+bg AS (
+  SELECT DISTINCT unnest([substr(text, i, {_SUB_N})
+                          FOR i IN range(1, length(text) - {_SUB_N - 2})]) AS gram
+  FROM bench WHERE length(text) >= {_SUB_N}
+),
+cg AS (
+  SELECT DISTINCT doc_id, unnest([substr(text, i, {_SUB_N})
+                                  FOR i IN range(1, length(text) - {_SUB_N - 2})]) AS gram
+  FROM corpus WHERE length(text) >= {_SUB_N}
+),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM cg c WHERE EXISTS (SELECT 1 FROM bg b WHERE b.gram = c.gram)
+  GROUP BY c.doc_id
+)
+SELECT n.doc_id, n.n_grams,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       COALESCE(h.n_hit, 0) >= {_SUB_MIN_HITS} AS flagged
+FROM counts n LEFT JOIN hits h USING (doc_id)
+""",
+    survey_ref="training-data: exact-substring contamination (char n-grams, "
+    "Lee et al. 2021 style)",
+)
+def contamination_substring(spark, sf_dir):
+    """Exact-substring benchmark contamination: flag corpus documents
+    sharing >= 3 distinct verbatim 30-char spans with the held-out
+    benchmark set — catches copied passages even when the surrounding
+    text differs enough to defeat word-shingle Jaccard (the planted
+    contamination here is a 200-char excerpt of each benchmark doc,
+    invisible to whole-doc similarity). Same scale shape as
+    contamination_check: the benchmark gram set is small by definition
+    and broadcasts; the corpus side is one explode + distinct + a
+    broadcast semi-join + two map-side-combinable counts — corpus text
+    never shuffles. Char grams explode ~len(text) rows per doc, so the
+    production run dictionaries/bloom-filters the benchmark set; the
+    dataflow is identical."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.expr("substring(text, 50, 200)").alias("text"),
+        )
+    )
+    grams = F.expr(
+        f"transform(sequence(1, length(text) - {_SUB_N - 1}), i -> substring(text, i, {_SUB_N}))"
+    )
+    bg = (
+        bench.where(F.length("text") >= _SUB_N)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    cg = (
+        repartition_for_compute(corpus.where(F.length("text") >= _SUB_N))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    counts = cg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    hits = (
+        cg.join(F.broadcast(bg), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    result = (
+        counts.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= _SUB_MIN_HITS).alias("flagged"),
+        )
+    )
+    return _materialize_and_release(result, cg)

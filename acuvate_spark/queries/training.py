@@ -596,3 +596,66 @@ def quality_weighted_sample(spark, sf_dir):
         rate.cast("long").alias("rate_64k"),
         (h4 < bound).alias("accepted"),
     )
+
+
+RARE_DF_MEAN_MAX = 40  # mean token document-frequency above this = boilerplate-ish
+
+
+@register(
+    "rarity_score",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_lower_words_sql('text')}) AS term FROM documents
+),
+w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w2 GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * df.df) AS BIGINT) AS df_sum,
+       SUM(tf.tf * df.df)::DOUBLE / SUM(tf.tf) AS mean_df,
+       SUM(tf.tf * df.df)::DOUBLE / SUM(tf.tf) <= {RARE_DF_MEAN_MAX} AS keep
+FROM tf JOIN df USING (term)
+GROUP BY tf.doc_id
+""",
+    survey_ref="training-data: token-rarity quality scoring (perplexity-filter "
+    "stand-in with engine-exact arithmetic)",
+)
+def rarity_score(spark, sf_dir):
+    """Token-rarity scoring: each document's mean corpus document
+    frequency over its token occurrences — the quality signal a
+    perplexity filter approximates (common-token-heavy docs score
+    high/boilerplate, rare-token-dense docs low), built from integer
+    counts and ONE final IEEE division so the oracle is exact (a real
+    LM perplexity needs log(), which is implementation-defined in its
+    last bit and therefore never hash-matches across engines). Shuffle
+    story: (doc, term) tf partial agg; term-level df re-aggregates the
+    tf frame; df joins back on term (strategy left to AQE — unbounded
+    vocabulary, same rule as tfidf_top_terms); final per-doc sum is
+    map-side combinable. Nothing wider than a term string shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    per_doc = (
+        tf.join(df, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).cast("long").alias("df_sum"),
+        )
+    )
+    mean_df = F.col("df_sum").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "df_sum",
+        mean_df.alias("mean_df"),
+        (mean_df <= RARE_DF_MEAN_MAX).alias("keep"),
+    )

@@ -52,3 +52,36 @@ def run_daily_sync(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     df = REGISTRY["union_all_sync"].fn(spark, sf_dir)
     df.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir).count()
+
+
+def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks in the preceding hour. Both sides carry watermarks so
+    the join state is EVICTABLE — the time-range predicate bounds how
+    long a click must be retained (watermark + 1 h horizon), which is
+    what makes a stream-stream join runnable indefinitely; without the
+    range condition Spark would have to keep every click forever. The
+    batch twin is the registered ``click_attribution`` query; the
+    parity test asserts the emitted pair set matches it exactly."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", "2 hours")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

@@ -80,3 +80,37 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, sf_d
     back = spark.read.parquet(path)
     assert back.where("status = 'F'").count() == before_f  # untouched survives
     assert back.where("status = 'O'").count() == slim_o.count()  # replaced
+
+
+def test_compact_path_merges_small_files(spark, sf_dir, tmp_path):
+    """64 stranded micro-batch files compact to the byte-target count
+    with no data change; re-running is a no-op."""
+    import glob
+    import os
+
+    from acuvate_spark.operators import storage
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_small_files")
+    events.repartition(64).write.parquet(path)
+    before_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    assert len(before_files) == 64
+    before_rows = spark.read.parquet(path).count()
+    # integer checksum: float sums are partition-order dependent
+    before_sum = spark.read.parquet(path).agg({"event_id": "sum"}).collect()[0][0]
+
+    total = sum(os.path.getsize(f) for f in before_files)
+    target = total // 4  # force ~4-5 output files
+    n = storage.compact_path(spark, path, target_file_bytes=target)
+    after_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    assert len(after_files) == n <= 6
+    assert spark.read.parquet(path).count() == before_rows
+    assert spark.read.parquet(path).agg({"event_id": "sum"}).collect()[0][0] == before_sum
+    # repeated runs converge: better compression in the merged files can
+    # shrink total bytes and allow one further merge, after which the
+    # layout is a fixpoint (n_target >= file count -> no rewrite)
+    n2 = storage.compact_path(spark, path, target_file_bytes=target)
+    assert n2 <= n
+    assert storage.compact_path(spark, path, target_file_bytes=target) == n2
+    assert spark.read.parquet(path).count() == before_rows

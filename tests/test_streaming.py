@@ -269,6 +269,45 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert (base, 2) not in got
 
 
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream click->purchase join must emit
+    exactly the pair set of the registered batch twin
+    click_attribution."""
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    in_dir = tmp_path / "events_json_attr"
+    events.coalesce(1).write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(str(in_dir))
+
+    stream = windows.stream_events_from_json(spark, str(in_dir))
+    joined = windows.click_purchase_attribution(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attr_pairs").collect()
+    }
+    expected = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in REGISTRY["click_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_session_window_counts_stream_matches_batch(spark, sf_dir, tmp_path):
     """Session-window stream (30 min gap, watermarked) must equal the
     batch twin session_window_counts row for row (VERDICT r02 item 6)."""
