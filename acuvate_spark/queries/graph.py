@@ -306,3 +306,73 @@ def triangle_count(spark, sf_dir):
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     n_tri = triangles.agg(F.count("*").cast("long").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+BFS_ITERS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS_ITERS(=3)-round BFS-level CTE chain (same unroll
+    pattern as training._pagerank_oracle)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, BFS_ITERS + 1):
+        steps.append(
+            f"""
+l{i} AS (
+  SELECT n, min(lvl) AS lvl FROM (
+    SELECT n, lvl FROM {prev}
+    UNION ALL
+    SELECT ue.b AS n, {prev}.lvl + 1 AS lvl FROM ue JOIN {prev} ON ue.a = {prev}.n
+  ) GROUP BY n)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {_EDGES_SQL},
+ue AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS n FROM ue),
+l0 AS (SELECT n, 0 AS lvl FROM nodes WHERE n % 100 = 0 AND n > 0),
+{",".join(steps)}
+SELECT n AS node, CAST(lvl AS BIGINT) AS level FROM {prev}
+"""
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=_bfs_oracle(),
+    survey_ref="graph family: K-hop BFS levels from a seed set (O4 pattern)",
+)
+def graph_bfs_levels(spark, sf_dir):
+    """3-round BFS from a seed set (part nodes divisible by 100):
+    level = minimum hop count from any seed, for every node reached
+    within 3 hops — the bounded-depth reachability primitive behind
+    'expand the neighborhood of these flagged tags' (the reference
+    walks Neo4j paths; here it is the same iterative relational
+    kernel as connected components). Each round is one edge join +
+    one min-aggregate, both map-side combinable; the frontier frame
+    is localCheckpointed per round so lineage stays bounded — the
+    fixed unroll keeps the oracle expressible (the convergence-loop
+    variant is operators.graph.connected_components). Integer levels,
+    so the oracle is exact."""
+    e = _edges(spark, sf_dir)
+    ue = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ue.select(F.col("a").alias("n")).distinct()
+    levels = nodes.where((F.col("n") % 100 == 0) & (F.col("n") > 0)).select(
+        "n", F.lit(0).alias("lvl")
+    )
+    for _ in range(BFS_ITERS):
+        expanded = ue.join(levels, ue.a == levels.n).select(
+            F.col("b").alias("n"), (F.col("lvl") + 1).alias("lvl")
+        )
+        levels = (
+            levels.unionByName(expanded)
+            .groupBy("n")
+            .agg(F.min("lvl").alias("lvl"))
+            .localCheckpoint(eager=True)
+        )
+    return levels.select(F.col("n").alias("node"), F.col("lvl").cast("long").alias("level"))

@@ -659,3 +659,50 @@ def rarity_score(spark, sf_dir):
         mean_df.alias("mean_df"),
         (mean_df <= RARE_DF_MEAN_MAX).alias("keep"),
     )
+
+
+@register(
+    "length_outlier_trim",
+    oracle="""
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+th AS (
+  SELECT CAST(max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS lo,
+         CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS hi
+  FROM ranked
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, th.lo, th.hi,
+       d.n_chars BETWEEN th.lo AND th.hi AS kept
+FROM documents d CROSS JOIN th
+""",
+    survey_ref="training-data: corpus-wide length outlier trim (sketch-threshold "
+    "scale path promised by length_quartiles)",
+)
+def length_outlier_trim(spark, sf_dir):
+    """Corpus-wide length outlier trim — the sketch-threshold pairing
+    length_quartiles' docstring names as the 100 TB path: ONE mergeable
+    quantile-sketch aggregate computes the p5/p95 length cut points
+    (map-side combinable, no global sort of the corpus), the 1-row
+    threshold frame broadcasts back, and the trim verdict is a pure
+    map-side comparison. At fixture scale the sketch runs at accuracy
+    >> n, degenerating to the exact order statistic the oracle pins
+    via row_number (same knob as sketch_stats); production lowers the
+    accuracy and accepts rank error n/accuracy. Integer thresholds,
+    so the result is engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    acc = 1_000_000  # >> corpus size at test SFs => exact order stats
+    th = d.agg(
+        F.percentile_approx("n_chars", 0.05, acc).cast("long").alias("lo"),
+        F.percentile_approx("n_chars", 0.95, acc).cast("long").alias("hi"),
+    )
+    return d.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lo",
+        "hi",
+        F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("kept"),
+    )

@@ -32,9 +32,11 @@ ALLOWED_UNBOUNDED = {
     # corpus — the IVF assign pass is definitionally a small cross
     "ann_ivf_flat",
     "ann_ivf_lloyd",
-    # 1-row broadcast frames (corpus size N, quantization ranges)
+    # 1-row broadcast frames (corpus size N, quantization ranges,
+    # sketch thresholds)
     "tfidf_top_terms",
     "embedding_quantize",
+    "length_outlier_trim",
     # 1-row x 1-row cross assembling the (n_edges, n_triangles) scalar
     "triangle_count",
 }

@@ -157,3 +157,28 @@ def test_excel_binary_decode_is_env_gated(spark, tmp_path):
         df = sources.read_excel_rows(spark, str(p))
         assert df.columns == ["Tag Number"]
         assert df.collect()[0]["Tag Number"] == "P-1001"
+
+
+def test_schema_evolution_merge_reads_old_and_new(spark, sf_dir, tmp_path):
+    """A 100 TB warehouse accretes schema versions; readers must see
+    the union schema with nulls for pre-evolution files (mergeSchema),
+    and the default fast path (no merge) must still read the latest
+    schema without error."""
+    from acuvate_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    v1.write.parquet(path)
+    v2 = (
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .withColumn("ingest_batch", F.lit(2))
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "ingest_batch" in merged.columns
+    assert merged.count() == v1.count() * 2
+    # pre-evolution rows surface as NULL, not as an error
+    assert merged.where(F.col("ingest_batch").isNull()).count() == v1.count()
