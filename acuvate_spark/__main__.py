@@ -1,0 +1,72 @@
+"""Command-line entry point — run any registry query from the shell.
+
+    python -m acuvate_spark list [--grep PATTERN]
+    python -m acuvate_spark run <query> [--sf-dir DIR] [--limit N]
+                                        [--out PATH] [--explain]
+
+``run`` executes one named query against the parquet tables in
+``--sf-dir`` (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)
+and shows the first ``--limit`` rows; ``--out`` writes the full result
+as parquet instead (distributed write, no driver collect); ``--explain``
+prints the formatted physical plan. This is the switch-over surface
+for a reference user: every operator in SURVEY.md §2 is a named query
+here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="acuvate_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registry queries")
+    p_list.add_argument("--grep", default=None, help="substring filter on name/ref")
+
+    p_run = sub.add_parser("run", help="run one query")
+    p_run.add_argument("query")
+    p_run.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p_run.add_argument("--limit", type=int, default=20)
+    p_run.add_argument("--out", default=None, help="write full result as parquet here")
+    p_run.add_argument("--explain", action="store_true")
+    args = parser.parse_args(argv)
+
+    from acuvate_spark.queries import REGISTRY
+
+    if args.cmd == "list":
+        for name, spec in REGISTRY.items():
+            ref = (spec.survey_ref or "").replace("\n", " ")
+            if args.grep and args.grep.lower() not in f"{name} {ref}".lower():
+                continue
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{oracle}] {ref}")
+        return 0
+
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}; try: python -m acuvate_spark list", file=sys.stderr)
+        return 2
+
+    from acuvate_spark.session import get_spark
+
+    spark = get_spark(f"acuvate-run-{args.query}")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.explain:
+        print(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -387,3 +387,49 @@ def test_sliding_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"]) for r in batch
     }
     assert got == expected
+
+
+def test_watermarked_dedup_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the BOUNDED-state streaming
+    dedup (state for a key is evictable once the watermark passes it),
+    vs stateful.streaming_seen_filter which remembers keys forever.
+    Within the watermark horizon duplicates are suppressed exactly."""
+    import datetime as dt
+
+    in_dir = tmp_path / "dedup_in"
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out_dir = str(tmp_path / "dedup_out")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("append").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(str(in_dir))
+
+    def run():
+        stream = windows.stream_events_from_json(spark, str(in_dir))
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # same event_id delivered 3x inside the horizon -> emitted once
+    emit([(1, base, 7, "click", 1.0), (1, base + dt.timedelta(minutes=5), 7, "click", 1.0)])
+    run()
+    emit([(1, base + dt.timedelta(minutes=10), 7, "click", 1.0), (2, base + dt.timedelta(minutes=30), 7, "view", 2.0)])
+    run()
+    got = [r["event_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == [1, 2]
