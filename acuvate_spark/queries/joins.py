@@ -595,3 +595,75 @@ def fuzzy_match_blocked(spark, sf_dir):
         F.col("best.canon").alias("matched"),
         F.col("best.dist").alias("dist"),
     )
+
+
+_SALT = 8  # fact-side salt fan-out (dim replicates this many times)
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+WITH fact AS (
+  SELECT l_orderkey, l_extendedprice,
+         CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey % 100 END AS sk
+  FROM lineitem
+),
+dim AS (
+  SELECT sk, concat('seg-', CAST(sk AS VARCHAR)) AS label
+  FROM (SELECT DISTINCT p_partkey % 100 AS sk FROM part)
+)
+SELECT f.sk, d.label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+FROM fact f JOIN dim d ON d.sk = f.sk
+GROUP BY f.sk, d.label
+""",
+    survey_ref="SURVEY §4 skew technique: salted equi-join (join twin of "
+    "salted_agg_lineitem)",
+)
+def salted_skew_join(spark, sf_dir):
+    """Salted skew JOIN — the join-side twin of salted_agg_lineitem's
+    two-phase aggregation: ~70% of the fact rows share one hot key
+    (planted), which would pin a whole sort-merge task to one core at
+    100 TB. The fact side appends salt = key-hash-mod-8 and joins on
+    (sk, salt); the dim side replicates each row across all 8 salt
+    values via one explode — so every salted key matches exactly its
+    original dim row and the result is IDENTICAL to the unsalted join
+    (which is what the oracle runs), but the hot key's rows now spread
+    over 8 tasks instead of 1. AQE's skew-join split handles the same
+    problem adaptively when stats reveal it; explicit salting is the
+    portable form that also works under joins AQE can't split
+    (e.g. bucketed sides). Salt is md5-derived so the layout is
+    deterministic; the post-join aggregate uses integer cents so the
+    oracle hashes exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("sk"),
+    ).withColumn(
+        "salt",
+        (
+            F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % _SALT
+        ).cast("int"),
+    )
+    part = load_table(spark, sf_dir, "part")
+    dim = (
+        part.select((F.col("p_partkey") % 100).alias("sk"))
+        .distinct()
+        .select("sk", F.concat(F.lit("seg-"), F.col("sk").cast("string")).alias("label"))
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
+    )
+    joined = fact.join(dim_salted, ["sk", "salt"])
+    return joined.groupBy("sk", "label").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("price_cents"),
+    )

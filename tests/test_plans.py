@@ -130,3 +130,13 @@ def test_contamination_semi_join_is_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     finally:
         csh.unpersist()
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The skew-join salt must survive into the physical join keys —
+    losing it (e.g. an optimizer rewrite dropping the column) silently
+    restores the hot-key bottleneck."""
+    df = REGISTRY["salted_skew_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
