@@ -17,7 +17,17 @@ in rounds 1 and 2), the order is *computed* from the committed
 A row counts as "passing" only if its value-hash matched (or it is a
 rows-only-by-design query that produced rows); failed or errored rows
 push a query back to the front of the next round's window.
-``tests/test_docs.py`` pins this rotation so it cannot regress.
+
+Rows are further gated by ``QUERY_VERSIONS.json`` (see
+``tools/query_versions.py``): a row only verifies a query if the row's
+round >= the round this VERSION of the query appeared, so rewriting a
+query or its oracle automatically re-front-loads it (a round-1 green
+row must not carry a round-3 rewrite — the round-3 review caught
+exactly that with dedup_embedding_cosine's LSH rewrite). Known
+limitation: shared-helper edits outside the decorated function don't
+bump the hash; the local oracle-parity suite covers those.
+``tests/test_docs.py`` pins both the rotation and the manifest
+freshness so neither can regress.
 """
 
 from __future__ import annotations
@@ -54,12 +64,29 @@ def _row_passed(row: dict) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
+def _since_rounds() -> dict[str, int]:
+    """Round in which each query's CURRENT version appeared (from the
+    committed QUERY_VERSIONS.json manifest; missing entry = treat as
+    brand-new so it front-loads)."""
+    try:
+        manifest = json.loads((_ROOT / "QUERY_VERSIONS.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        manifest = {}
+    out: dict[str, int] = {}
+    for name in REGISTRY:
+        entry = manifest.get(name)
+        out[name] = int(entry["since_round"]) if entry else 10**9
+    return out
+
+
 def _last_verified() -> dict[str, int]:
-    """Newest round in which each query had a passing row (0 = never)."""
+    """Newest round in which each query's CURRENT version had a
+    passing row (0 = never verified since it last changed)."""
+    since = _since_rounds()
     last: dict[str, int] = {name: 0 for name in REGISTRY}
     for rnd, results in _round_results().items():
         for name, row in results.items():
-            if name in last and _row_passed(row):
+            if name in last and rnd >= since[name] and _row_passed(row):
                 last[name] = max(last[name], rnd)
     return last
 

@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"acuvate-run-{args.query}")
     df = REGISTRY[args.query].fn(spark, args.sf_dir)
     if args.explain:
-        print(df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted"))
+        df.explain("formatted")
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")

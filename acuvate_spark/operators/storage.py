@@ -80,31 +80,65 @@ def compact_path(
     ingest needs (streaming micro-batches and dynamic-partition
     appends strand thousands of tiny parquet files; at 100 TB the
     scan's task-per-file overhead and NameNode/listing pressure
-    dominate before a single row is read). Rewrites ``path`` to
-    ceil(total_bytes / target) files via ``coalesce`` — a NARROW
-    repartitioning, no shuffle — then swaps directories. Returns the
-    resulting file count; a no-op (returning the current count) when
-    the layout is already at or under target. The directory swap is
-    atomic only on a real filesystem; on an object store this commit
+    dominate before a single row is read).
+
+    Hive-partitioned layouts are compacted PER LEAF PARTITION
+    DIRECTORY, preserving the ``key=value`` structure (and hence
+    partition pruning and ``overwrite_partitions`` compatibility) —
+    per-partition sizing is also the right granularity for the
+    rewrite. Each leaf is rewritten to ceil(leaf_bytes / target) files
+    via ``coalesce`` (a NARROW repartitioning, no shuffle), staged to
+    a sibling temp dir, then directory-swapped. The swap is
+    SELF-HEALING across crashes: a leftover ``.__compacting__`` temp
+    (incomplete rewrite) is discarded, a leftover ``.__pre_compact__``
+    backup restores the original if the swap died mid-way and is
+    discarded if the swap completed. On an object store this commit
     step is what a table format (Delta/Iceberg rewrite-files action)
-    provides — the dataflow half is identical."""
+    provides — the dataflow half is identical. Returns the resulting
+    file count across all leaves; leaves already at/under target are
+    left untouched."""
     import glob
     import math
     import os
     import shutil
 
-    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    if not files:
+    def _recover(p: str) -> None:
+        tmp, backup = p.rstrip("/") + ".__compacting__", p.rstrip("/") + ".__pre_compact__"
+        if os.path.isdir(backup):
+            if os.path.isdir(p):
+                shutil.rmtree(backup)  # swap completed; stale backup
+            else:
+                os.rename(backup, p)  # died between renames; restore
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # incomplete rewrite; discard
+
+    def _compact_leaf(leaf: str) -> int:
+        _recover(leaf)
+        files = [
+            e.path
+            for e in os.scandir(leaf)
+            if e.is_file() and e.name.endswith(".parquet")
+        ]
+        if not files:
+            return 0
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if n_target >= len(files):
+            return len(files)
+        df = spark.read.parquet(leaf)
+        tmp = leaf.rstrip("/") + ".__compacting__"
+        df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+        backup = leaf.rstrip("/") + ".__pre_compact__"
+        os.rename(leaf, backup)
+        os.rename(tmp, leaf)
+        shutil.rmtree(backup)
+        return n_target
+
+    _recover(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"compact_path: no such directory {path!r}")
+    all_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not all_files:
         return 0
-    total = sum(os.path.getsize(f) for f in files)
-    n_target = max(1, math.ceil(total / target_file_bytes))
-    if n_target >= len(files):
-        return len(files)
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compacting__"
-    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + ".__pre_compact__"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
-    return n_target
+    leaves = sorted({os.path.dirname(f) for f in all_files})
+    return sum(_compact_leaf(leaf) for leaf in leaves)

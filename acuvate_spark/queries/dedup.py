@@ -171,16 +171,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _N_HASHES = 8
 _BAND_SIZE = 2
 
-_SIG_SQL = ",\n       ".join(
-    f"min({dedup_ops.minhash_slice_sql('shingle', i)}) AS mh{i}" for i in range(_N_HASHES)
-)
-_BANDS_SQL = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
-        b=b,
-        key=" || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+def _sig_sql() -> str:
+    """MinHash signature SELECT-list (renderer shared by every oracle
+    that builds signatures — corpus, cluster, and incremental forms)."""
+    return ",\n       ".join(
+        f"min({dedup_ops.minhash_slice_sql('shingle', i)}) AS mh{i}"
+        for i in range(_N_HASHES)
     )
-    for b in range(_N_HASHES // _BAND_SIZE)
-)
+
+
+def _bands_sql(src: str, key: str) -> str:
+    """LSH band-key UNION-ALL block over signature CTE ``src`` keyed by
+    ``key`` (same renderer for corpus and incremental oracles — one
+    place to change the banding scheme)."""
+    return "\nUNION ALL\n".join(
+        "SELECT {key}, {b} AS band_idx, {bk} AS band_key FROM {src}".format(
+            key=key,
+            b=b,
+            bk=" || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
+            src=src,
+        )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    )
+
+
+_SIG_SQL = _sig_sql()
+_BANDS_SQL = _bands_sql("sig", "doc_id")
 
 
 # The full MinHash pair pipeline as a reusable CTE block: both the
@@ -596,23 +612,6 @@ def _contamination_plan(spark, sf_dir):
 # Incremental dedup: new batch vs existing corpus (MinHash LSH semi-join)
 # ---------------------------------------------------------------------------
 
-_INC_SIG_SQL = ",\n       ".join(
-    f"min({dedup_ops.minhash_slice_sql('shingle', i)}) AS mh{i}" for i in range(_N_HASHES)
-)
-
-
-def _inc_bands_sql(src: str, key: str) -> str:
-    return "\nUNION ALL\n".join(
-        "SELECT {key}, {b} AS band_idx, {bk} AS band_key FROM {src}".format(
-            key=key,
-            b=b,
-            bk=" || '|' || ".join(f"mh{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)),
-            src=src,
-        )
-        for b in range(_N_HASHES // _BAND_SIZE)
-    )
-
-
 @register(
     "dedup_incremental",
     oracle=f"""
@@ -639,10 +638,10 @@ bsh AS (
   FROM bw
 ),
 bsh2 AS (SELECT batch_id, shingle FROM bsh WHERE shingle <> ''),
-csig AS (SELECT doc_id, {_INC_SIG_SQL} FROM csh2 GROUP BY doc_id),
-bsig AS (SELECT batch_id, {_INC_SIG_SQL} FROM bsh2 GROUP BY batch_id),
-cbands AS ({_inc_bands_sql('csig', 'doc_id')}),
-bbands AS ({_inc_bands_sql('bsig', 'batch_id')}),
+csig AS (SELECT doc_id, {_sig_sql()} FROM csh2 GROUP BY doc_id),
+bsig AS (SELECT batch_id, {_sig_sql()} FROM bsh2 GROUP BY batch_id),
+cbands AS ({_bands_sql('csig', 'doc_id')}),
+bbands AS ({_bands_sql('bsig', 'batch_id')}),
 cand AS (
   SELECT DISTINCT b.batch_id, c.doc_id
   FROM bbands b JOIN cbands c

@@ -143,11 +143,11 @@ def _regressions(timings: dict[str, float], sf: str) -> list[str]:
         if b is None:
             continue
         if b >= 1.0:
-            flagged = t > 2 * b
+            flagged, rule = t > 2 * b, ">2x"
         else:
-            flagged = t > 4 * b and t - b > 2.0
+            flagged, rule = t > 4 * b and t - b > 2.0, ">4x and +2s (sub-second rule)"
         if flagged:
-            out.append(f"{name}: {t:.3f}s vs baseline {b:.3f}s (>2x)")
+            out.append(f"{name}: {t:.3f}s vs baseline {b:.3f}s ({rule})")
     return out
 
 

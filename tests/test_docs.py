@@ -83,3 +83,28 @@ def test_driver_order_rotates_least_recently_verified_first():
     # the order is non-decreasing in last-verified round (stalest first)
     rounds = [last[n] for n in names]
     assert rounds == sorted(rounds), "driver order is not stalest-first"
+
+
+def test_query_version_manifest_is_fresh():
+    """Every registry query's current source+oracle hash must match
+    QUERY_VERSIONS.json — editing a query without regenerating the
+    manifest (python tools/query_versions.py) fails here, which is
+    what keeps rewritten queries front-loaded in the driver's
+    verification window."""
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    from query_versions import load_manifest, query_hashes
+
+    current = query_hashes()
+    manifest = load_manifest()
+    assert set(current) == set(REGISTRY), "AST extraction missed a registry query"
+    missing = sorted(set(current) - set(manifest))
+    assert not missing, f"queries missing from QUERY_VERSIONS.json: {missing}"
+    stale = sorted(
+        n for n, h in current.items() if manifest[n]["hash"] != h
+    )
+    assert not stale, (
+        f"stale QUERY_VERSIONS.json entries (regenerate with "
+        f"python tools/query_versions.py): {stale}"
+    )

@@ -114,3 +114,51 @@ def test_compact_path_merges_small_files(spark, sf_dir, tmp_path):
     assert n2 <= n
     assert storage.compact_path(spark, path, target_file_bytes=target) == n2
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_compact_path_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """Partitioned layouts compact per leaf dir: key=value structure,
+    partition pruning, and overwrite_partitions compatibility survive."""
+    import glob
+    import os
+
+    from acuvate_spark.operators import storage
+    from acuvate_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn("status", F.col("o_orderstatus"))
+    path = str(tmp_path / "orders_compact_part")
+    o.repartition(16).write.partitionBy("status").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    per_leaf_before = len(glob.glob(os.path.join(path, "status=O", "*.parquet")))
+    assert per_leaf_before >= 8
+
+    storage.compact_path(spark, path, target_file_bytes=1 << 40)  # huge target -> 1 file/leaf
+    leaves = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "status=*")))
+    assert leaves == ["status=F", "status=O", "status=P"]
+    assert len(glob.glob(os.path.join(path, "status=O", "*.parquet"))) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == before_rows
+    assert "status" in back.columns  # partition column still derived from layout
+    # dynamic-partition overwrite still works on the compacted layout
+    slim = o.where("status = 'O' AND o_orderkey % 2 = 0")
+    storage.overwrite_partitions(slim, path, ["status"])
+    assert spark.read.parquet(path).where("status = 'O'").count() == slim.count()
+
+
+def test_compact_path_recovers_from_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between the two renames leaves only the backup dir; the
+    next call restores it and proceeds instead of reporting 0 files."""
+    import os
+
+    from acuvate_spark.operators import storage
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_crash")
+    events.repartition(8).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    # simulate the crash window: path renamed away, new data never landed
+    os.rename(path, path + ".__pre_compact__")
+    n = storage.compact_path(spark, path, target_file_bytes=1 << 40)
+    assert n == 1  # restored, then compacted to one file
+    assert spark.read.parquet(path).count() == n_rows
