@@ -706,3 +706,127 @@ def length_outlier_trim(spark, sf_dir):
         "hi",
         F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("kept"),
     )
+
+
+CHUNK_TOKENS = 64
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS w FROM documents
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+         least({CHUNK_TOKENS}, len(w) - i * {CHUNK_TOKENS}) AS chunk_tokens
+  FROM t, range(0, 4096) r(i)
+  WHERE i * {CHUNK_TOKENS} < len(w)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+FROM c
+""",
+    survey_ref="training-data: fixed-token document chunking (RAG/pretraining "
+    "splitter; carries text, unlike pack_sequences' offset math)",
+)
+def chunk_documents(spark, sf_dir):
+    """Document chunking — split every document into fixed 64-token
+    chunks WITH the chunk text and exact token count: the splitter
+    feeding embedding/RAG indexes and the text-carrying complement of
+    pack_sequences (which only assigns offsets). Pure array
+    expressions fused into the scan: tokenize once, slice per chunk
+    index, explode — narrow start to finish, ZERO shuffles at any
+    scale, and chunk boundaries depend only on the document itself so
+    the layout is reproducible under any partitioning. The oracle
+    renders the same slicing with DuckDB list ranges (its lateral
+    range() is bounded and filtered by length, matching sequence())."""
+    d = load_table(spark, sf_dir, "documents")
+    C = CHUNK_TOKENS
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(floor((size(w) - 1) / {C}) AS INT)), "
+        f"i -> struct(i AS chunk_idx, "
+        f"array_join(slice(w, i * {C} + 1, {C}), ' ') AS chunk_text, "
+        f"size(slice(w, i * {C} + 1, {C})) AS chunk_tokens))"
+    )
+    return (
+        d.select("doc_id", textual.words(F.trim(F.col("text"))).alias("w"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+LM_TOP_BIGRAMS = 500
+
+
+@register(
+    "ngram_lm_counts",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_lower_words_sql('text')} AS toks FROM documents
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM w, range(1, 4096) r(i)
+  WHERE i < len(toks) AND toks[i] <> '' AND toks[i + 1] <> ''
+),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram FROM bg GROUP BY w1, w2
+),
+ug AS (
+  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_w1 FROM bgc GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_continuations FROM bgc GROUP BY w2
+)
+SELECT b.w1, b.w2, b.c_bigram, u.c_w1, c.n_continuations
+FROM bgc b JOIN ug u USING (w1) JOIN cont c USING (w2)
+ORDER BY b.c_bigram DESC, b.w1, b.w2
+LIMIT {LM_TOP_BIGRAMS}
+""",
+    survey_ref="training-data: n-gram LM count tables (KN-style continuation "
+    "counts; the count-collection pass of KenLM-type training)",
+)
+def ngram_lm_counts(spark, sf_dir):
+    """Bigram language-model count tables — the distributed
+    count-collection pass of KenLM-style LM training: per-bigram
+    counts, left-context totals c(w1), and Kneser-Ney CONTINUATION
+    counts (distinct left contexts per w2 — counted over the already
+    unique bigram-type frame, so no count_distinct shuffle). The
+    result keeps raw integers rather than smoothed probabilities: the
+    smoothing arithmetic is driver-side float math over these exact
+    tables, and integers are what an oracle can pin. Shuffle story:
+    bigrams explode narrowly from the token array, one (w1, w2)
+    partial-agg shuffle dominates; the two marginals re-aggregate the
+    (much smaller) bigram-type frame; top-500 via
+    TakeOrderedAndProject with full tie-break so both engines pick
+    the identical set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _lower_words(F.col("text"))
+    pairs = F.expr(
+        "filter(transform(sequence(1, greatest(size(toks) - 1, 1)), "
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)), "
+        "p -> p.w1 <> '' AND p.w2 IS NOT NULL AND p.w2 <> '')"
+    )
+    bg = (
+        d.select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c_bigram"))
+    ug = bgc.groupBy("w1").agg(F.sum("c_bigram").cast("long").alias("c_w1"))
+    cont = bgc.groupBy("w2").agg(F.count("*").cast("long").alias("n_continuations"))
+    return (
+        bgc.join(ug, "w1")
+        .join(cont, "w2")
+        .select("w1", "w2", "c_bigram", "c_w1", "n_continuations")
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(LM_TOP_BIGRAMS)
+    )
