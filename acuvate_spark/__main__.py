@@ -56,15 +56,19 @@ def main(argv: list[str] | None = None) -> int:
     from acuvate_spark.session import get_spark
 
     spark = get_spark(f"acuvate-run-{args.query}")
-    df = REGISTRY[args.query].fn(spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-    if args.out:
-        df.write.mode("overwrite").parquet(args.out)
-        print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
-    else:
-        df.show(args.limit, truncate=False)
-    spark.stop()
+    try:
+        df = REGISTRY[args.query].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        if args.out:
+            # no post-write count: re-scanning the output would double
+            # the job's IO just for a log line
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote result to {args.out}")
+        else:
+            df.show(args.limit, truncate=False)
+    finally:
+        spark.stop()
     return 0
 
 

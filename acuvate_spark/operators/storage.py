@@ -134,11 +134,30 @@ def compact_path(
         shutil.rmtree(backup)
         return n_target
 
+    _MARKERS = (".__compacting__", ".__pre_compact__")
+
+    def _sweep_interrupted(root: str) -> None:
+        """Recover interrupted swaps ANYWHERE in the tree: a leftover
+        ``<leaf>.__pre_compact__`` would otherwise be globbed as a data
+        leaf and compacted in place — duplicating the partition while
+        the real leaf stays missing (silent corruption)."""
+        for dirpath, dirnames, _ in list(os.walk(root, topdown=False)):
+            for d in dirnames:
+                for marker in _MARKERS:
+                    if d.endswith(marker):
+                        _recover(os.path.join(dirpath, d[: -len(marker)]))
+
     _recover(path)
+    if os.path.isdir(path):
+        _sweep_interrupted(path)
     if not os.path.isdir(path):
         raise FileNotFoundError(f"compact_path: no such directory {path!r}")
     all_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     if not all_files:
         return 0
-    leaves = sorted({os.path.dirname(f) for f in all_files})
+    leaves = sorted(
+        leaf
+        for leaf in {os.path.dirname(f) for f in all_files}
+        if not any(part.endswith(m) for m in _MARKERS for part in leaf.split(os.sep))
+    )
     return sum(_compact_leaf(leaf) for leaf in leaves)

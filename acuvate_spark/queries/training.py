@@ -718,14 +718,17 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS w FROM documents
 ),
 c AS (
-  SELECT doc_id, i AS chunk_idx,
-         array_to_string(w[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text,
-         least({CHUNK_TOKENS}, len(w) - i * {CHUNK_TOKENS}) AS chunk_tokens
-  FROM t, range(0, 4096) r(i)
-  WHERE i * {CHUNK_TOKENS} < len(w)
+  SELECT doc_id,
+         unnest([struct_pack(
+           chunk_idx := i,
+           chunk_text := array_to_string(
+             w[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' '),
+           chunk_tokens := least({CHUNK_TOKENS}, len(w) - i * {CHUNK_TOKENS}))
+          FOR i IN range(0, ((len(w) - 1) // {CHUNK_TOKENS}) + 1)]) AS ck
+  FROM t
 )
-SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
-       CAST(chunk_tokens AS BIGINT) AS chunk_tokens
+SELECT doc_id, CAST(ck.chunk_idx AS BIGINT) AS chunk_idx, ck.chunk_text AS chunk_text,
+       CAST(ck.chunk_tokens AS BIGINT) AS chunk_tokens
 FROM c
 """,
     survey_ref="training-data: fixed-token document chunking (RAG/pretraining "
@@ -771,10 +774,11 @@ LM_TOP_BIGRAMS = 500
 WITH w AS (
   SELECT doc_id, {_lower_words_sql('text')} AS toks FROM documents
 ),
+bg0 AS (
+  SELECT unnest([[toks[i], toks[i + 1]] FOR i IN range(1, len(toks))]) AS pr FROM w
+),
 bg AS (
-  SELECT toks[i] AS w1, toks[i + 1] AS w2
-  FROM w, range(1, 4096) r(i)
-  WHERE i < len(toks) AND toks[i] <> '' AND toks[i + 1] <> ''
+  SELECT pr[1] AS w1, pr[2] AS w2 FROM bg0 WHERE pr[1] <> '' AND pr[2] <> ''
 ),
 bgc AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram FROM bg GROUP BY w1, w2

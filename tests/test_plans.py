@@ -133,10 +133,18 @@ def test_contamination_semi_join_is_broadcast(spark, sf_dir):
 
 
 def test_salted_join_keys_include_salt(spark, sf_dir):
-    """The skew-join salt must survive into the physical join keys —
-    losing it (e.g. an optimizer rewrite dropping the column) silently
-    restores the hot-key bottleneck."""
+    """The skew-join salt must survive into the physical JOIN KEYS —
+    losing it (e.g. an optimizer rewrite joining on sk alone) silently
+    restores the hot-key bottleneck. 'salt' merely appearing somewhere
+    in the plan (it is always projected) is not enough: assert it
+    inside the join node's key lists."""
+    import re
+
     df = REGISTRY["salted_skew_join"].fn(spark, sf_dir)
     plan = _plan(df)
-    assert "salt" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    key_lines = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert key_lines, f"no join key lists found in plan:\n{plan}"
+    assert all("salt" in kl for kl in key_lines), (
+        f"salt missing from join keys: {key_lines}"
+    )

@@ -162,3 +162,29 @@ def test_compact_path_recovers_from_interrupted_swap(spark, sf_dir, tmp_path):
     n = storage.compact_path(spark, path, target_file_bytes=1 << 40)
     assert n == 1  # restored, then compacted to one file
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_compact_path_recovers_interrupted_partition_swap(spark, sf_dir, tmp_path):
+    """A crash mid-swap inside ONE partition leaf must be healed on the
+    next run — the leftover backup dir restores the missing leaf and is
+    never treated as a data leaf itself."""
+    import glob
+    import os
+
+    from acuvate_spark.operators import storage
+    from acuvate_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn("status", F.col("o_orderstatus"))
+    path = str(tmp_path / "orders_crash_part")
+    o.repartition(8).write.partitionBy("status").parquet(path)
+    before = spark.read.parquet(path).count()
+    leaf = os.path.join(path, "status=O")
+    # crash window: leaf renamed to backup, replacement never landed;
+    # plus a stale half-written temp for another leaf
+    os.rename(leaf, leaf + ".__pre_compact__")
+    os.makedirs(os.path.join(path, "status=F.__compacting__"))
+
+    storage.compact_path(spark, path, target_file_bytes=1 << 40)
+    leaves = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "status=*")))
+    assert leaves == ["status=F", "status=O", "status=P"]  # healed, no junk dirs
+    assert spark.read.parquet(path).count() == before

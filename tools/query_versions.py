@@ -86,25 +86,27 @@ def load_manifest(path: Path = MANIFEST) -> dict[str, dict]:
         return {}
 
 
-def regenerate(path: Path = MANIFEST) -> dict[str, dict]:
+def regenerate(path: Path = MANIFEST) -> tuple[dict[str, dict], list[str]]:
     """Update the manifest: new/changed queries get since_round =
     next round (max committed CORRECTNESS round + 1); unchanged
-    entries keep their recorded since_round; deleted queries drop."""
+    entries keep their recorded since_round; deleted queries drop.
+    Returns (manifest, names actually bumped by THIS run)."""
     current = query_hashes()
     old = load_manifest(path)
     next_round = (committed_rounds()[-1] + 1) if committed_rounds() else 1
     out: dict[str, dict] = {}
+    bumped: list[str] = []
     for name, h in sorted(current.items()):
         prev = old.get(name)
         if prev and prev.get("hash") == h:
             out[name] = prev
         else:
             out[name] = {"hash": h, "since_round": next_round}
+            bumped.append(name)
     path.write_text(json.dumps(out, indent=1) + "\n")
-    return out
+    return out, bumped
 
 
 if __name__ == "__main__":
-    out = regenerate()
-    bumped = [n for n, v in out.items() if v["since_round"] == (committed_rounds()[-1] + 1 if committed_rounds() else 1)]
-    print(f"{len(out)} queries in manifest; {len(bumped)} at the current round: {bumped}")
+    manifest, bumped = regenerate()
+    print(f"{len(manifest)} queries in manifest; bumped by this run: {bumped or 'none'}")
