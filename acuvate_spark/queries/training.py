@@ -131,14 +131,14 @@ WITH t AS (
 ),
 s AS (
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
   FROM t
 )
 SELECT doc_id, source, n_tokens, start_offset,
-       start_offset // {SEQ_BUDGET} AS chunk_id,
-       start_offset % {SEQ_BUDGET} AS offset_in_chunk
+       CAST(start_offset // {SEQ_BUDGET} AS BIGINT) AS chunk_id,
+       CAST(start_offset % {SEQ_BUDGET} AS BIGINT) AS offset_in_chunk
 FROM s
 """,
     survey_ref="training-data: concat-and-chunk sequence packing",
