@@ -121,3 +121,54 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
 
     return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
+AUDIO_WINDOW_MS = 400
+AUDIO_HOP_MS = 200
+
+AUDIO_SCHEMA = (
+    "doc_id long, window_idx long, start_ms long, end_ms long, "
+    "window_md5 string, energy_scaled long"
+)
+
+
+def sample_audio_windows(
+    df: DataFrame, window_ms: int = AUDIO_WINDOW_MS, hop_ms: int = AUDIO_HOP_MS
+) -> DataFrame:
+    """'Audio' sliding windows: one media row -> overlapping fixed
+    windows (the STFT/VAD framing every speech pipeline starts with).
+    Duration is faked at 1 byte = 1 ms (a real decoder divides by
+    sample_rate * bytes_per_sample); the per-window hash and the
+    md5-derived fake energy stand in for the frame content, keeping
+    the whole expansion oracle-reproducible. Same Arrow shape as
+    sample_frames: 1->N inside the Pandas UDF, peak memory one batch
+    of raw bytes per core, windows carry hashes not bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(b)
+                duration_ms = len(raw)
+                if duration_ms < window_ms:
+                    continue
+                n = (duration_ms - window_ms) // hop_ms + 1
+                for i in range(n):
+                    h = hashlib.md5(raw + str(i).encode()).hexdigest()
+                    energy = int(h[:2], 16)
+                    rows.append(
+                        (doc_id, i, i * hop_ms, i * hop_ms + window_ms, h, energy)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "window_idx",
+                    "start_ms",
+                    "end_ms",
+                    "window_md5",
+                    "energy_scaled",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)

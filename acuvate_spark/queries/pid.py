@@ -507,3 +507,41 @@ def nms_parallel(spark, sf_dir):
         )
         .agg((F.count(c("b.x1")) > 0).alias("suppressed"))
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+WITH a AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+),
+w AS (
+  SELECT doc_id, text, unnest(range(0, (n_bytes - {multimodal.AUDIO_WINDOW_MS})
+                                      // {multimodal.AUDIO_HOP_MS} + 1)) AS i
+  FROM a WHERE n_bytes >= {multimodal.AUDIO_WINDOW_MS}
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS window_idx,
+       CAST(i * {multimodal.AUDIO_HOP_MS} AS BIGINT) AS start_ms,
+       CAST(i * {multimodal.AUDIO_HOP_MS} + {multimodal.AUDIO_WINDOW_MS} AS BIGINT) AS end_ms,
+       md5(text || CAST(i AS VARCHAR)) AS window_md5,
+       CAST((strpos('{_HEX}', substr(md5(text || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('{_HEX}', substr(md5(text || CAST(i AS VARCHAR)), 2, 1)) - 1)
+            AS BIGINT) AS energy_scaled
+FROM w
+""",
+    survey_ref="X6 family: audio window sampling (overlapping STFT/VAD framing; "
+    "completes the image/video/audio multimodal triad)",
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """'Audio' sliding-window sampling over opaque binary media —
+    overlapping 400 ms windows at 200 ms hop (1 byte = 1 ms fake
+    duration; a real decoder divides by the sample rate), each window
+    carrying its content hash and an md5-derived fake energy. The
+    1->N expansion happens inside the Arrow-batched Pandas UDF
+    (operators/multimodal.sample_audio_windows); windows carry hashes,
+    never bytes, so downstream aggregation shuffles fixed-width rows.
+    The oracle replays duration, window math, hashes, and energies
+    from the same UTF-8 payload."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_audio_windows(multimodal.attach_binary(d))
