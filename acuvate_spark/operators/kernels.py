@@ -91,22 +91,42 @@ def nms(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
     return detections.groupBy("document_id", "cls").applyInPandas(kernel, schema=NMS_SCHEMA)
 
 
-OCR_WORDS_SCHEMA = "page_id long, word string, poly_x double, poly_y double"
+OCR_WORDS_SCHEMA = (
+    "page_id long, word_idx long, word string, poly_x double, poly_y double"
+)
 
 
 def ocr_words_stub(pages: DataFrame) -> DataFrame:
-    """OCR page processing shape (app.py:1022-1078): page rows -> word
-    rows with polygon anchors, via mapInPandas (the 10-thread OCR pool
-    becomes partition parallelism). Deterministic stand-in: words are
-    derived from the page's text payload."""
+    """OCR page processing shape (reference process_single_page
+    app.py:1022-1078): page rows -> word rows with polygon anchors,
+    via mapInPandas (the reference's 10-thread OCR pool,
+    app.py:1180-1188, becomes partition parallelism). Deterministic
+    stand-in: words are the whitespace tokens of the page's text
+    payload; single-character tokens get NO polygon, mirroring the
+    reference's words-without-bounding-polygons case that the P13
+    filter (app.py:1035-1039) drops downstream. The derivation is a
+    pure function of (page_id, content), so a SQL oracle can replay
+    it word for word."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for page_id, text in zip(pdf["page_id"], pdf["content"]):
-                for i, w in enumerate(str(text).split()):
-                    rows.append((page_id, w, float(10 * i), float(page_id % 100)))
-            yield pd.DataFrame(rows, columns=["page_id", "word", "poly_x", "poly_y"])
+                toks = str(text).split() if text is not None else []
+                for i, w in enumerate(toks):
+                    has_poly = len(w) >= 2
+                    rows.append(
+                        (
+                            page_id,
+                            i,
+                            w,
+                            float(10 * i) if has_poly else None,
+                            float(page_id % 100) if has_poly else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["page_id", "word_idx", "word", "poly_x", "poly_y"]
+            )
 
     return pages.mapInPandas(batches, schema=OCR_WORDS_SCHEMA)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import tags
 from ..operators import kernels, multimodal
 from ..operators.spatial import grid_containment_join
 from .synth import SYNTH_BOXES_SQL, synth_boxes, synth_detections, synth_dets_sql
@@ -195,6 +196,81 @@ def llm_label_cache(spark, sf_dir):
     )
     return kernels.llm_label_with_cache(items, cache).select(
         "doc_id", "content_md5", "label", "from_cache"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7/P13 — OCR word extraction kernel + polygon filter (§3.1 steps 3-4 front)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ocr_page_words",
+    oracle=f"""
+WITH pages AS (
+  SELECT doc_id AS page_id,
+         trim(text) || ' x PIT-' || CAST(1000 + doc_id AS VARCHAR)
+                   || ' F-' || CAST(doc_id % 90 + 10 AS VARCHAR) || 'A' AS content
+  FROM documents
+),
+t AS (
+  SELECT page_id, regexp_split_to_array(content, '\\s+') AS w FROM pages
+),
+words AS (
+  SELECT page_id,
+         unnest([struct_pack(idx := i, word := w[i + 1])
+                 FOR i IN range(0, len(w))]) AS s
+  FROM t
+),
+ocr AS (
+  SELECT page_id, CAST(s.idx AS BIGINT) AS word_idx, s.word AS word,
+         CASE WHEN strlen(s.word) >= 2 THEN 10.0 * s.idx END AS poly_x,
+         CASE WHEN strlen(s.word) >= 2 THEN CAST(page_id % 100 AS DOUBLE) END AS poly_y
+  FROM words WHERE s.word <> ''
+)
+SELECT page_id, word_idx, word, poly_x, poly_y,
+       (regexp_matches(upper(word), '{tags.PAT_REGULAR}')
+        AND {tags.is_valid_plant_tag_sql('upper(word)')}) AS is_tag_candidate
+FROM ocr WHERE poly_x IS NOT NULL
+""",
+    survey_ref="X7 P13 §3.1 steps 3-4",
+)
+def ocr_page_words(spark, sf_dir):
+    """The OCR kernel as a driver-visible query (r03 verdict item 2):
+    synthetic page rows (documents text + planted tag tokens, the
+    redact_pii planting pattern) -> ``kernels.ocr_words_stub``
+    mapInPandas word extraction (X7, reference process_single_page
+    app.py:1022-1078) -> P13 keep-words-with-polygons filter
+    (app.py:1035-1039) -> tag-grammar candidate flag, which is the
+    exact handoff into the §3.1 tag ETL (scanner_tag_etl picks up
+    from candidate words). The stub is a pure function of
+    (page_id, content), so the oracle replays it word for word; the
+    kernel itself is the real Arrow-batched mapInPandas path, which at
+    100 TB partitions over pages exactly like the production OCR
+    fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    content = F.concat(
+        F.trim(F.col("text")),
+        F.lit(" x PIT-"),
+        (F.col("doc_id") + 1000).cast("string"),
+        F.lit(" F-"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit("A"),
+    )
+    pages = repartition_for_compute(
+        d.select(F.col("doc_id").alias("page_id"), content.alias("content"))
+    )
+    ocr = kernels.ocr_words_stub(pages)
+    up = F.upper(F.col("word"))
+    return ocr.where(F.col("poly_x").isNotNull()).select(
+        "page_id",
+        "word_idx",
+        "word",
+        "poly_x",
+        "poly_y",
+        (up.rlike(tags.PAT_REGULAR) & tags.is_valid_plant_tag(up)).alias(
+            "is_tag_candidate"
+        ),
     )
 
 
