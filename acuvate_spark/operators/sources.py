@@ -81,15 +81,128 @@ def sheet_frame_to_rows(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def read_excel_rows(spark: SparkSession, path: str) -> DataFrame:
-    """Excel scan (S2): pandas.read_excel -> createDataFrame. Gated on
-    the engine being available in the environment; CSV is the
-    fallback interchange in this container (sheet_frame_to_rows covers
-    everything after the binary decode)."""
-    try:
-        import pandas as pd
+# --- S2: pure-stdlib .xlsx decode (r03 verdict item 3) ---------------------
+# An .xlsx file is a zip of XML parts (ECMA-376 SpreadsheetML). The
+# reference reads it with pandas.read_excel (app.py:6062-6063), whose
+# engine (openpyxl) is absent from this container — so the binary
+# decode is done here with zipfile + ElementTree only: sharedStrings,
+# inline strings, numbers, booleans, and sparse rows (missing cells
+# surface as NULL, as pandas would).
 
-        pdf = pd.read_excel(path)  # requires openpyxl/xlrd
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(f"Excel engine not available: {exc}") from exc
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELS_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RID_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _col_index(ref: str) -> int:
+    """Cell reference column letters -> 0-based index ('A1' -> 0,
+    'BC12' -> 54)."""
+    i = 0
+    for ch in ref:
+        if ch.isalpha():
+            i = i * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return i - 1
+
+
+def _shared_strings(z) -> list[str]:
+    import xml.etree.ElementTree as ET
+
+    try:
+        data = z.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    # rich-text runs (<r><t>) concatenate, matching Excel's display text
+    return [
+        "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+        for si in root.findall(f"{_XLSX_NS}si")
+    ]
+
+
+def _sheet_zip_path(z, sheet_index: int) -> str:
+    """Resolve the Nth workbook sheet to its zip member via the
+    workbook relationships (sheet order in workbook.xml is the user-
+    visible order; the part name need not be sheetN.xml)."""
+    import xml.etree.ElementTree as ET
+
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    targets = {
+        r.get("Id"): r.get("Target") for r in rels.findall(f"{_RELS_NS}Relationship")
+    }
+    sheets = wb.findall(f"{_XLSX_NS}sheets/{_XLSX_NS}sheet")
+    if not sheets or sheet_index >= len(sheets):
+        raise ValueError(f"workbook has {len(sheets)} sheet(s), wanted {sheet_index}")
+    target = targets[sheets[sheet_index].get(_RID_ATTR)]
+    return target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+
+
+def _cell_value(c, shared: list[str]):
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_XLSX_NS}is")
+        if is_el is None:
+            return None
+        return "".join(x.text or "" for x in is_el.iter(f"{_XLSX_NS}t"))
+    v = c.find(f"{_XLSX_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "str":  # cached formula result
+        return v.text
+    if t == "b":
+        return bool(int(v.text))
+    num = float(v.text)
+    # ints stay ints unless Excel wrote a decimal point / exponent
+    if num == int(num) and "." not in v.text and "e" not in v.text.lower():
+        return int(num)
+    return num
+
+
+def read_xlsx(path: str, sheet_index: int = 0) -> tuple[list[str], list[list]]:
+    """Decode one worksheet to (header, data_rows) with stdlib only.
+    Row 1 is the header; data rows are None-padded to the header
+    width; cells beyond the header width are dropped (pandas
+    behavior for ragged sheets)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        shared = _shared_strings(z)
+        root = ET.fromstring(z.read(_sheet_zip_path(z, sheet_index)))
+        raw: list[dict[int, object]] = []
+        for row in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, object] = {}
+            next_col = 0
+            for c in row.findall(f"{_XLSX_NS}c"):
+                ref = c.get("r")
+                ci = _col_index(ref) if ref else next_col
+                next_col = ci + 1
+                cells[ci] = _cell_value(c, shared)
+            raw.append(cells)
+    if not raw:
+        return [], []
+    width = (max(raw[0]) + 1) if raw[0] else 0
+    header = [str(raw[0].get(i, f"col{i}")) for i in range(width)]
+    data = [[r.get(i) for i in range(width)] for r in raw[1:]]
+    return header, data
+
+
+def read_excel_rows(spark: SparkSession, path: str, sheet_index: int = 0) -> DataFrame:
+    """Excel scan (S2, reference pd.read_excel app.py:6062-6063):
+    stdlib xlsx decode -> pandas frame -> normalized Spark rows. No
+    optional engine required. All-NULL columns are typed string so
+    createDataFrame never hits an undeterminable-type error."""
+    import pandas as pd
+
+    header, data = read_xlsx(path, sheet_index)
+    pdf = pd.DataFrame(data, columns=header)
+    for col in pdf.columns:
+        if pdf[col].isna().all():
+            pdf[col] = pdf[col].astype("string")
     return sheet_frame_to_rows(spark, pdf)

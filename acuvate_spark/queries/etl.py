@@ -12,11 +12,20 @@ cascade.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions import tags
+from ..operators import sources
 from ..tables import load_table, repartition_for_compute
 from .registry import register
+
+_XLSX_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "tags_import.xlsx",
+)
 
 # ---------------------------------------------------------------------------
 # §3.1 — drawing-scanner tag ETL (reference insert_extracted_data_to_database
@@ -249,6 +258,20 @@ WITH excel AS (
     ['equipment tag','INSTRUMENT','cable','line tag','junk'][(p_partkey % 5) + 1] AS tagtype_raw,
     CAST(p_partkey AS VARCHAR) || '.0' AS sequence_raw
   FROM part
+  UNION ALL
+  -- the committed tags_import.xlsx fixture, decoded Spark-side by the
+  -- stdlib xlsx reader; values inlined here (tools/make_xlsx_fixture.py
+  -- is the single source of both)
+  SELECT * FROM (VALUES
+    (1000001, NULL, 'equipment tag', '7.0'),
+    (1000002, 'nan', 'INSTRUMENT', '8.0'),
+    (1000003, 'PIT-3101', 'junk', '9.0'),
+    (1000004, 'PIT-3102', 'line tag', '10.0'),
+    (1000005, 'PIT-3103', 'cable', '11.0'),
+    (1000006, 'PIT-3104', 'equipment tag', '12.0'),
+    (1000007, 'PIT-3105', 'INSTRUMENT', '13.0'),
+    (1000008, 'PIT-3106', 'line tag', '14.0')
+  ) AS x(row_id, tagno_raw, tagtype_raw, sequence_raw)
 ), v AS (
   SELECT row_id,
     {tags.null_normalize_sql('tagno_raw')} AS tagno,
@@ -276,7 +299,13 @@ def excel_validate_etl(spark, sf_dir):
     app.py:5932-5943), then split rows into Add/Edit/error actions
     (add-vs-edit = membership in the register, app.py:6204-6275).
     Errors accumulate as a column instead of failing the job — the
-    valid/invalid split is a filter on the result."""
+    valid/invalid split is a filter on the result.
+
+    Input is the part-synthesized sheet UNION the committed
+    ``tags_import.xlsx`` fixture decoded by the stdlib xlsx reader
+    (S2, sources.read_xlsx — reference pd.read_excel
+    app.py:6062-6063), so the driver exercises the real binary Excel
+    scan end-to-end; the oracle inlines the fixture's known rows."""
     p = load_table(spark, sf_dir, "part")
     k = F.col("p_partkey")
     tagno_raw = (
@@ -294,6 +323,13 @@ def excel_validate_etl(spark, sf_dir):
         tagtype_raw.alias("tagtype_raw"),
         F.concat(k.cast("string"), F.lit(".0")).alias("sequence_raw"),
     )
+    fixture = sources.read_excel_rows(spark, _XLSX_FIXTURE).select(
+        F.col("RowId").cast("long").alias("row_id"),
+        F.col("TagNo").alias("tagno_raw"),
+        F.col("TagType").alias("tagtype_raw"),
+        F.col("Sequence").alias("sequence_raw"),
+    )
+    excel = excel.unionByName(fixture)
     lt = F.lower(F.col("tagtype_raw"))
     tag_type = (
         F.when(lt.contains("equip"), F.lit("Equipment"))

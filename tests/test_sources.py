@@ -136,27 +136,54 @@ def _minimal_xlsx(path) -> None:
             z.writestr(name, data)
 
 
-def test_excel_binary_decode_is_env_gated(spark, tmp_path):
-    """With no Excel engine the decode must fail loudly as
-    NotImplementedError (not silently return junk); with an engine it
-    must round-trip the sheet including header normalization."""
-    import pytest
-
-    try:
-        import openpyxl  # noqa: F401
-
-        has_engine = True
-    except ImportError:
-        has_engine = False
+def test_excel_binary_decode_stdlib(spark, tmp_path):
+    """S2 binary decode with NO optional engine: the stdlib xlsx
+    reader must round-trip a hand-zipped sheet, including header
+    normalization (strip)."""
     p = tmp_path / "wb.xlsx"
     _minimal_xlsx(p)
-    if not has_engine:
-        with pytest.raises(NotImplementedError):
-            sources.read_excel_rows(spark, str(p))
-    else:  # pragma: no cover - env-dependent
-        df = sources.read_excel_rows(spark, str(p))
-        assert df.columns == ["Tag Number"]
-        assert df.collect()[0]["Tag Number"] == "P-1001"
+    df = sources.read_excel_rows(spark, str(p))
+    assert df.columns == ["Tag Number"]
+    assert df.collect()[0]["Tag Number"] == "P-1001"
+
+
+def test_excel_fixture_decode_all_cell_types():
+    """The committed tags_import.xlsx fixture exercises shared
+    strings, inline strings, numeric cells, and a missing cell."""
+    from pathlib import Path
+
+    fixture = (
+        Path(sources.__file__).resolve().parent.parent
+        / "resources"
+        / "tags_import.xlsx"
+    )
+    header, data = sources.read_xlsx(str(fixture))
+    assert header == ["RowId", "TagNo", "TagType", "Sequence"]
+    assert len(data) == 8
+    assert data[0][0] == 1000001 and isinstance(data[0][0], int)  # numeric
+    assert data[0][1] is None  # missing cell -> NULL
+    assert data[1][1] == "nan"  # inline string
+    assert data[0][2] == "equipment tag"  # shared string
+    assert data[7] == [1000008, "PIT-3106", "line tag", "14.0"]
+
+
+def test_excel_fixture_is_reproducible(tmp_path):
+    """tools/make_xlsx_fixture.py must regenerate the committed bytes
+    exactly (the oracle inlines the fixture's rows, so silent drift
+    between the binary and the generator would break parity)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(sources.__file__).resolve().parent.parent.parent
+    fixture = root / "acuvate_spark" / "resources" / "tags_import.xlsx"
+    committed = fixture.read_bytes()
+    subprocess.run(
+        [sys.executable, str(root / "tools" / "make_xlsx_fixture.py")],
+        check=True,
+        capture_output=True,
+    )
+    assert fixture.read_bytes() == committed
 
 
 def test_schema_evolution_merge_reads_old_and_new(spark, sf_dir, tmp_path):
