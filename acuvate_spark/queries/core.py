@@ -907,18 +907,23 @@ def sketch_stats(spark, sf_dir):
 
 @register(
     "sketch_hll_distinct",
-    oracle=None,  # HLL register values are engine-specific: rows-only,
-    # with the exactness bound asserted inside the result itself
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS hll_ok
+FROM orders GROUP BY o_orderstatus
+""",
     survey_ref="A8 approximate variant: HLL++ distinct sketch",
 )
 def sketch_hll_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct customers per order status, self-checked:
-    the query emits the approximate count next to the exact count and a
-    boolean asserting the sketch landed within 3x its configured rsd
-    (0.02). Spark's HLL++ is deterministic for a given input, so the
-    driver's rows-only check sees a stable 3-row frame; the local test
-    asserts hll_ok is all-true. At 100 TB the exact column is dropped
-    and only the mergeable sketch runs."""
+    """HyperLogLog++ distinct customers per order status, fully
+    hash-verifiable (r03 verdict item 4): the engine-specific HLL
+    register value stays OUT of the result; what ships is the exact
+    count (DuckDB reproduces it) plus ``hll_ok`` — Spark's HLL++
+    estimate landing within 3x its configured rsd (0.02) of exact.
+    The oracle pins ``hll_ok`` to TRUE, so an out-of-bound sketch is
+    a hash MISMATCH the driver flags, not a silent pass. At 100 TB
+    the exact column is dropped and only the mergeable sketch runs."""
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
@@ -927,7 +932,6 @@ def sketch_hll_distinct(spark, sf_dir):
     err = F.abs(F.col("approx_customers") - F.col("exact_customers"))
     return agg.select(
         "o_orderstatus",
-        "approx_customers",
         "exact_customers",
         (err <= 0.06 * F.col("exact_customers")).alias("hll_ok"),
     )
