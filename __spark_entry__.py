@@ -60,8 +60,13 @@ def _row_passed(row: dict) -> bool:
         return False
     if row.get("hash_match") is True:
         return True
-    # rows-only-by-design queries (no oracle): a row count is the signal
-    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+    # rows-only-by-design queries (no oracle): "produced rows" is the
+    # signal, so the count must be a POSITIVE integer — a silently
+    # empty result must rotate back to the front, not count as green
+    if row.get("err") != "no_oracle":
+        return False
+    rows = row.get("spark_rows")
+    return isinstance(rows, int) and rows > 0
 
 
 def _since_rounds() -> dict[str, int]:

@@ -55,14 +55,25 @@ def cosine_rounded_sql(a_expr: str, b_expr: str, digits: int = 4) -> str:
     return f"round({cosine_sql(a_expr, b_expr)}, {digits})"
 
 
+# Sign bits are taken on the dot product ROUNDED to this many decimals
+# (the cosine_rounded pattern): each engine folds the sum in its own
+# order, and a last-ULP difference on a near-zero dot would flip a
+# sign bit and silently diverge the candidate sets between engines.
+SIGN_DECIMALS = 6
+
+
 def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one bit per plane = sign of the
-    dot product. Planes are fixed literals so the bucket is a pure
-    deterministic expression (same on any engine)."""
+    (rounded) dot product. Planes are fixed literals so the bucket is a
+    pure deterministic expression (same on any engine)."""
     bits = []
     for plane in planes:
         arr = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(F.when(dot(v, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(
+            F.when(F.round(dot(v, arr), SIGN_DECIMALS) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
     return F.concat(*bits)
 
 
@@ -78,10 +89,13 @@ def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
         F.transform(
             planes_arr,
             lambda pl: F.when(
-                F.aggregate(
-                    F.zip_with(v, pl, lambda x, y: x.cast("double") * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+                F.round(
+                    F.aggregate(
+                        F.zip_with(v, pl, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    SIGN_DECIMALS,
                 )
                 >= 0,
                 F.lit("1"),
@@ -94,8 +108,10 @@ def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
 def hyperplane_signature_sql(v_expr: str, planes: list[list[float]]) -> str:
     """DuckDB rendering of ``hyperplane_signature``: one comprehension
     over a planes literal (~40x faster than per-plane CASE chains at
-    64 planes; accumulation order i-ascending matches the Spark side
-    bit-for-bit)."""
+    64 planes). The sign is taken on the dot product rounded to
+    SIGN_DECIMALS — DuckDB's list_sum fold order is an implementation
+    detail, so without the rounding a last-ULP difference on a
+    near-zero dot product could flip a bit vs the Spark side."""
     dim = len(planes[0])
     planes_lit = (
         "["
@@ -105,8 +121,9 @@ def hyperplane_signature_sql(v_expr: str, planes: list[list[float]]) -> str:
         + "]"
     )
     return (
-        f"array_to_string([CASE WHEN list_sum([{v_expr}[i]::DOUBLE * pl[i] "
-        f"FOR i IN range(1, {dim + 1})]) >= 0 THEN '1' ELSE '0' END "
+        f"array_to_string([CASE WHEN round(list_sum([{v_expr}[i]::DOUBLE * pl[i] "
+        f"FOR i IN range(1, {dim + 1})]), {SIGN_DECIMALS}) >= 0 "
+        f"THEN '1' ELSE '0' END "
         f"FOR pl IN {planes_lit}], '')"
     )
 
@@ -116,8 +133,8 @@ def hyperplane_bucket_sql(v_expr: str, planes: list[list[float]]) -> str:
     for plane in planes:
         arr = "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in plane) + "]"
         d = (
-            f"list_sum([{v_expr}[i]::DOUBLE * ({arr})[i] "
-            f"FOR i IN range(1, len({v_expr}) + 1)])"
+            f"round(list_sum([{v_expr}[i]::DOUBLE * ({arr})[i] "
+            f"FOR i IN range(1, len({v_expr}) + 1)]), {SIGN_DECIMALS})"
         )
         bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(bits)

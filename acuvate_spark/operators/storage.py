@@ -132,7 +132,14 @@ def compact_path(
         os.rename(leaf, backup)
         os.rename(tmp, leaf)
         shutil.rmtree(backup)
-        return n_target
+        # count what the rewrite actually produced: coalesce(n) writes
+        # FEWER files when the leaf frame has fewer input partitions
+        # than n, so returning n_target would over-report
+        return sum(
+            1
+            for e in os.scandir(leaf)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
 
     _MARKERS = (".__compacting__", ".__pre_compact__")
 

@@ -478,8 +478,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     on an 8x8-bit band equi-join, and exact cosine verifies only the
     collision-bounded candidate set. The signature is a pure column
     expression (zip_with/aggregate dots, JVM-side) and the oracle
-    computes the identical signature, so both engines see the same
-    candidate set. At 100 TB: band join cost tracks bucket collisions
+    computes the identical signature — sign bits on the
+    SIGN_DECIMALS-rounded dot product (r04), so a last-ULP summation-
+    order difference can't diverge the candidate sets — and both
+    engines see the same candidates; tests/test_lsh_recall.py
+    additionally pins recall against the exact all-pairs set, which
+    engine parity alone cannot. At 100 TB: band join cost tracks bucket collisions
     (~n^2/2^bits per band, uniform case), never |n|^2; embeddings
     re-join the candidate pairs by id, so full vectors cross the wire
     only for verified candidates."""

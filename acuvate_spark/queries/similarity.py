@@ -100,7 +100,10 @@ def ann_lsh_bucketed(spark, sf_dir):
     corpus into 16 buckets; candidates are same-bucket only. The
     bucket is an equi-join key, so at 100 TB this is a plain hash
     join on (bucket) instead of an all-pairs scan — recall traded for
-    a ~16x candidate reduction per extra plane."""
+    a ~16x candidate reduction per extra plane. Sign bits are taken
+    on the SIGN_DECIMALS-rounded dot product (r04) so a last-ULP
+    summation-order difference can't flip a bucket bit between
+    engines."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )

@@ -1,0 +1,57 @@
+"""Independent recall check for the banded hyperplane-LSH near-dup
+path (ADVICE r03): the driver oracle for ``dedup_embedding_cosine``
+renders the SAME banding scheme in DuckDB, so it proves engine parity
+but cannot catch a banding scheme that systematically misses true
+cosine>=0.95 pairs. This test compares the LSH result against the
+exact brute-force all-pairs set at fixture scale (1000 vectors — fine
+locally, never the corpus path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from acuvate_spark.queries import REGISTRY
+
+
+def _exact_pairs(spark, sf_dir, threshold=0.95):
+    """Brute-force cosine>=threshold pairs over the same corpus the
+    query builds (embeddings + cloned vec_id%50==0 rows), computed in
+    numpy from the raw parquet — fully independent of the Spark plan
+    AND of the hyperplane scheme."""
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    clone_mask = ids % 50 == 0
+    ids = np.concatenate([ids, ids[clone_mask] + 100000])
+    mat = np.vstack([mat, mat[clone_mask]])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = normed @ normed.T
+    ia, ib = np.where(np.round(cos, 4) >= threshold)
+    return {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(ia, ib)
+        if ids[a] != ids[b]
+    }
+
+
+def test_embedding_lsh_recall_vs_exact_all_pairs(spark, sf_dir):
+    exact = _exact_pairs(spark, sf_dir)
+    got = {
+        (int(r.vec_a), int(r.vec_b))
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    # precision is structural: every reported pair was exact-verified
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    # exact clones agree on every sign bit -> every band collides:
+    # the clone pairs must ALL be recovered, no probabilistic slack
+    clones = {(a, b) for a, b in exact if b == a + 100000}
+    assert clones <= got, f"missed exact clones: {sorted(clones - got)[:5]}"
+    # overall recall: the 8x8 banding gives ~98.8% per-pair collision
+    # probability at cosine 0.95; demand >= 0.9 on the fixture so a
+    # systematically bad scheme (e.g. degenerate planes) fails loudly
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} true pairs)"
