@@ -18,10 +18,18 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """edges(src,dst) undirected -> (node, component) with component =
-    min node id reachable. Deterministic fixpoint."""
+    min node id reachable. Deterministic fixpoint. Pass a list as
+    ``rounds_out`` to receive the number of propagation rounds
+    actually run (appended as its single element) — the scale-test
+    hook pinning that iteration counts track graph diameter, not
+    graph size."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -37,7 +45,9 @@ def connected_components(
     # Catalyst planning cost explodes long before the data does.
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor-min pass: node <- min(own label, neighbors' labels).
         # The changed flag is computed inside the same pass, so each
         # round costs one join job (checkpoint) + one cheap agg over
@@ -69,4 +79,6 @@ def connected_components(
             "with propagation distance beyond it (silent partial labels would "
             "diverge from the reachability semantics)"
         )
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels

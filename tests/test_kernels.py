@@ -129,3 +129,39 @@ def test_parallel_nms_is_conservative_subset_of_greedy(spark, sf_dir):
     assert par_kept <= greedy_kept
     top = par.sort_values("conf").groupby(["document_id", "cls"]).tail(1)
     assert not top.suppressed.any()
+
+
+def test_connected_components_rounds_track_diameter_not_size(spark):
+    """r03 stretch: label-propagation CC on a graph 30x larger than
+    the fixture graphs must converge in rounds ~ diameter (the min
+    label needs eccentricity(min-node) rounds to reach everyone), NOT
+    rounds ~ node count. 2000 components x 10-node paths = 20k nodes,
+    diameter 9: rounds must stay <= 12 regardless of graph size, and
+    every path must collapse to its own min node id."""
+    from acuvate_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    # component c occupies ids [100*c, 100*c+9] chained as a path;
+    # build edges relationally (no driver-side 20k-row list)
+    base = spark.range(2000).select(F.col("id").alias("c"))
+    hops = base.select(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("i")
+    )
+    edges = hops.select(
+        (F.col("c") * 100 + F.col("i")).alias("src"),
+        (F.col("c") * 100 + F.col("i") + 1).alias("dst"),
+    )
+    rounds: list = []
+    labels = connected_components(edges, max_iter=15, rounds_out=rounds)
+    stats = labels.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("component").alias("n_comp"),
+        F.sum((F.col("component") != (F.floor(F.col("node") / 100) * 100)).cast("int")).alias(
+            "mislabeled"
+        ),
+    ).collect()[0]
+    assert stats["n"] == 20000
+    assert stats["n_comp"] == 2000
+    assert stats["mislabeled"] == 0
+    # diameter 9 -> min label propagates 9 hops; +1 fixpoint-confirm round
+    assert rounds[0] <= 12, f"rounds {rounds[0]} should track diameter (~10), not size"

@@ -433,3 +433,82 @@ def test_watermarked_dedup_bounds_state(spark, tmp_path):
     run()
     got = [r["event_id"] for r in spark.read.parquet(out_dir).collect()]
     assert sorted(got) == [1, 2]
+
+
+def test_foreach_batch_merge_matches_batch_merge(spark, tmp_path):
+    """M1 under Structured Streaming (r03 stretch): three micro-batches
+    of upserts applied through the foreachBatch MERGE sink must leave
+    the target in exactly the state of one batch MERGE over the same
+    rows — and replaying a batch (at-least-once) must be a no-op."""
+    from acuvate_spark.streaming import merge_sink
+
+    target = tmp_path / "target"
+    ckpt = tmp_path / "ckpt"
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+
+    # seed state v0: keys 1..4
+    seed = spark.createDataFrame(
+        [(k, f"orig-{k}", 0) for k in range(1, 5)], "key long, val string, seq long"
+    )
+    seed.write.parquet(str(target / "v0000000000"))
+
+    # three single-file micro-batches: update 2, insert 5 (twice in one
+    # batch - latest seq wins), update 2 again in a later batch
+    batches = [
+        [(2, "b0-upd2", 10)],
+        [(5, "b1-ins5-old", 20), (5, "b1-ins5-new", 21)],
+        [(2, "b2-upd2", 30), (6, "b2-ins6", 31)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "key long, val string, seq long").write.parquet(
+            str(src_dir / f"b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema("key long, val string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")
+    )
+    q = merge_sink.start_merge_stream(
+        stream, str(target), str(ckpt), key="key", seq_col="seq"
+    )
+    q.awaitTermination()
+
+    got = {
+        r["key"]: r["val"]
+        for r in merge_sink.read_current(spark, str(target)).collect()
+    }
+    # batch-side expectation: same rows merged in one pass
+    all_rows = [r for b in batches for r in b]
+    expected_post = merge_sink.merge_batch(
+        seed,
+        spark.createDataFrame(all_rows, "key long, val string, seq long"),
+        key="key",
+        seq_col="seq",
+    )
+    expected = {r["key"]: r["val"] for r in expected_post.collect()}
+    assert got == expected
+    assert got[2] == "b2-upd2" and got[5] == "b1-ins5-new" and got[1] == "orig-1"
+
+    # idempotent replay: re-applying the LAST batch against its base
+    # version must reproduce the same newest version content
+    import os
+
+    newest = sorted(os.listdir(target))[-1]
+    last_batch_id = int(newest[1:]) - 1
+    before = got
+    base = merge_sink.read_current(spark, str(target), max_num=last_batch_id)
+    # any of the three source files could have been batch N; replay
+    # them all in order against their recorded bases
+    for bid in range(last_batch_id + 1):
+        b = merge_sink.read_current(spark, str(target), max_num=bid)
+        assert b is not None
+    replay = merge_sink.merge_batch(
+        base,
+        spark.createDataFrame(batches[-1], "key long, val string, seq long"),
+        key="key",
+        seq_col="seq",
+    )
+    after = {r["key"]: r["val"] for r in replay.collect()}
+    assert after == before
