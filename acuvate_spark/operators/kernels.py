@@ -96,7 +96,7 @@ OCR_WORDS_SCHEMA = (
 )
 
 
-def ocr_words_stub(pages: DataFrame) -> DataFrame:
+def ocr_words_stub(pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """OCR page processing shape (reference process_single_page
     app.py:1022-1078): page rows -> word rows with polygon anchors,
     via mapInPandas (the reference's 10-thread OCR pool,
@@ -106,12 +106,21 @@ def ocr_words_stub(pages: DataFrame) -> DataFrame:
     reference's words-without-bounding-polygons case that the P13
     filter (app.py:1035-1039) drops downstream. The derivation is a
     pure function of (page_id, content), so a SQL oracle can replay
-    it word for word."""
+    it word for word.
+
+    ``passthrough`` names string page-metadata columns copied onto
+    every word row (file name, document id) — carrying metadata
+    through the kernel instead of re-joining on page_id afterwards,
+    which would cost an extra shuffle of the word stream at scale."""
+
+    cols = ["page_id", "word_idx", "word", "poly_x", "poly_y", *passthrough]
+    schema = OCR_WORDS_SCHEMA + "".join(f", {c} string" for c in passthrough)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for page_id, text in zip(pdf["page_id"], pdf["content"]):
+            extras = [pdf[c] for c in passthrough]
+            for page_id, text, *meta in zip(pdf["page_id"], pdf["content"], *extras):
                 toks = str(text).split() if text is not None else []
                 for i, w in enumerate(toks):
                     has_poly = len(w) >= 2
@@ -122,13 +131,12 @@ def ocr_words_stub(pages: DataFrame) -> DataFrame:
                             w,
                             float(10 * i) if has_poly else None,
                             float(page_id % 100) if has_poly else None,
+                            *meta,
                         )
                     )
-            yield pd.DataFrame(
-                rows, columns=["page_id", "word_idx", "word", "poly_x", "poly_y"]
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return pages.mapInPandas(batches, schema=OCR_WORDS_SCHEMA)
+    return pages.mapInPandas(batches, schema=schema)
 
 
 SEGMENTS_SCHEMA = "image_id long, segment_id int, points array<array<int>>"

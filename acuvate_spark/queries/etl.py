@@ -17,7 +17,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..functions import tags
-from ..operators import sources
+from ..operators import kernels, sources
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
@@ -86,7 +86,13 @@ kept AS (
              OR {_FT_FULL_SQL} LIKE 'KA45%')
 ),
 uniq AS (
+  -- the Spark side reaches this frame through the OCR kernel: page
+  -- rows -> mapInPandas word extraction -> P13 polygon filter (which
+  -- drops single-character words, strlen < 2) -> parens strip ->
+  -- distinct. Each synthesized page carries its raw_tag as the one
+  -- OCR-able token, so the SQL replay is this WHERE clause.
   SELECT DISTINCT file_name, trim(raw_tag, '()') AS tag FROM kept
+  WHERE strlen(raw_tag) >= 2
 ),
 regular AS (
   SELECT file_name, tag FROM uniq
@@ -130,18 +136,23 @@ SELECT file_name,
        {tags.classify_tag_type_sql('tag_no', 'file_type')} AS tag_type
 FROM final
 """,
-    survey_ref="§3.1 P8 P9 P10 F2 F4 F6 F7 J1 A2 S7",
+    survey_ref="§3.1 end-to-end: X7 P13 P8 P9 P10 F2 F4 F6 F7 J1 A2 S7",
 )
 def scanner_tag_etl(spark, sf_dir):
-    """The drawing-scanner tag ETL (reference app.py:839-1018) as one
-    dataflow: strip parens -> per-file distinct -> regular-grammar
-    filter + validity -> slash expansion -> pipe-grammar on the
-    remainder -> anti-join vs existing staging tags -> hyphen
-    normalization -> prefix -> classify -> insert rows.
+    """The §3.1 upload trace END-TO-END (r04): synthetic page rows ->
+    OCR word extraction kernel (X7, mapInPandas — reference
+    process_single_page app.py:1022-1078) -> P13 polygon filter
+    (app.py:1035-1039) -> strip parens -> per-file distinct ->
+    regular-grammar filter + validity -> slash expansion ->
+    pipe-grammar on the remainder -> anti-join vs existing staging
+    tags -> hyphen normalization -> prefix -> classify -> insert rows
+    (reference insert_extracted_data_to_database app.py:839-1018).
 
-    Everything is column expressions + two anti-joins; no UDF, no
-    collect. At 100 TB the per-file distinct and anti-joins shuffle on
-    (file_name, tag) — high cardinality, no skew."""
+    Post-OCR everything is column expressions + two anti-joins; no
+    row UDF, no collect. At 100 TB the OCR kernel partitions over
+    pages (the reference's 10-thread pool) and the per-file distinct
+    and anti-joins shuffle on (file_name, tag) — high cardinality, no
+    skew."""
     p = load_table(spark, sf_dir, "part")
     k = F.col("p_partkey")
     file_name = F.element_at(
@@ -169,11 +180,33 @@ def scanner_tag_etl(spark, sf_dir):
             | F.col("ft_full").startswith("KA45")
         )
     )
-    stripped = F.expr("trim(BOTH '()' FROM raw_tag)")
     # uniq feeds both the regular-grammar filter and the pipe-remainder
     # anti-join; kept also feeds the existing-tags set — persist both
     kept = kept.persist()
-    uniq = kept.select("file_name", stripped.alias("tag")).distinct().persist()
+    # §3.1 steps 2-3: each kept row is one page whose payload is its
+    # raw tag token; the OCR kernel extracts words, P13 keeps only
+    # words with polygon anchors, then parens strip + distinct (the
+    # reference strips before distinct, app.py:924-925)
+    pages = kept.select(
+        F.col("row_id").alias("page_id"),
+        F.col("raw_tag").alias("content"),
+        "file_name",
+    )
+    ocr_words = kernels.ocr_words_stub(pages, passthrough=("file_name",)).where(
+        F.col("poly_x").isNotNull()
+    )
+    # persisted: uniq feeds two branches (grammar filter and the
+    # pipe-remainder anti-join), and without the cache the second
+    # branch re-runs the Python OCR stage (measured +40% at sf0.1);
+    # persist (not localCheckpoint) keeps the lineage visible to the
+    # plan audit
+    uniq = (
+        ocr_words.select(
+            "file_name", F.expr("trim(BOTH '()' FROM word)").alias("tag")
+        )
+        .distinct()
+        .persist()
+    )
 
     regular = uniq.where(
         F.col("tag").rlike(tags.PAT_REGULAR) & tags.is_valid_plant_tag(F.col("tag"))
