@@ -570,18 +570,18 @@ def contamination_check(spark, sf_dir):
     here by cloning the benchmark docs into the corpus at +200000, so
     both engines must find exactly those clones plus any natural
     overlap). The scalable shape: the benchmark shingle set is small
-    by definition — it broadcasts — and the corpus side is a
-    shingle-level semi-join + two map-side-combinable counts; corpus
-    text never shuffles. The contamination fraction is an exact
-    integer ratio, so the double is bit-identical across engines."""
-    result, csh = _contamination_plan(spark, sf_dir)
-    return _materialize_and_release(result, csh)
+    by definition — it broadcasts — and the corpus side is ONE pass:
+    a broadcast left join marks each corpus shingle as benchmark-hit
+    or not, then a single map-side-combinable groupBy computes the
+    shingle count and the overlap count together (the r03 plan
+    scanned the corpus shingles twice through a persist; this one
+    never caches). Corpus text never shuffles. The contamination
+    fraction is an exact integer ratio, so the double is
+    bit-identical across engines."""
+    return _contamination_plan(spark, sf_dir)
 
 
 def _contamination_plan(spark, sf_dir):
-    """Unmaterialized (result, shingle-cache) pair; the plan tests
-    assert the broadcast semi-join on this frame, since the registered
-    query returns a localCheckpoint whose plan is opaque."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.where(F.col("doc_id") % 10 == 0)
     corpus = d.where(F.col("doc_id") % 10 != 0).unionByName(
@@ -595,21 +595,27 @@ def _contamination_plan(spark, sf_dir):
             ).alias("shingle")
         )
         .distinct()  # cross-doc distinct still needed for the broadcast set
+        .withColumn("hit", F.lit(1))
     )
-    csh = _doc_shingles(corpus, 3)
-    counts = csh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
-    hits = (
-        csh.join(F.broadcast(bsh), "shingle", "left_semi")
+    # per-doc-distinct corpus shingles computed in-row (the
+    # _doc_shingles pattern) — single consumer, so no persist
+    shingles = F.array_distinct(
+        F.filter(textual.word_shingles(w, 3), lambda s: s != "")
+    )
+    csh = repartition_for_compute(corpus).select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    return (
+        csh.join(F.broadcast(bsh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_overlap"))
-    )
-    result = (
-        hits.join(counts, "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count("hit").cast("long").alias("n_overlap"),
+        )
         .withColumn("contamination", F.col("n_overlap") / F.col("n_shingles"))
         .where(F.col("contamination") >= 0.8)
         .select("doc_id", "n_shingles", "n_overlap", "contamination")
     )
-    return result, csh
 
 
 # ---------------------------------------------------------------------------

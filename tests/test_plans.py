@@ -133,18 +133,22 @@ def test_heavy_hitters_topk_has_no_global_sort(spark, sf_dir):
     assert "partial_count" in plan
 
 
-def test_contamination_semi_join_is_broadcast(spark, sf_dir):
-    # the registered query returns a localCheckpoint (opaque plan), so
-    # assert on the unmaterialized core it is built from
-    from acuvate_spark.queries.dedup import _contamination_plan
+def test_contamination_join_is_broadcast_single_pass(spark, sf_dir):
+    # corpus shingles must flow through ONE broadcast-marked left
+    # join + ONE grouping aggregate — two aggregates would mean the
+    # r03 two-scan shape crept back
+    df = REGISTRY["contamination_check"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # at most three shuffle exchanges — the explicit compute
+    # repartition, the (small) benchmark-set distinct feeding the
+    # broadcast, and the groupBy(doc_id); a join of two separate
+    # aggregates (the r03 two-scan shape) would add a fourth
+    import re
 
-    result, csh = _contamination_plan(spark, sf_dir)
-    try:
-        plan = _plan(result)
-        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    finally:
-        csh.unpersist()
+    exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(exchanges) <= 3, plan
 
 
 def test_salted_join_keys_include_salt(spark, sf_dir):
