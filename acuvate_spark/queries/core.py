@@ -829,38 +829,34 @@ FROM signup s LEFT JOIN purchases p ON p.user_id = s.user_id
 )
 def event_funnel(spark, sf_dir):
     """Signup -> purchase funnel: first signup per user, then
-    purchases strictly after it; conversion flag per user. Two
-    shuffles on user_id (Catalyst reuses the partitioning for the
-    final left join)."""
+    purchases strictly after it; conversion flag per user.
+
+    ONE shuffle: a user_id-partitioned window pins each row's
+    first_signup, and the follow-on groupBy(user_id, first_signup)
+    reuses that hash partitioning (user_id is a subset of the
+    grouping keys), so the r03 shape's localCheckpoint + two
+    aggregate/join shuffles collapse into conditional aggregates."""
     e = load_table(spark, sf_dir, "events")
-    signup = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_signup"))
-        # consumed by the purchase filter AND the final left join;
-        # materialize the (one-row-per-user) frame once
-        .localCheckpoint(eager=True)
-    )
-    purchases = (
-        e.where(F.col("event_type") == "purchase")
-        .join(signup, "user_id")
-        .where(F.col("ts") > F.col("first_signup"))
-        .groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("purchase_value"),
-        )
-    )
-    return (
-        signup.join(purchases.withColumnRenamed("user_id", "p_user"),
-                    signup.user_id == F.col("p_user"), "left")
-        .select(
-            "user_id",
+    w = Window.partitionBy("user_id")
+    is_purchase = F.col("event_type") == "purchase"
+    funnel = (
+        e.where(F.col("event_type").isin("signup", "purchase"))
+        .withColumn(
             "first_signup",
-            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
-            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
-            F.col("p_user").isNotNull().alias("converted"),
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
         )
+        .where(F.col("first_signup").isNotNull())
+    )
+    qualifies = is_purchase & (F.col("ts") > F.col("first_signup"))
+    return (
+        funnel.groupBy("user_id", "first_signup")
+        .agg(
+            F.count(F.when(qualifies, F.lit(1))).alias("n_purchases"),
+            F.coalesce(
+                F.round(F.sum(F.when(qualifies, F.col("value"))), 2), F.lit(0.0)
+            ).alias("purchase_value"),
+        )
+        .withColumn("converted", F.col("n_purchases") > 0)
     )
 
 

@@ -62,8 +62,13 @@ def merge_batch(
     """One MERGE step as dataflow: latest-per-key within the batch
     (by ``seq_col`` — micro-batches can carry several updates for one
     key), then full-outer join against the target; matched keys take
-    the batch values, unmatched keep the target row. Pure function of
-    (target, batch) so the streaming and batch paths share it."""
+    the batch values only when the batch row is at least as new
+    (``seq_col`` >=) as the target row — the WHEN MATCHED AND
+    condition of a real MERGE INTO. The guard matters beyond replays:
+    the file source can split one logical batch's same-key rows
+    across micro-batches in either order (maxFilesPerTrigger), and an
+    unconditional overwrite would let the stale row win. Pure
+    function of (target, batch) so streaming and batch share it."""
     w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))
@@ -77,10 +82,13 @@ def merge_batch(
         F.col(key).alias("__k"), *[F.col(c).alias(f"__s_{c}") for c in value_cols]
     )
     j = target.join(src, target[key] == src["__k"], "full_outer")
+    take_src = F.col(f"__s_{seq_col}").isNotNull() & (
+        F.col(seq_col).isNull() | (F.col(f"__s_{seq_col}") >= F.col(seq_col))
+    )
     return j.select(
         F.coalesce(F.col(key), F.col("__k")).alias(key),
         *[
-            F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c)
+            F.when(take_src, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
             for c in value_cols
         ],
     )
