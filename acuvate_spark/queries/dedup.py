@@ -866,3 +866,167 @@ def contamination_substring(spark, sf_dir):
         )
     )
     return _materialize_and_release(result, cg)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-internal repeated n-gram inventory (exact-substring dedup discovery)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # words per span — the discovery granularity
+_SPAN_TOP = 500
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+WITH {_DOCS_SQL},
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM docs
+),
+sp AS (
+  SELECT doc_id, md5(unnest({textual.word_shingles_sql('w', _SPAN_N)})) AS h FROM w
+),
+per_doc AS (
+  SELECT h, doc_id, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY h, doc_id
+),
+inv AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(c) AS BIGINT) AS n_occurrences,
+         min(doc_id) AS first_doc
+  FROM per_doc GROUP BY h
+)
+SELECT h, n_docs, n_occurrences, first_doc
+FROM inv WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, h
+LIMIT {_SPAN_TOP}
+""",
+    survey_ref="training-data: corpus-internal repeated-span inventory (the "
+    "discovery pass of exact-substring dedup, Lee et al. 2022, at word-n-gram "
+    "granularity)",
+)
+def repeated_ngram_spans(spark, sf_dir):
+    """Inventory of 8-word spans occurring in two or more
+    documents — the discovery pass of exact-substring training-data
+    dedup (suffix-array dedup's output, reformulated at n-gram
+    granularity so it is one dataflow instead of a suffix array).
+    Planted clones guarantee hits; natural boilerplate surfaces too.
+
+    Shuffle story: spans are md5-hashed IN the row, so only 32-byte
+    keys ever shuffle — never the text. Two map-side-combinable
+    aggregates ((h, doc) then h), and the top-500 is a
+    TakeOrderedAndProject heap merge with a full tie-break so both
+    engines pick the identical set. At 100 TB nothing in the plan
+    holds more than one span's hash per row."""
+    docs = _docs_plus_clones(spark, sf_dir)
+    w = textual.words(F.trim(F.col("text")))
+    sp = repartition_for_compute(docs).select(
+        "doc_id",
+        F.explode(textual.word_shingles(w, _SPAN_N)).alias("span"),
+    ).select("doc_id", F.md5("span").alias("h"))
+    per_doc = sp.groupBy("h", "doc_id").agg(F.count("*").cast("long").alias("c"))
+    inv = per_doc.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    return (
+        inv.where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "h")
+        .limit(_SPAN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+_SEM_K = 16  # centroid count; scales with |corpus| so cluster size stays bounded
+_SEM_TAU = 0.95
+
+
+@register(
+    "semdedup_clusters",
+    oracle=f"""
+WITH {_EMB_SQL},
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb ORDER BY vec_id LIMIT {_SEM_K}
+),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, s.centroid_id,
+         {vectors.cosine_rounded_sql('e.embedding', 's.ce', 4)} AS ccos
+  FROM emb e CROSS JOIN seeds s
+),
+cell AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT vec_id, embedding, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM assign0
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT b.vec_id, min(a.vec_id) AS dup_of
+  FROM cell a JOIN cell b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {vectors.cosine_rounded_sql('a.embedding', 'b.embedding', 4)} >= {_SEM_TAU}
+  GROUP BY b.vec_id
+)
+SELECT c.vec_id, c.centroid_id, (d.vec_id IS NOT NULL) AS is_dup, d.dup_of
+FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
+""",
+    survey_ref="training-data: SemDeDup (Abbas et al. 2023) — cluster-scoped "
+    "semantic dedup; keep the lowest-id representative per cosine ball",
+)
+def semdedup_clusters(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embeddings (deterministic seed
+    centroids — the 16 lowest vec_ids — so the oracle replays
+    assignment bit-for-bit; production runs Lloyd rounds through
+    ann_ivf_lloyd's identical assign pass), then WITHIN each cluster
+    mark every vector whose cosine to a lower-id member is >= tau as
+    a duplicate of the smallest such member. Pairwise cost is scoped
+    to a cluster, never the corpus: K scales with |corpus| at 100 TB
+    so |cluster| stays bounded, which is exactly why SemDeDup beats
+    corpus-wide pairwise at scale. The cluster frame feeds both sides
+    of the pairwise join plus the final flag join, so it persists for
+    the run and the result materializes before release."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    emb = e.unionByName(clones)
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(_SEM_K)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    )
+    assign0 = emb.crossJoin(F.broadcast(seeds)).withColumn(
+        "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    cell = (
+        assign0.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+        .persist()
+    )
+    a = cell.select(
+        F.col("centroid_id").alias("ca"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+    )
+    dup = (
+        cell.join(a, (F.col("ca") == F.col("centroid_id")) & (F.col("va") < F.col("vec_id")))
+        .where(vectors.cosine_rounded(F.col("ea"), F.col("embedding"), 4) >= _SEM_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("va").alias("dup_of"))
+    )
+    result = cell.join(dup.withColumnRenamed("vec_id", "vd"), cell.vec_id == F.col("vd"), "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("vd").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+    return _materialize_and_release(result, cell)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import textual
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .graph import _EDGES_SQL, _edges
 from .registry import register
 
@@ -833,4 +833,81 @@ def ngram_lm_counts(spark, sf_dir):
         .select("w1", "w2", "c_bigram", "c_w1", "n_continuations")
         .orderBy(F.col("c_bigram").desc(), "w1", "w2")
         .limit(LM_TOP_BIGRAMS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM log-probability scoring (fixed-point, hash-exact)
+# ---------------------------------------------------------------------------
+
+NATS_SCALE = 1_000_000  # micro-nats: ln() rounded to 6 decimals, then integer
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_lower_words_sql('text')}) AS term FROM documents
+),
+w2 AS (SELECT doc_id, term FROM w WHERE term <> ''),
+ug AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM w2 GROUP BY term),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug),
+nats AS (
+  SELECT term,
+         CAST(round(ln(c::DOUBLE / tot.n) * {NATS_SCALE}) AS BIGINT) AS micro_nats
+  FROM ug CROSS JOIN tot
+)
+SELECT w2.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(nats.micro_nats) AS BIGINT) AS micro_nats_sum,
+       sum(nats.micro_nats)::DOUBLE / ({NATS_SCALE}.0 * count(*)) AS avg_logprob
+FROM w2 JOIN nats USING (term)
+GROUP BY w2.doc_id
+""",
+    survey_ref="training-data: unigram-LM log-prob scoring (the actual "
+    "perplexity-style filter, made hash-exact with fixed-point ln; "
+    "rarity_score is the log-free integer stand-in)",
+)
+def unigram_logprob_score(spark, sf_dir):
+    """Per-document average token log-probability under the corpus's
+    own unigram LM — the classic perplexity-style quality filter.
+    ln() is implementation-defined in its last bit, so each TERM's
+    log-prob is rounded to micro-nats (the cosine_rounded pattern: a
+    1-ulp ln() divergence cannot survive 6-decimal rounding) and the
+    per-document total is then an EXACT integer sum — order-
+    independent, so Spark and DuckDB hash-match; the final average is
+    one IEEE division of exact integers. Shuffle story: unigram
+    counts are one map-side-combinable shuffle on the term; the
+    corpus total is a 1-row broadcast; scoring re-joins terms on the
+    same key (strategy left to AQE — unbounded vocabulary) and the
+    per-doc sum is map-side combinable. Only terms and longs ever
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = repartition_for_compute(d).select(
+        "doc_id", F.explode(_lower_words(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    ug = w.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    tot = ug.agg(F.sum("c").cast("long").alias("n"))
+    nats = ug.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("c").cast("double") / F.col("n")) * NATS_SCALE, 0)
+        .cast("long")
+        .alias("micro_nats"),
+    )
+    return (
+        w.join(nats, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("micro_nats").cast("long").alias("micro_nats_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "micro_nats_sum",
+            (
+                F.col("micro_nats_sum").cast("double")
+                / (F.lit(float(NATS_SCALE)) * F.col("n_tokens"))
+            ).alias("avg_logprob"),
+        )
     )

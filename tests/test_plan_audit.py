@@ -42,6 +42,11 @@ ALLOWED_UNBOUNDED = {
     # <= page_size rows cross a broadcast 1-row totalCount aggregate
     # (the scale-safe replacement for COUNT(*) OVER (), r03 verdict 1)
     "getdata_page",
+    # 1-row corpus-total frame broadcast over the unigram counts
+    "unigram_logprob_score",
+    # K=16 seed centroids broadcast over the corpus (same assign pass
+    # as ann_ivf_flat)
+    "semdedup_clusters",
 }
 
 _UNBOUNDED_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
