@@ -19,7 +19,8 @@ AQE coalescing stays aligned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
@@ -53,6 +54,84 @@ def suggest_buckets(total_bytes: int, target_bucket_bytes: int = 256 * 1024 * 10
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of n non-negative integer columns:
+    bit ``j`` of column ``k`` lands at output position ``j*n + k``.
+
+    Pure column arithmetic — the ``bits * n`` terms unroll into one
+    whole-stage-codegen expression (no UDF, no shuffle). Inputs must
+    already be reduced to ``[0, 2**bits)``; ``write_zordered`` does
+    that with a min/max equi-width scaling, the ``zorder_orders``
+    registry query with a modulus so the DuckDB oracle can replicate
+    the exact bit math.
+
+    Why this matters at 100 TB: sorting by a single column clusters
+    parquet row-group min/max stats on that column only — a filter on
+    any OTHER column still touches every file. Interleaving makes each
+    file a HYPER-RECTANGLE in key space, so min/max pruning works for
+    range predicates on every participating dimension (the same layout
+    Delta's OPTIMIZE ZORDER BY produces).
+    """
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for k, c in enumerate(cols):
+        lc = c.cast("long")
+        for j in range(bits):
+            z = z + F.shiftright(lc, j).bitwiseAND(F.lit(1)) * F.lit(1 << (j * n + k))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` in Z-order layout over ``cols`` (numeric).
+
+    Plan shape (all declarative, scale-safe):
+
+    1. one 1-row min/max aggregate per run (map-side combinable),
+       broadcast back — NO driver collect;
+    2. equi-width scale each column to ``[0, 2**bits)`` (the same
+       normalize-then-interleave scheme Delta uses, except Delta uses
+       range-partition ranks; equi-width keeps it a pure map);
+    3. interleave with :func:`zorder_key`;
+    4. ``repartitionByRange`` + ``sortWithinPartitions`` on the key —
+       ONE shuffle, which is the unavoidable cost of a clustering
+       rewrite (this is what OPTIMIZE ZORDER pays too).
+
+    The result: parquet files whose min/max footer stats are tight in
+    EVERY ``cols`` dimension, so predicate pushdown skips files/row
+    groups for range filters on any of them
+    (tests/test_storage.py::test_zorder_write_prunes_both_dimensions).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+    minmax = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(minmax))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        rng = (F.col(f"__max_{c}") - F.col(f"__min_{c}")).cast("double")
+        s = (
+            F.when(rng <= 0, F.lit(0))
+            .otherwise(F.floor((F.col(c) - F.col(f"__min_{c}")).cast("double") * top / rng))
+            .cast("long")
+        )
+        scaled.append(s)
+    out = (
+        joined.withColumn("__zkey", zorder_key(scaled, bits))
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .select(*df.columns)
+    )
+    out.write.mode(mode).parquet(path)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:

@@ -23,3 +23,4 @@ from . import mutations  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
 from . import pid  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import layout  # noqa: E402,F401

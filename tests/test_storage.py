@@ -188,3 +188,61 @@ def test_compact_path_recovers_interrupted_partition_swap(spark, sf_dir, tmp_pat
     leaves = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "status=*")))
     assert leaves == ["status=F", "status=O", "status=P"]  # healed, no junk dirs
     assert spark.read.parquet(path).count() == before
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # x=3 (bits 0,1 -> out 0,2), y=1 (bit 0 -> out 1): z = 1+4+2 = 7
+    df = spark.range(1).select(
+        storage.zorder_key([F.lit(3), F.lit(1)], bits=2).alias("z")
+    )
+    assert df.collect()[0].z == 7
+    # 3 dims: x=1->pos0, y=1->pos1, w=1->pos2 => 7
+    df3 = spark.range(1).select(
+        storage.zorder_key([F.lit(1), F.lit(1), F.lit(1)], bits=1).alias("z")
+    )
+    assert df3.collect()[0].z == 7
+
+
+def _file_spans(path, col):
+    """Per-parquet-file (min, max) of a column, read from real footers
+    via pyarrow — the same stats Spark's scan uses for skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """A date-sorted layout prunes date filters but custkey filters hit
+    every file; Z-order gives BOTH dimensions sub-linear file hits."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_day",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+    )
+    zpath = str(tmp_path / "zorder")
+    storage.write_zordered(o, zpath, ["o_custkey", "o_day"], bits=8, n_files=8)
+
+    # correctness: the rewrite is a permutation, nothing lost
+    assert spark.read.parquet(zpath).count() == o.count()
+
+    cust_spans = _file_spans(zpath, "o_custkey")
+    day_spans = _file_spans(zpath, "o_day")
+    n = len(cust_spans)
+    assert n > 1
+
+    # a narrow slab in EITHER dimension must intersect only a strict
+    # subset of files (single-column sort can't deliver both)
+    ck_lo, ck_hi = 10, 25
+    d_lo, d_hi = 100, 200
+    cust_hits = sum(1 for lo, hi in cust_spans if not (hi < ck_lo or lo > ck_hi))
+    day_hits = sum(1 for lo, hi in day_spans if not (hi < d_lo or lo > d_hi))
+    assert cust_hits < n, cust_spans
+    assert day_hits < n, day_spans
