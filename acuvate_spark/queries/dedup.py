@@ -1030,3 +1030,111 @@ def semdedup_clusters(spark, sf_dir):
         "dup_of",
     )
     return _materialize_and_release(result, cell)
+
+
+# --- KMV bottom-k sketch: cross-source overlap estimation -------------------
+
+_KMV_K = 64
+_KMV_SALTS = 32
+
+
+@register(
+    "source_overlap_kmv",
+    oracle=f"""
+WITH words AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, md5(s) AS h
+  FROM (SELECT source, unnest([w[i + 0] || ' ' || w[i + 1] || ' ' || w[i + 2] FOR i IN range(1, greatest(len(w) - 2, 0) + 1)]) AS s FROM words)
+  WHERE s <> ''
+),
+ranked AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh
+),
+sk AS (SELECT source, h FROM ranked WHERE rn <= {_KMV_K}),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, s.h FROM pairs p
+  JOIN sk s ON s.source = p.sa OR s.source = p.sb
+  GROUP BY p.sa, p.sb, s.h
+),
+uk AS (
+  SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u
+),
+ukk AS (SELECT sa, sb, h FROM uk WHERE rn <= {_KMV_K}),
+both_k AS (
+  SELECT k.sa, k.sb, count(*) AS n_both FROM ukk k
+  JOIN sk x ON x.source = k.sa AND x.h = k.h
+  JOIN sk y ON y.source = k.sb AND y.h = k.h
+  GROUP BY k.sa, k.sb
+),
+kk AS (SELECT sa, sb, count(*) AS k_used FROM ukk GROUP BY sa, sb)
+SELECT kk.sa AS source_a, kk.sb AS source_b,
+       round(COALESCE(both_k.n_both, 0)::DOUBLE / kk.k_used, 6) AS est_jaccard,
+       kk.k_used
+FROM kk LEFT JOIN both_k ON both_k.sa = kk.sa AND both_k.sb = kk.sb
+""",
+    survey_ref="T-sketch KMV overlap",
+)
+def source_overlap_kmv(spark, sf_dir):
+    """Cross-source corpus overlap via KMV (bottom-k) sketches over
+    3-gram shingle hashes — the mergeable-sketch answer to "how much do
+    my 20 ingest feeds duplicate each other?" without ever joining
+    corpus text against corpus text.
+
+    Scale shape (the whole point of KMV at 100 TB):
+
+    * the corpus is read ONCE, shingled, hashed, and reduced to
+      ``K`` = 64 hashes per source — every later step runs on a
+      ``|sources| x K`` frame, independent of corpus size;
+    * bottom-k is computed with BOUNDED state: distinct (source, hash)
+      -> per-(source, salt-of-32) ``row_number() <= K`` (the window
+      sort is a spillable shuffle sort, state O(1)) -> merge the
+      ``<= 32*K`` survivors per source. No ``collect_set`` over an
+      unbounded group anywhere;
+    * two-phase bottom-k is EXACT (the global bottom-k is contained in
+      the union of per-salt bottom-k), so the DuckDB oracle can
+      reproduce the estimate bit-for-bit with a plain window — this
+      sketch is hash-verified, not bound-checked;
+    * pairwise estimates join the tiny sketch frame against itself
+      (``<= |sources|^2`` rows), est = |bottom-k(A ∪ B) ∩ A ∩ B| / k'
+      — the standard KMV Jaccard estimator (k' = |bottom-k(A ∪ B)|
+      caps at K; sources with fewer distinct shingles use their exact
+      set, where the estimator degrades to exact Jaccard).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    w = textual.words(F.trim(F.col("text")))
+    shingles = F.array_distinct(
+        F.filter(textual.word_shingles(w, 3), lambda s: s != "")
+    )
+    h = (
+        docs.select("source", F.explode(shingles).alias("s"))
+        .select("source", F.md5("s").alias("h"))
+        .distinct()
+    )
+    per_salt = Window.partitionBy("source", "salt").orderBy("h")
+    survivors = (
+        h.withColumn("salt", F.pmod(F.crc32("h"), F.lit(_KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(per_salt))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    sk = survivors.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("sk")
+    )
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    unionk = F.slice(F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, _KMV_K)
+    inter = F.array_intersect(F.col("sk_a"), F.col("sk_b"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(F.size(F.array_intersect(unionk, inter)) / F.size(unionk), 6).alias(
+            "est_jaccard"
+        ),
+        F.size(unionk).alias("k_used"),
+    )

@@ -47,6 +47,9 @@ ALLOWED_UNBOUNDED = {
     # K=16 seed centroids broadcast over the corpus (same assign pass
     # as ann_ivf_flat)
     "semdedup_clusters",
+    # |sources| x K sketch frame (20 x 64 here) joined against itself
+    # under source_a < source_b — corpus-size-independent by design
+    "source_overlap_kmv",
 }
 
 _UNBOUNDED_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
