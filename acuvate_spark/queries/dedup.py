@@ -1042,7 +1042,7 @@ _KMV_SALTS = 32
     "source_overlap_kmv",
     oracle=f"""
 WITH words AS (
-  SELECT source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+  SELECT source, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM documents
 ),
 sh AS (
   SELECT DISTINCT source, md5(s) AS h
@@ -1137,4 +1137,88 @@ def source_overlap_kmv(spark, sf_dir):
             "est_jaccard"
         ),
         F.size(unionk).alias("k_used"),
+    )
+
+
+# --- sub-document (line-level) dedup with reassembly ------------------------
+
+_LINE_WORDS = 10
+
+
+@register(
+    "line_dedup_docs",
+    oracle=f"""
+WITH {_DOCS_SQL},
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{textual.WS_REGEX}') AS w FROM docs
+),
+linelists AS (
+  SELECT doc_id,
+         [{{'idx': i - 1,
+            'line': array_to_string(w[((i - 1) * {_LINE_WORDS} + 1):((i - 1) * {_LINE_WORDS} + {_LINE_WORDS})], ' ')}}
+          FOR i IN range(1, CAST(ceil(len(w) / {_LINE_WORDS}.0) AS BIGINT) + 1)] AS ls
+  FROM words
+),
+lines AS (SELECT doc_id, unnest(ls, recursive := true) FROM linelists),
+flagged AS (
+  SELECT doc_id, idx, line,
+         (row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, idx) = 1) AS keep
+  FROM lines
+)
+SELECT doc_id,
+       md5(COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY idx), '')) AS clean_md5,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       count(*) AS n_lines
+FROM flagged
+GROUP BY doc_id
+""",
+    survey_ref="T61 sub-document dedup",
+)
+def line_dedup_docs(spark, sf_dir):
+    """Sub-document (line-level) exact dedup with reassembly — the
+    Dolma/FineWeb-style pass that strips boilerplate lines repeated
+    across a corpus while keeping each line's FIRST occurrence, then
+    rebuilds every document from its surviving lines.
+
+    The synthetic corpus has no newlines, so a "line" is a fixed
+    10-word segment (the same segmentation ``chunk_documents`` uses);
+    planted clone docs (id+100000) lose every line to their original
+    and reassemble to the empty string — md5('') pins that case.
+
+    Scale shape: lines are keyed by md5; the keep decision is
+    ``row_number() = 1`` over (hash -> first (doc_id, idx)) — one
+    shuffle partitioned by line hash, spillable sort, no unbounded
+    state. Reassembly is a second shuffle keyed by doc_id where
+    in-row ``array_sort(collect_list(struct(idx, line)))`` restores
+    order without a global sort. Line text crosses the wire twice;
+    a skinny-decision variant (shuffle only (hash, doc_id, idx), join
+    the verdicts back) trades the first text shuffle for an extra
+    join — worth it when lines are long; at 10 words they are not.
+    The output ships md5 + counts per doc, never reassembled text.
+    """
+    docs = _docs_plus_clones(spark, sf_dir)
+    w = textual.words(F.trim(F.col("text")))
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(float(_LINE_WORDS))).cast("long") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, (i * _LINE_WORDS + 1).cast("int"), _LINE_WORDS)
+        ),
+    )
+    lines = docs.select("doc_id", F.posexplode(segs).alias("idx", "line")).withColumn(
+        "h", F.md5("line")
+    )
+    first = Window.partitionBy("h").orderBy("doc_id", "idx")
+    flagged = lines.withColumn("keep", F.row_number().over(first) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct(F.col("idx"), F.col("line")))
+    return flagged.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]
+                ),
+            )
+        ).alias("clean_md5"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.count("*").alias("n_lines"),
     )
