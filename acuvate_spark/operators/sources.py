@@ -206,3 +206,81 @@ def read_excel_rows(spark: SparkSession, path: str, sheet_index: int = 0) -> Dat
         if pdf[col].isna().all():
             pdf[col] = pdf[col].astype("string")
     return sheet_frame_to_rows(spark, pdf)
+
+
+# --- S2 as a first-class scan: PySpark 4 Python Data Source ----------------
+# spark.read.format("xlsx").load(path) — the idiomatic Spark shape of
+# the reference's pd.read_excel ingest (app.py:6062-6063). The driver
+# infers the schema from sheet 0's header; each SHEET is an
+# InputPartition, so a many-sheet workbook decodes in parallel across
+# executors (the stdlib decode runs where the task runs, not on the
+# driver). All columns surface as nullable strings — the same
+# contract as a CSV scan without inferSchema; typed casts belong to
+# the query layer (excel_validate_etl does exactly that).
+
+
+def _sheet_count(path: str) -> int:
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+    return len(wb.findall(f"{_XLSX_NS}sheets/{_XLSX_NS}sheet"))
+
+
+def _render_cell(v) -> str | None:
+    """Stable string rendering for the all-string scan schema: bools
+    lowercase (JSON-style), numbers via str, text verbatim."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def make_xlsx_datasource():
+    """Build the DataSource class lazily so importing this module
+    never requires pyspark.sql.datasource (present in Spark 4+)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class XlsxReader(DataSourceReader):
+        def __init__(self, path: str, fields: list[str]):
+            self._path = path
+            self._fields = fields
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(_sheet_count(self._path))]
+
+        def read(self, partition):
+            header, data = read_xlsx(self._path, sheet_index=partition.value)
+            # map by header NAME so later sheets may permute or drop
+            # columns; absent columns surface as NULL
+            idx = {h: i for i, h in enumerate(header)}
+            cols = [idx.get(f) for f in self._fields]
+            for row in data:
+                yield tuple(
+                    _render_cell(row[c]) if c is not None and c < len(row) else None
+                    for c in cols
+                )
+
+    class XlsxDataSource(DataSource):
+        """format("xlsx"): partition-per-sheet stdlib SpreadsheetML scan."""
+
+        @classmethod
+        def name(cls):
+            return "xlsx"
+
+        def schema(self):
+            header, _ = read_xlsx(self.options["path"], sheet_index=0)
+            return StructType([StructField(h, StringType()) for h in header])
+
+        def reader(self, schema):
+            return XlsxReader(self.options["path"], [f.name for f in schema.fields])
+
+    return XlsxDataSource
+
+
+def register_xlsx_source(spark: SparkSession) -> None:
+    """Idempotent per-session registration of format('xlsx')."""
+    spark.dataSource.register(make_xlsx_datasource())
