@@ -305,3 +305,66 @@ def redact_pii(spark, sf_dir):
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+@register(
+    "corpus_report_by_source",
+    oracle=f"""
+WITH e AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '{textual.WS_REGEX}')) AS n_words,
+         {textual.quality_score_sql('text')} AS q,
+         CASE WHEN ({textual.lang_id_sql('text')}) = 'en' THEN 1 ELSE 0 END AS is_en,
+         {textual.fingerprint_sql('text')} AS fp
+  FROM documents
+),
+g AS (
+  SELECT source, fp, count(*) AS cnt, sum(n_words) AS w, sum(q) AS sq, sum(is_en) AS se
+  FROM e GROUP BY source, fp
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_words,
+       round(sum(sq)::DOUBLE / sum(cnt), 4) AS avg_quality,
+       round(sum(se)::DOUBLE / sum(cnt), 4) AS pct_en,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4) AS dup_doc_rate
+FROM g GROUP BY source
+""",
+    survey_ref="T62 corpus report",
+)
+def corpus_report_by_source(spark, sf_dir):
+    """Per-source curation report card — the one-table answer to "what
+    is each ingest feed contributing?": volume (docs, words), quality
+    (mean heuristic score), language mix (english fraction), and the
+    within-source exact-duplicate rate by content fingerprint.
+
+    Scale shape: every per-doc signal is a narrow expression fused
+    into the scan; the dup rate rides the SAME two-level aggregate —
+    (source, fingerprint) partial counts, then per-source rollup — so
+    the whole report is two map-side-combinable shuffles over 32-byte
+    keys and small ints. Text never shuffles; no joins at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        "source",
+        textual.word_count(F.col("text")).cast("long").alias("n_words"),
+        textual.quality_score(F.col("text")).alias("q"),
+        (textual.lang_id(F.col("text")) == "en").cast("long").alias("is_en"),
+        textual.fingerprint(F.col("text")).alias("fp"),
+    )
+    g = e.groupBy("source", "fp").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_words").alias("w"),
+        F.sum("q").alias("sq"),
+        F.sum("is_en").alias("se"),
+    )
+    cnt = F.sum("cnt").cast("double")
+    return g.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.round(F.sum("sq") / cnt, 4).alias("avg_quality"),
+        F.round(F.sum("se") / cnt, 4).alias("pct_en"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))) / cnt, 4
+        ).alias("dup_doc_rate"),
+    )
