@@ -1150,3 +1150,57 @@ def click_attribution(spark, sf_dir):
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "price_equidepth_bins",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS bs FROM lineitem
+)
+SELECT CASE WHEN l_extendedprice <= bs[1] THEN 1
+            WHEN l_extendedprice <= bs[2] THEN 2
+            WHEN l_extendedprice <= bs[3] THEN 3
+            ELSE 4 END AS bin,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem, b
+GROUP BY 1
+""",
+    survey_ref="T63 equi-depth binning",
+)
+def price_equidepth_bins(spark, sf_dir):
+    """Equi-depth (quartile-boundary) feature binning: one 1-row
+    quantile aggregate, broadcast back, then a map-side CASE assign +
+    hash aggregate. Two passes over the fact table, zero row-level
+    joins or sorts.
+
+    This is the boundary-based twin of ``length_quartiles``' rank-based
+    ntile: ranks need a per-group sort of every row, while boundaries
+    need only a quantile AGGREGATE — which is the piece that swaps for
+    a mergeable sketch (``approx_percentile`` / the GK sketch behind
+    ``sketch_stats``) on the 100 TB path, keeping the identical plan
+    shape. The oracle uses the exact interpolated quantile, which
+    Spark's ``percentile`` matches bit-for-bit (same (n-1)*p linear
+    interpolation over IEEE doubles as DuckDB's ``quantile_cont``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("bs")
+    )
+    j = li.crossJoin(F.broadcast(b))
+    price = F.col("l_extendedprice")
+    bin_col = (
+        F.when(price <= F.col("bs").getItem(0), 1)
+        .when(price <= F.col("bs").getItem(1), 2)
+        .when(price <= F.col("bs").getItem(2), 3)
+        .otherwise(4)
+    )
+    return j.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(price), 2).alias("sum_price"),
+        F.round(F.min(price), 2).alias("min_price"),
+        F.round(F.max(price), 2).alias("max_price"),
+    )

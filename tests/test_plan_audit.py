@@ -50,6 +50,8 @@ ALLOWED_UNBOUNDED = {
     # |sources| x K sketch frame (20 x 64 here) joined against itself
     # under source_a < source_b — corpus-size-independent by design
     "source_overlap_kmv",
+    # 1-row quantile-boundaries frame broadcast over the fact table
+    "price_equidepth_bins",
 }
 
 _UNBOUNDED_MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
