@@ -167,3 +167,54 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     assert all("salt" in kl for kl in key_lines), (
         f"salt missing from join keys: {key_lines}"
     )
+
+
+def test_zorder_key_is_shuffle_free_codegen(spark, sf_dir):
+    """The Morton key is pure projection arithmetic: no Exchange, no
+    UDF (BatchEvalPython), and the % 97 sample pushes into the scan."""
+    df = REGISTRY["zorder_orders"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_corpus_report_is_two_hash_aggregate_shuffles(spark, sf_dir):
+    """The per-source report must stay join-free: every signal fuses
+    into the scan, then (source,fp) partial agg -> source rollup.
+    Exactly two exchanges, both hash aggregates, no sorts."""
+    df = REGISTRY["corpus_report_by_source"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # node markers, not expression names (array_sort/array_join appear
+    # inside the fingerprint projection)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "Sort ["):
+        assert node not in plan, node
+    # tree lines only ("- Exchange (n)"); the detail section repeats
+    # each node once more
+    assert plan.count("- Exchange (") == 2, plan
+
+
+def test_kmv_sketch_text_never_joins(spark, sf_dir):
+    """The KMV pairwise estimate must join SKETCHES (<= |sources| x K
+    rows per side), never corpus text: the only join input is the
+    post-aggregate sketch frame."""
+    df = REGISTRY["source_overlap_kmv"].fn(spark, sf_dir)
+    plan = _plan(df)
+    join_idx = plan.find("Join")
+    assert join_idx != -1
+    # the join consumes ObjectHashAggregate (collect_list slice) output,
+    # and the text column is gone before any join
+    assert "text" not in plan[join_idx : join_idx + 400]
+
+
+def test_line_dedup_reassembly_is_two_bounded_shuffles(spark, sf_dir):
+    """Line dedup: one hash-partitioned window (keep-first) + one
+    doc_id aggregate. No joins, no global sort over the corpus."""
+    df = REGISTRY["line_dedup_docs"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan.replace("union", "")  # the clone UNION is not a join
+    # window sort is within hash partitions only: every Sort node must
+    # be non-global
+    for seg in plan.split("Sort [")[1:]:
+        head = seg[:120]
+        assert "false, 0" in head, f"global sort leaked into line dedup: {head}"
