@@ -376,3 +376,53 @@ def graph_bfs_levels(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return levels.select(F.col("n").alias("node"), F.col("lvl").cast("long").alias("level"))
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "kcore_peel",
+    oracle=f"""
+WITH {_EDGES_SQL},
+ue0 AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+k1 AS (SELECT a FROM ue0 GROUP BY a HAVING count(*) >= {_KCORE_K}),
+ue1 AS (SELECT e.a, e.b FROM ue0 e JOIN k1 x ON x.a = e.a JOIN k1 y ON y.a = e.b),
+k2 AS (SELECT a FROM ue1 GROUP BY a HAVING count(*) >= {_KCORE_K}),
+ue2 AS (SELECT e.a, e.b FROM ue1 e JOIN k2 x ON x.a = e.a JOIN k2 y ON y.a = e.b),
+k3 AS (SELECT a FROM ue2 GROUP BY a HAVING count(*) >= {_KCORE_K}),
+ue3 AS (SELECT e.a, e.b FROM ue2 e JOIN k3 x ON x.a = e.a JOIN k3 y ON y.a = e.b)
+SELECT a AS node, count(*) AS degree FROM ue3 GROUP BY a
+""",
+    survey_ref="graph k-core",
+)
+def kcore_peel(spark, sf_dir):
+    """k-core peeling (3 fixed rounds, k=2): repeatedly drop
+    nodes of degree < k and the edges that touch them; report the
+    survivors with their post-peel degree. The dense-subgraph filter a
+    graph-curation pass runs before community/embedding steps.
+
+    Each round is one map-side-combinable degree aggregate plus two
+    LEFT SEMI joins of the edge list against the kept-node set — no
+    node ever carries neighbor lists, so state is O(1) per row and
+    every step shuffles on a single integer key. Rounds are FIXED here
+    (which keeps the oracle expressible as unrolled SQL CTEs); the
+    production fixpoint loop adds the same localCheckpoint +
+    1-row-convergence-guard scaffolding as operators/graph.py's
+    connected_components.
+    """
+    edges = _edges(spark, sf_dir)
+    ue = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            ue.groupBy("a").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("a")
+        )
+        ue = ue.join(keep, "a", "left_semi").join(
+            keep.withColumnRenamed("a", "b"), "b", "left_semi"
+        )
+    return ue.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
