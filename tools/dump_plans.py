@@ -90,6 +90,39 @@ COMMENTARY = {
         "One Expand node, zero Exchange: wide-to-long is a map-side "
         "expansion fused into the scan stage."
     ),
+    "zorder_orders": (
+        "The Morton key is a single codegen projection — zero Exchange, "
+        "zero Python; the sample predicate pushes into the parquet scan. "
+        "write_zordered adds exactly one range shuffle, the unavoidable "
+        "cost of a clustering rewrite."
+    ),
+    "source_overlap_kmv": (
+        "The corpus reduces to |sources| x K hashes before anything joins: "
+        "distinct + per-salt bottom-k window + merge are all hash-keyed "
+        "bounded-state steps; the pairwise estimator runs on the tiny "
+        "sketch frame (the one BNL join, bounded by |sources|^2)."
+    ),
+    "line_dedup_docs": (
+        "Two bounded shuffles: the keep-first decision is a window over "
+        "line-hash partitions (spillable in-partition sort), reassembly a "
+        "doc_id hash aggregate whose ordering is the in-row "
+        "array_sort(collect_list) — no global sort, no joins."
+    ),
+    "corpus_report_by_source": (
+        "Every signal (words, quality, lang, fingerprint) fuses into the "
+        "scan projection; the report is exactly two map-side-combinable "
+        "hash aggregates — text never shuffles, no joins at all."
+    ),
+    "price_equidepth_bins": (
+        "Pass 1 is a 1-row quantile aggregate (the piece that swaps for a "
+        "mergeable sketch at corpus scale); pass 2 a broadcast of that row "
+        "plus a map-side CASE assign feeding a 4-group hash aggregate."
+    ),
+    "kcore_peel": (
+        "Each peel round is a degree partial-aggregate plus two LEFT SEMI "
+        "hash joins on a single integer key — no neighbor lists, O(1) row "
+        "state, lineage bounded by the fixed round count."
+    ),
 }
 
 
