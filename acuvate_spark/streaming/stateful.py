@@ -70,3 +70,79 @@ def streaming_seen_filter(tags_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = "user_id long, session_start timestamp, session_end timestamp, n_events long"
+SESSION_STATE = "start long, end long, n long"  # event-time micros + count
+
+_GAP_MIN = 30
+
+
+def session_close_emitter(events: DataFrame, gap_minutes: int = _GAP_MIN) -> DataFrame:
+    """Emit-on-close sessionization — the pattern the built-in
+    ``session_window`` aggregate can't express: a session row is
+    emitted EXACTLY ONCE, either when a later event from the same user
+    exceeds the gap (intra-batch close) or when the EVENT-TIME TIMEOUT
+    fires because the watermark passed session_end + gap (no more
+    on-time data can extend it). Downstream sees an append-only stream
+    of finished sessions — the shape a training-data eventlog compactor
+    wants to upsert.
+
+    State per user is one (start, end, n) triple — O(1), evictable,
+    checkpointed. Batch parity: over a fully-replayed log the emitted
+    sessions equal the batch ``session_window`` aggregation
+    (tests/test_streaming.py::test_session_close_emitter_*).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start * 1000)],
+                    "session_end": [pd.Timestamp(end * 1000)],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            # arrow hands timestamps as datetime64[ns]; keep micros
+            ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        ts.sort()
+        cur = state.get if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            # the close deadline; never at/below the current watermark
+            # (Spark rejects that), so a late-straggling session closes
+            # on the next watermark advance instead
+            deadline_ms = (cur[1] + gap_us) // 1000
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s * 1000) for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e * 1000) for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+    return events.withWatermark("ts", "1 minute").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -512,3 +512,83 @@ def test_foreach_batch_merge_matches_batch_merge(spark, tmp_path):
     )
     after = {r["key"]: r["val"] for r in replay.collect()}
     assert after == before
+
+
+def test_session_close_emitter_emits_each_session_once(spark, tmp_path):
+    """Emit-on-close sessionization (applyInPandasWithState +
+    EventTimeTimeout): an intra-batch gap closes a session immediately;
+    the final open session closes when the watermark passes its
+    deadline; every session is emitted exactly once; the emitted set
+    equals the batch session_window aggregation."""
+    import datetime as dt
+
+    from acuvate_spark.streaming import stateful
+
+    in_dir = tmp_path / "sess_in"
+    ckpt = str(tmp_path / "sess_ckpt")
+    out_dir = str(tmp_path / "sess_out")
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).coalesce(1).write.mode("append").json(str(in_dir))
+
+    def run():
+        stream = windows.stream_events_from_json(spark, str(in_dir))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stateful.session_close_emitter(stream, gap_minutes=30)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    m = dt.timedelta(minutes=1)
+    # user 7: two bursts 2h apart IN ONE BATCH -> burst 1 closes
+    # intra-batch; burst 2 stays open in state
+    first_events = [
+        (1, base, 7, "click", 1.0),
+        (2, base + 5 * m, 7, "click", 1.0),
+        (3, base + 120 * m, 7, "view", 1.0),
+        (4, base + 121 * m, 7, "view", 1.0),
+    ]
+    emit(first_events)
+    run()
+    # a much-later event from ANOTHER user advances the watermark past
+    # burst 2's deadline -> its timeout fires and emits it
+    late = [(5, base + dt.timedelta(hours=12), 8, "click", 1.0)]
+    emit(late)
+    run()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected_closed = {
+        (7, base, base + 5 * m, 2),
+        (7, base + 120 * m, base + 121 * m, 2),
+    }
+    assert got == expected_closed
+
+    # batch parity for the closed sessions: native session_window over
+    # the same replayed log (user 8's session never closed - excluded)
+    batch = (
+        spark.createDataFrame(
+            first_events,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), "n_events")
+    )
+    batch_rows = {
+        (r["user_id"], r["s"], r["n_events"]) for r in batch.collect()
+    }
+    assert {(u, s, n) for (u, s, _e, n) in got} == batch_rows
