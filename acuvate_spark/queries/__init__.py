@@ -24,3 +24,4 @@ from . import etl  # noqa: E402,F401
 from . import pid  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401

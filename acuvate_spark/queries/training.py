@@ -911,3 +911,188 @@ def unigram_logprob_score(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+# Per-source token budgets for the mixture prefix-selection. Rendered
+# once into both engines (define-once-render-twice); ~57 tokens/doc at
+# fixture scale means every source selects a partial prefix.
+_TOKEN_BUDGETS = {f"src{k}": 200 + 61 * k for k in range(20)}
+
+
+def _budget_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {b}" for s, b in _TOKEN_BUDGETS.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _nonempty_words_sql(expr: str) -> str:
+    return f"list_filter({_lower_words_sql(expr)}, x -> x <> '')"
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_nonempty_words_sql('text')}) AS BIGINT) AS n_tokens,
+         md5('mixv2|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before,
+       cum_before < {_budget_case_sql()} AS selected
+FROM c
+""",
+    survey_ref="training-data: mixture sampling to a per-source token "
+    "budget (the data-mixing step that assembles a training set from "
+    "per-domain token targets)",
+)
+def token_budget_mix(spark, sf_dir):
+    """Token-budget mixture selection: each source contributes documents
+    in deterministic md5 order until its token budget is exhausted —
+    the step that assembles a training mix from per-domain token
+    targets (e.g. 30% code / 50% web / 20% books by TOKENS, not docs).
+    A doc is selected iff the tokens accumulated BEFORE it are under
+    budget, so every source overshoots by less than one document.
+
+    The per-source running token total is a prefix sum — the textbook
+    scale trap, because ``sum() OVER (PARTITION BY source ORDER BY h)``
+    sends each source's ENTIRE corpus through one window task (sources
+    are few and huge at 100 TB). This plan computes it as a
+    DISTRIBUTED two-level prefix sum instead: rows hash into 256
+    buckets by their md5's first 2 hex chars (bucket order is a PREFIX
+    of the md5 order, so semantics are unchanged); the in-bucket
+    cumulative runs partitioned by (source, bucket) — 256-way parallel
+    per source; the per-bucket base offsets come from a tiny
+    (sources x 256)-row aggregate whose own prefix sum is trivially
+    cheap and which re-joins as a broadcast. The oracle runs the
+    single-window form — identical semantics, which is exactly the
+    point: same answer, scalable shape."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("mixv2|"), F.col("doc_id").cast("string")))
+    rows = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(_lower_words(F.col("text")), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 2))
+    w_in = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_bucket = rows.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    bucket_sums = rows.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").cast("long").alias("bt")
+    )
+    w_base = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = bucket_sums.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bt").over(w_base), F.lit(0)).cast("long").alias("base"),
+    )
+    budget = F.lit(0)
+    for s, b in _TOKEN_BUDGETS.items():
+        budget = F.when(F.col("source") == s, F.lit(b)).otherwise(budget)
+    return (
+        in_bucket.join(F.broadcast(bases), ["source", "bucket"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("base") + F.col("cum_in")).cast("long").alias("cum_before"),
+            ((F.col("base") + F.col("cum_in")) < budget).alias("selected"),
+        )
+    )
+
+
+# Hashed-linear classifier: D feature buckets, deterministic weights
+# derived from the bucket id by a Knuth multiplicative mix — integer
+# end to end, so the score is bit-identical across engines. (In
+# production the weights are a trained model loaded as a broadcast
+# (bucket, weight) table; the dataflow — explode, hash, weight-sum —
+# is identical.)
+_CLF_BUCKETS = 4096
+_CLF_MIX = 2654435761  # Knuth's 2^32 / phi multiplier
+_CLF_MOD = 8191
+_CLF_BIAS = 4095
+
+
+@register(
+    "hashed_text_classifier",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, {_nonempty_words_sql('text')} AS w FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(list_concat(w, {textual.word_shingles_sql('w', 2)})) AS term
+  FROM ws
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(term), 1, 8))::BIGINT % {_CLF_BUCKETS} AS bucket
+  FROM terms
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(bucket * {_CLF_MIX} % {_CLF_MOD} - {_CLF_BIAS}) AS BIGINT) AS score,
+       sum(bucket * {_CLF_MIX} % {_CLF_MOD} - {_CLF_BIAS}) > 0 AS label
+FROM feats
+GROUP BY doc_id
+""",
+    survey_ref="training-data: hashed-n-gram linear classifier (fastText-"
+    "style model-based quality/domain filter as a pure column-expression "
+    "plan)",
+)
+def hashed_text_classifier(spark, sf_dir):
+    """fastText-shaped linear text classifier: unigram + bigram
+    features hashed into 4096 buckets (first 8 md5 hex chars mod 4096
+    — the hashing trick), each bucket carrying a weight, document score
+    = sum of feature weights, label = sign. This is the model-based
+    quality/domain filter of a pretraining pipeline (fastText langid /
+    quality classifiers) expressed as a declarative plan: the weights
+    here derive deterministically from the bucket id (Knuth
+    multiplicative mix, integer-exact in both engines); a trained
+    model swaps in as a broadcast (bucket, weight) join against the
+    same exploded feature frame without touching the dataflow.
+
+    100 TB story: explode + hash + weight are narrow codegen
+    expressions fused into the scan; the only shuffle is the per-doc
+    partial aggregate on doc_id (map-side combinable — a doc's
+    features combine within each task before shuffling one row per
+    doc). Nothing wider than (doc_id, two longs) ever moves."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(_lower_words(F.col("text")), lambda x: x != "")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.concat(w, textual.word_shingles(w, 2))).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % _CLF_BUCKETS
+    )
+    weight = (bucket * F.lit(_CLF_MIX)) % _CLF_MOD - _CLF_BIAS
+    return (
+        terms.select("doc_id", weight.alias("wgt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("wgt").cast("long").alias("score"),
+        )
+        .select("doc_id", "n_terms", "score", (F.col("score") > 0).alias("label"))
+    )

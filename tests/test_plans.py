@@ -218,3 +218,48 @@ def test_line_dedup_reassembly_is_two_bounded_shuffles(spark, sf_dir):
     for seg in plan.split("Sort [")[1:]:
         head = seg[:120]
         assert "false, 0" in head, f"global sort leaked into line dedup: {head}"
+
+
+def test_gapfill_window_is_per_user_not_global(spark, sf_dir):
+    """gapfill_daily's forward-fill window must sort within hash
+    partitions (partitionBy user), never globally; no nested-loop
+    join anywhere in the densify-join."""
+    df = REGISTRY["gapfill_daily"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Sort [")[1:]:
+        assert "false, 0" in seg[:160], f"global sort in gapfill plan: {seg[:160]}"
+
+
+def test_token_budget_mix_is_two_level_prefix_sum(spark, sf_dir):
+    """token_budget_mix must never run the single-window per-source
+    cumsum (that funnels a whole source through one task): the
+    in-bucket window partitions by (source, bucket), the bucket-base
+    frame joins back as a broadcast, and every Sort is non-global."""
+    df = REGISTRY["token_budget_mix"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, "bucket bases must broadcast"
+    for seg in plan.split("Sort [")[1:]:
+        assert "false, 0" in seg[:160], f"global sort in mix plan: {seg[:160]}"
+    # the row-level window must key on bucket too, not source alone:
+    # windowspecdefinition(source, bucket, h ASC ...)
+    import re
+
+    row_specs = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^)]*\)", plan)
+        if "h#" in m.group(0)
+    ]
+    assert row_specs and all("bucket" in s for s in row_specs), row_specs
+
+
+def test_hashed_classifier_is_single_exchange_codegen(spark, sf_dir):
+    """The classifier is explode + hash + weight fused into the scan
+    with ONE map-side-combinable doc aggregate: exactly one Exchange,
+    no joins, no Python eval."""
+    df = REGISTRY["hashed_text_classifier"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("- Exchange (") == 1, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
