@@ -3,6 +3,8 @@
     python -m acuvate_spark list [--grep PATTERN]
     python -m acuvate_spark run <query> [--sf-dir DIR] [--limit N]
                                         [--out PATH] [--explain]
+    python -m acuvate_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
+                                             [--out PATH] [--explain]
 
 ``run`` executes one named query against the parquet tables in
 ``--sf-dir`` (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)
@@ -11,6 +13,12 @@ as parquet instead (distributed write, no driver collect); ``--explain``
 prints the formatted physical plan. This is the switch-over surface
 for a reference user: every operator in SURVEY.md §2 is a named query
 here.
+
+``sql`` registers every test table (region nation customer supplier
+part orders lineitem events documents embeddings) as a temp view and
+runs one ad-hoc Spark SQL statement over them — the free-form query
+surface for anything not already in the registry; Catalyst plans it
+with the same pushdown/pruning/AQE the named queries get.
 """
 
 from __future__ import annotations
@@ -29,13 +37,16 @@ def main(argv: list[str] | None = None) -> int:
 
     p_run = sub.add_parser("run", help="run one query")
     p_run.add_argument("query")
-    p_run.add_argument(
-        "--sf-dir",
-        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
-    )
-    p_run.add_argument("--limit", type=int, default=20)
-    p_run.add_argument("--out", default=None, help="write full result as parquet here")
-    p_run.add_argument("--explain", action="store_true")
+    p_sql = sub.add_parser("sql", help="run ad-hoc Spark SQL over the test tables")
+    p_sql.add_argument("statement")
+    for p in (p_run, p_sql):
+        p.add_argument(
+            "--sf-dir",
+            default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        )
+        p.add_argument("--limit", type=int, default=20)
+        p.add_argument("--out", default=None, help="write full result as parquet here")
+        p.add_argument("--explain", action="store_true")
     args = parser.parse_args(argv)
 
     from acuvate_spark.queries import REGISTRY
@@ -49,15 +60,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:32s} [{oracle}] {ref}")
         return 0
 
-    if args.query not in REGISTRY:
+    if args.cmd == "run" and args.query not in REGISTRY:
         print(f"unknown query {args.query!r}; try: python -m acuvate_spark list", file=sys.stderr)
         return 2
 
     from acuvate_spark.session import get_spark
 
-    spark = get_spark(f"acuvate-run-{args.query}")
+    label = args.query if args.cmd == "run" else "sql"
+    spark = get_spark(f"acuvate-run-{label}")
     try:
-        df = REGISTRY[args.query].fn(spark, args.sf_dir)
+        if args.cmd == "sql":
+            from acuvate_spark.tables import register_views
+
+            register_views(spark, args.sf_dir)
+            df = spark.sql(args.statement)
+        else:
+            df = REGISTRY[args.query].fn(spark, args.sf_dir)
         if args.explain:
             df.explain("formatted")
         if args.out:

@@ -1222,3 +1222,115 @@ def line_dedup_docs(spark, sf_dir):
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.count("*").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span REMOVAL (Lee et al. 2021 "Deduplicating Training
+# Data Makes Language Models Better" — the removal step, word-level)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5  # word n-gram span width
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+WITH {_DOCS_SQL},
+ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '{textual.WS_REGEX}'), x -> x <> '') AS w
+  FROM docs
+),
+wp AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS word
+  FROM ws, LATERAL (SELECT unnest(range(0, len(w))) AS i) t
+),
+occ AS (
+  SELECT doc_id, i AS start0,
+         md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]) AS gkey
+  FROM ws, LATERAL (SELECT unnest(range(0, greatest(len(w) - {_SPAN_N - 1}, 0))) AS i) t
+),
+firsts AS (
+  SELECT gkey, min(doc_id * 1000000 + start0) AS first_key FROM occ GROUP BY gkey
+),
+nonfirst AS (
+  SELECT o.doc_id, o.start0
+  FROM occ o JOIN firsts f USING (gkey)
+  WHERE o.doc_id * 1000000 + o.start0 <> f.first_key
+),
+covered AS (
+  SELECT DISTINCT doc_id, p AS pos
+  FROM nonfirst, LATERAL (SELECT unnest(range(start0, start0 + {_SPAN_N})) AS p) t
+),
+kept AS (
+  SELECT wp.doc_id, wp.pos, wp.word FROM wp ANTI JOIN covered USING (doc_id, pos)
+),
+clean AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       CAST(len(ws.w) AS BIGINT) AS n_words,
+       CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(c.cleaned, '')) AS clean_md5
+FROM ws LEFT JOIN clean c USING (doc_id)
+""",
+    survey_ref="training-data: exact-substring span REMOVAL (Lee et al. "
+    "2021's dedup operation itself, not just detection; word-level spans)",
+)
+def dedup_span_removal(spark, sf_dir):
+    """Duplicated-span REMOVAL: every word position covered by a
+    5-gram whose (doc, start) is not that gram's globally-first
+    occurrence is cut, and each document is reassembled from its
+    surviving words — the operation Lee et al. 2021 apply to
+    pretraining corpora (their suffix-array substring match, expressed
+    at word granularity so the semantics stay declarative). Planted
+    clone docs lose every position (clean_md5 = md5('')); a doc's own
+    internal repetitions beyond the first are cut too. Output is
+    (doc_id, n_words, n_kept, md5(cleaned_text)) for every document.
+
+    100 TB story: gram occurrences shuffle as (md5 16 B, two longs) —
+    never text; the global first-occurrence is min(doc*1M+start), a
+    map-side-combinable agg (the struct-free integer encoding), and
+    re-joins occurrences on the gram hash (AQE picks the strategy).
+    Cover explode is bounded (x5); the keep filter is an anti join on
+    (doc, pos); reassembly is a per-doc sort of that doc's own
+    surviving words (collect_list + in-row array_sort — state bounded
+    by document length, the same bound line_dedup_docs relies on)."""
+    docs = _docs_plus_clones(spark, sf_dir)
+    wf = F.filter(textual.words(F.trim(F.col("text"))), lambda x: x != "")
+    base = repartition_for_compute(docs).select("doc_id", wf.alias("w")).persist()
+    wp = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
+    occ = (
+        base.select("doc_id", F.posexplode(textual.word_shingles(F.col("w"), _SPAN_N)).alias("start0", "gram"))
+        .select("doc_id", "start0", F.md5("gram").alias("gkey"))
+    )
+    enc = (F.col("doc_id") * 1000000 + F.col("start0")).cast("long")
+    firsts = occ.groupBy("gkey").agg(F.min(enc).alias("first_key"))
+    nonfirst = occ.join(firsts, "gkey").where(enc != F.col("first_key"))
+    covered = nonfirst.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("start0"), F.col("start0") + _SPAN_N - 1)).alias("pos"),
+    ).distinct()
+    kept = wp.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))), lambda x: x["word"]
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    out = (
+        base.select("doc_id", F.size("w").cast("long").alias("n_words"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("clean_md5"),
+        )
+    )
+    return _materialize_and_release(out, base)

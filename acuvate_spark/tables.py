@@ -61,6 +61,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     return SimpleNamespace(**{name: load_table(spark, sf_dir, name) for name in TABLES})
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so ad-hoc ``spark.sql``
+    (the CLI ``sql`` subcommand) can query them by name — the same
+    names the DuckDB oracle uses, so any oracle string also runs here.
+    Views go through ``load_table`` so the nanos-timestamp conversion
+    applies."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def repartition_for_compute(df: DataFrame) -> DataFrame:
     """Spread a small-file scan across the cluster before a CPU-heavy
     derived stage (explode, cross join, regex cascade). The test

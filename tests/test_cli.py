@@ -1,0 +1,34 @@
+"""CLI surface tests (``python -m acuvate_spark``).
+
+``main()`` owns (and stops) its own SparkSession, so these tests
+exercise the pieces below it: the ``sql`` subcommand's view
+registration + ad-hoc statement path, against the shared fixture
+session.
+"""
+
+from __future__ import annotations
+
+from acuvate_spark.tables import TABLES, register_views
+
+
+def test_register_views_exposes_all_tables(spark, sf_dir):
+    register_views(spark, sf_dir)
+    listed = {t.name for t in spark.catalog.listTables()}
+    assert set(TABLES) <= listed
+
+
+def test_adhoc_sql_runs_over_views(spark, sf_dir):
+    register_views(spark, sf_dir)
+    rows = spark.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert len(rows) == 3
+    assert sum(r.n for r in rows) == spark.table("orders").count()
+
+
+def test_adhoc_sql_reads_events_with_tuned_timestamps(spark, sf_dir):
+    """The views must go through load_table: events.ts arrives as
+    INT64 nanos, and a raw read would surface it as bigint."""
+    register_views(spark, sf_dir)
+    dtype = dict(spark.table("events").dtypes)["ts"]
+    assert dtype == "timestamp"
