@@ -471,3 +471,111 @@ def embedding_quantize(spark, sf_dir):
         ),
         F.floor(err * 1000000000).cast("long").alias("max_err_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (diverse-subset curation)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+_DIST_SCALE = 1_000_000  # cosine distance in integer micro-units
+
+
+def _kcenter_dist_sql(v_expr: str, c_expr: str) -> str:
+    return (
+        f"CAST(round((1 - {vectors.cosine_sql(v_expr, c_expr)}) * {_DIST_SCALE}) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled-CTE twin of the greedy loop: round r selects the point
+    with the maximum (micro-int) distance to the nearest already-
+    selected center, ties to the smallest vec_id."""
+    # center embeddings join in as plain columns (cc.ce) — DuckDB
+    # rejects scalar subqueries inside list-comprehension lambdas
+    parts = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    parts.append(
+        "d1 AS (SELECT e.vec_id, "
+        + _kcenter_dist_sql("e.embedding", "s.ce")
+        + " AS mind FROM e CROSS JOIN (SELECT embedding AS ce FROM e WHERE vec_id = 0) s)"
+    )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS vec_id, "
+        "CAST(0 AS BIGINT) AS dist_micro"
+    ]
+    for r in range(2, _KCENTER_K + 1):
+        prev = f"d{r - 1}"
+        parts.append(
+            f"c{r} AS (SELECT vec_id, mind FROM {prev} ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT), (SELECT vec_id FROM c{r}), "
+            f"(SELECT mind FROM c{r})"
+        )
+        if r < _KCENTER_K:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, least(d.mind, "
+                + _kcenter_dist_sql("e.embedding", "cc.ce")
+                + f") AS mind FROM {prev} d JOIN e ON e.vec_id = d.vec_id "
+                f"CROSS JOIN (SELECT e2.embedding AS ce FROM e e2 "
+                f"JOIN c{r} ON e2.vec_id = c{r}.vec_id) cc)"
+            )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    survey_ref="training-data: greedy k-center coreset selection "
+    "(max-min diverse subset for curation/eval-set picking)",
+)
+def coreset_kcenter(spark, sf_dir):
+    """Greedy k-center (Gonzalez) coreset selection: seed with vec_id
+    0, then k-1 times pick the point farthest (max-min cosine
+    distance) from the already-selected centers — the classic
+    2-approximation for diverse-subset selection used to curate
+    representative/eval subsets from an embedding corpus. Distances
+    are integer micro-units (round((1-cos)*1e6), the micro-nat
+    pattern) so the greedy argmax — and therefore the whole selection
+    trajectory — is bit-identical across engines; ties break to the
+    smallest vec_id.
+
+    100 TB story: the per-round state is one narrow (vec_id,
+    embedding, mind) frame updated by a MAP-ONLY least() against the
+    newest center (a k-element literal broadcast, like the IVF
+    centroid frames); the argmax is a distributed
+    TakeOrderedAndProject returning ONE row per round; lineage is cut
+    by localCheckpoint per round (the CC pattern). Total cost is k
+    narrow passes — no joins, no shuffles beyond the k top-1
+    reductions. The k result rows assemble on the driver by
+    construction (each is the collected argmax)."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+    def dist_to(center_vals):
+        arr = F.array(*[F.lit(float(x)) for x in center_vals])
+        return (
+            F.round((1 - vectors.cosine(F.col("embedding"), arr)) * _DIST_SCALE)
+            .cast("long")
+        )
+
+    seed = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    mind = e.select("vec_id", "embedding", dist_to(seed).alias("mind")).localCheckpoint()
+    rows = [(1, 0, 0)]
+    for r in range(2, _KCENTER_K + 1):
+        top = (
+            mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .first()
+        )
+        rows.append((r, top["vec_id"], top["mind"]))
+        if r < _KCENTER_K:
+            mind = mind.select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("mind"), dist_to(list(top["embedding"]))).alias("mind"),
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "sel_rank long, vec_id long, dist_micro long"
+    )
