@@ -1204,3 +1204,144 @@ def price_equidepth_bins(spark, sf_dir):
         F.round(F.min(price), 2).alias("min_price"),
         F.round(F.max(price), 2).alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch point query (completes the sketch family: GK
+# quantiles, HLL distinct, KMV overlap -> +CMS frequency)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row
+_CMS_PROBES = (
+    "spark", "table", "fast", "row", "hash",
+    "the", "window", "sort", "value", "zzz_absent",
+)
+
+
+@register(
+    "cms_point_query",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+),
+jb AS (
+  SELECT j, ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || term), 1, 8))::BIGINT
+            % {_CMS_W} AS bucket
+  FROM tok, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j) t
+),
+sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM jb GROUP BY 1, 2),
+probes AS (SELECT unnest([{", ".join(f"'{w}'" for w in _CMS_PROBES)}]) AS word),
+pj AS (
+  SELECT word, j,
+         ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || word), 1, 8))::BIGINT
+         % {_CMS_W} AS bucket
+  FROM probes, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j) t
+),
+est AS (
+  SELECT word, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est
+  FROM pj LEFT JOIN sk USING (j, bucket) GROUP BY word
+),
+exact AS (
+  SELECT term AS word, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok WHERE term IN ({", ".join(f"'{w}'" for w in _CMS_PROBES)}) GROUP BY 1
+)
+SELECT p.word,
+       CAST(coalesce(e.exact_count, 0) AS BIGINT) AS exact_count,
+       est.cms_est,
+       CAST(est.cms_est - coalesce(e.exact_count, 0) AS BIGINT) AS overestimate,
+       est.cms_est >= coalesce(e.exact_count, 0) AS sound
+FROM probes p JOIN est USING (word) LEFT JOIN exact e ON e.word = p.word
+""",
+    survey_ref="A8 approximate variant: count-min sketch frequency "
+    "estimation (mergeable bounded-state counter matrix + point queries)",
+)
+def cms_point_query(spark, sf_dir):
+    """Count-min sketch over the corpus token stream: a fixed
+    4 x 256 counter matrix (each token increments one counter per
+    hash row), then point-queries for a probe word set — estimate =
+    min over the 4 counters, which can only OVERestimate (``sound``
+    pins the one-sided guarantee; the oracle replays the identical
+    sketch so every value hash-matches). This is the
+    frequency-estimation member of the sketch family (GK quantiles =
+    sketch_stats, HLL distinct = sketch_hll_distinct, KMV overlap =
+    source_overlap_kmv): at 100 TB the exact per-word count needs a
+    vocabulary-sized shuffle, while the CMS is 1024 mergeable longs —
+    constant state, map-side combinable, streamable.
+
+    Plan: tokens explode x4 into (j, bucket) rows — narrow, fused
+    into the scan; ONE 1024-group partial aggregate builds the
+    sketch; probes are a literal frame whose lookups broadcast-join
+    the sketch. The exact side (for the audit columns) is a probe-
+    filtered count — the isin filter prunes the token stream before
+    its tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = d.select(F.explode(words).alias("term"))
+
+    def bucket(j, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % _CMS_W
+        )
+
+    jb = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bucket(j, F.col("term")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    sketch = jb.groupBy("j", "bucket").agg(F.count("*").cast("long").alias("c"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in _CMS_PROBES])).alias("word")
+    )
+    pj = probes.select(
+        "word",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("j"),
+                        bucket(j, F.col("word")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("word", "jb.j", "jb.bucket")
+    est = (
+        pj.join(sketch, ["j", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    exact = (
+        tok.where(F.col("term").isin(*_CMS_PROBES))
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        probes.join(est, "word")
+        .join(exact, "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce(F.col("exact_count"), F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+            (F.col("cms_est") >= F.coalesce(F.col("exact_count"), F.lit(0))).alias("sound"),
+        )
+    )

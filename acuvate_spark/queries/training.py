@@ -1096,3 +1096,103 @@ def hashed_text_classifier(spark, sf_dir):
         )
         .select("doc_id", "n_terms", "score", (F.col("score") > 0).alias("label"))
     )
+
+
+# BM25 probe-query ranking. ln() is fixed-pointed to micro-nats per
+# term (the unigram_logprob_score pattern); every other factor is one
+# mirrored IEEE expression tree, so the final rounded integer score is
+# engine-exact.
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_probe_ranking",
+    oracle=f"""
+WITH tokd AS (
+  SELECT doc_id, unnest({_nonempty_words_sql('text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokd GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokd WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)}) GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           CAST(round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 1000000) AS BIGINT)
+           * (tf.tf * {_BM25_K1 + 1})
+           / (tf.tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+         ) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(score_micro) AS BIGINT) AS bm25_micro
+FROM sc GROUP BY 1
+""",
+    survey_ref="training-data: BM25 probe-query relevance ranking "
+    "(retrieval scoring / relevance-filter stand-in, engine-exact "
+    "fixed-point idf)",
+)
+def bm25_probe_ranking(spark, sf_dir):
+    """BM25 relevance of every document against a fixed probe-term
+    query — the retrieval scorer used both for search-style ranking
+    and for relevance filtering of pretraining data against a topic
+    seed set. Okapi BM25 with k1=1.2, b=0.75: idf is fixed-pointed to
+    micro-nats per TERM (3 values — the only ln() in the query), and
+    the tf/length normalization is one mirrored IEEE expression tree,
+    so the per-(doc, term) rounded integer scores — and their exact
+    integer sums — hash-match across engines.
+
+    100 TB story: doc lengths are one map-side-combinable aggregate;
+    corpus stats a 1-row broadcast; the probe filter prunes the token
+    stream BEFORE the (doc, term) aggregate so tf is |probes|-bounded
+    per doc; df is a |probes|-row frame that broadcasts back. Nothing
+    unbounded shuffles except the (doc_id, dl) frame, keyed on
+    doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id",
+        F.explode(F.filter(_lower_words(F.col("text")), lambda x: x != "")).alias("term"),
+    )
+    dl = tokd.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        tokd.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    joined = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_micro = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * 1000000
+    ).cast("long")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score_micro = F.round(
+        idf_micro
+        * (F.col("tf") * F.lit(_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / avgdl))
+        )
+    ).cast("long")
+    return (
+        joined.select("doc_id", score_micro.alias("score_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum("score_micro").cast("long").alias("bm25_micro"),
+        )
+    )
