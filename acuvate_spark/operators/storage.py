@@ -247,3 +247,37 @@ def compact_path(
         if not any(part.endswith(m) for m in _MARKERS for part in leaf.split(os.sep))
     )
     return sum(_compact_leaf(leaf) for leaf in leaves)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic global-shuffle sharded export — the last mile of
+    a training-data pipeline: every row gets a stable md5 shuffle key,
+    ``shard = key mod n_shards`` becomes a partition directory, and
+    rows are written in key order within their shard. Concatenating
+    shard 0..n-1 therefore replays ONE fixed, seed-stable global
+    permutation of the corpus regardless of cluster size or input
+    order — reproducible epochs without ever materializing a global
+    sort.
+
+    Plan: one hash-partition shuffle on the shard id plus an
+    in-partition sort — no global Sort node, no window. All rows of a
+    shard land in one task, so each ``shard=k/`` directory holds one
+    key-ordered file per write."""
+    h = F.md5(F.concat(F.lit("shard|"), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h")
+        .drop("__h")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)

@@ -56,3 +56,55 @@ def zorder_orders(spark, sf_dir):
         orders.where(F.col("o_orderkey") % 97 == 0)
         .select("o_orderkey", zorder_key([x, y], bits=16).alias("zkey"))
     )
+
+
+_EXPORT_SHARDS = 16
+
+
+@register(
+    "export_manifest",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         md5('shard|' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substring(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_EXPORT_SHARDS} AS BIGINT) AS shard,
+         n_chars
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       min(h) AS min_h,
+       max(h) AS max_h
+FROM s GROUP BY shard
+""",
+    survey_ref="O-layout §4: sharded-export manifest (deterministic "
+    "global shuffle; write path = operators/storage.write_sharded)",
+)
+def export_manifest(spark, sf_dir):
+    """Manifest of the deterministic sharded export
+    (``storage.write_sharded``): per shard, the doc count, total
+    chars, and the first/last shuffle keys — the audit record a
+    training job checks before consuming an export (uniform shard
+    sizes, contiguous key ranges, nothing missing). Every column is a
+    map-side-combinable aggregate over the same md5 shard key the
+    writer uses — deliberately NO per-shard row_number (a within-shard
+    position would funnel each shard through one window task; the
+    writer gets in-shard order for free from its sortWithinPartitions).
+    One |shards|-group shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    s = d.select(
+        h.alias("h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _EXPORT_SHARDS)
+        .cast("long")
+        .alias("shard"),
+        "n_chars",
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+    )

@@ -1196,3 +1196,148 @@ def bm25_probe_ranking(spark, sf_dir):
             F.sum("score_micro").cast("long").alias("bm25_micro"),
         )
     )
+
+
+# T5-style span corruption: ~15% of word positions are noise-seeded
+# (md5 hash-threshold, the train_test_split idiom), adjacent noised
+# positions merge into spans, span k is replaced by <extra_id_k>.
+_MASK_BOUND = "2666"  # 0x2666 / 0x10000 ~= 0.15
+
+
+@register(
+    "mlm_span_mask",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, {_nonempty_words_sql('text')} AS w FROM documents
+),
+wp AS (
+  SELECT doc_id, i AS pos, w[i + 1] AS word,
+         substring(md5('mask|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 4)
+           < '{_MASK_BOUND}' AS noised
+  FROM ws, LATERAL (SELECT unnest(range(0, len(w))) AS i) t
+),
+marked AS (
+  SELECT doc_id, pos, word, noised,
+         (noised AND NOT coalesce(lag(noised) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS span_start
+  FROM wp
+),
+spanned AS (
+  SELECT doc_id, pos, word, noised, span_start,
+         CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS k
+  FROM marked
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN noised THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         string_agg(
+           CASE WHEN NOT noised THEN word
+                WHEN span_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+           END, ' ' ORDER BY pos) AS input_text,
+         string_agg(
+           CASE WHEN span_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || word
+                WHEN noised THEN word
+           END, ' ' ORDER BY pos) AS target_text
+  FROM spanned GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       md5(coalesce(a.input_text, '')) AS input_md5,
+       md5(coalesce(a.target_text, '')) AS target_md5
+FROM ws LEFT JOIN agg a USING (doc_id)
+""",
+    survey_ref="training-data: T5-style span-corruption objective "
+    "preparation (masked input + sentinel target pairs)",
+)
+def mlm_span_mask(spark, sf_dir):
+    """Span-corruption objective preparation (T5 / UL2 denoising):
+    ~15% of word positions are noise-selected by a deterministic
+    md5 hash-threshold per (doc, position); ADJACENT noised positions
+    merge into one span (gaps-and-islands: span starts where noised
+    flips on, span index = running count of starts); the input
+    replaces span k with ``<extra_id_k>`` and the target lists each
+    sentinel followed by the words it hides. Ships (n_words, n_masked,
+    n_spans, md5(input), md5(target)) per document — the md5s pin the
+    exact corrupted strings without shipping text.
+
+    100 TB story: position explode is narrow; the lag/run-count
+    windows and the ordered reassembly aggregate are all PARTITIONED
+    BY doc_id — per-task state is bounded by document length, the
+    same bound every reassembly op in this repo relies on (no global
+    window anywhere). One doc-keyed shuffle end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = F.filter(_lower_words(F.col("text")), lambda x: x != "")
+    base = d.select("doc_id", wf.alias("w"))
+    wp = base.select("doc_id", F.posexplode("w").alias("pos", "word")).withColumn(
+        "noised",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mask|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < _MASK_BOUND,
+    )
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    marked = wp.withColumn(
+        "span_start",
+        F.col("noised") & ~F.coalesce(F.lag("noised").over(w_lag), F.lit(False)),
+    )
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spanned = marked.withColumn(
+        "k",
+        (
+            F.sum(F.when(F.col("span_start"), 1).otherwise(0)).over(w_run) - 1
+        ).cast("long"),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    input_tok = (
+        F.when(~F.col("noised"), F.col("word"))
+        .when(F.col("span_start"), sentinel)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    target_tok = (
+        F.when(F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("word")))
+        .when(F.col("noised"), F.col("word"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    def _ordered_join(tok_col):
+        # collect (pos, tok), sort by pos in-row, drop the masked-out
+        # nulls, join — string_agg(... ORDER BY pos) equivalent
+        lst = F.array_sort(F.collect_list(F.struct(F.col("pos"), tok_col.alias("tok"))))
+        toks = F.filter(
+            F.transform(lst, lambda x: x["tok"]), lambda x: x.isNotNull()
+        )
+        return F.array_join(toks, " ")
+
+    agg = spanned.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("noised"), 1).otherwise(0)).cast("long").alias("n_masked"),
+        F.sum(F.when(F.col("span_start"), 1).otherwise(0)).cast("long").alias("n_spans"),
+        _ordered_join(input_tok).alias("input_text"),
+        _ordered_join(target_tok).alias("target_text"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.md5(F.coalesce("input_text", F.lit(""))).alias("input_md5"),
+            F.md5(F.coalesce("target_text", F.lit(""))).alias("target_md5"),
+        )
+    )

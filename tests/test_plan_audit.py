@@ -44,6 +44,9 @@ ALLOWED_UNBOUNDED = {
     "getdata_page",
     # 1-row corpus-total frame broadcast over the unigram counts
     "unigram_logprob_score",
+    # 1-row (n_docs, sum_dl) stats frame broadcast over the
+    # |probes|-bounded tf frame
+    "bm25_probe_ranking",
     # K=16 seed centroids broadcast over the corpus (same assign pass
     # as ann_ivf_flat)
     "semdedup_clusters",

@@ -246,3 +246,34 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     day_hits = sum(1 for lo, hi in day_spans if not (hi < d_lo or lo > d_hi))
     assert cust_hits < n, cust_spans
     assert day_hits < n, day_spans
+
+
+def test_sharded_export_is_deterministic_and_ordered(spark, sf_dir, tmp_path):
+    """write_sharded: every shard directory exists, each holds its
+    rows in md5-key order (the reproducible global permutation), and
+    the union of shards is exactly the input."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    n = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    path = str(tmp_path / "shards")
+    storage.write_sharded(docs, path, n_shards=n, key_col="doc_id")
+
+    def h(doc_id):
+        return hashlib.md5(f"shard|{doc_id}".encode()).hexdigest()
+
+    seen = []
+    for k in range(n):
+        files = sorted(glob.glob(f"{path}/shard={k}/*.parquet"))
+        assert files, f"missing shard {k}"
+        assert len(files) == 1, "one key-ordered file per shard per write"
+        ids = pq.read_table(files[0]).column("doc_id").to_pylist()
+        keys = [h(i) for i in ids]
+        assert keys == sorted(keys), f"shard {k} not in key order"
+        assert all(int(h(i)[:8], 16) % n == k for i in ids), "row in wrong shard"
+        seen.extend(ids)
+    expected = [r.doc_id for r in docs.collect()]
+    assert sorted(seen) == sorted(expected)
