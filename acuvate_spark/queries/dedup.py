@@ -1229,7 +1229,7 @@ def line_dedup_docs(spark, sf_dir):
 # Data Makes Language Models Better" — the removal step, word-level)
 # ---------------------------------------------------------------------------
 
-_SPAN_N = 5  # word n-gram span width
+_REMOVE_SPAN_N = 5  # word n-gram span width
 
 
 @register(
@@ -1248,7 +1248,7 @@ wp AS (
 occ AS (
   SELECT doc_id, i AS start0,
          md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]) AS gkey
-  FROM ws, LATERAL (SELECT unnest(range(0, greatest(len(w) - {_SPAN_N - 1}, 0))) AS i) t
+  FROM ws, LATERAL (SELECT unnest(range(0, greatest(len(w) - {_REMOVE_SPAN_N - 1}, 0))) AS i) t
 ),
 firsts AS (
   SELECT gkey, min(doc_id * 1000000 + start0) AS first_key FROM occ GROUP BY gkey
@@ -1260,7 +1260,7 @@ nonfirst AS (
 ),
 covered AS (
   SELECT DISTINCT doc_id, p AS pos
-  FROM nonfirst, LATERAL (SELECT unnest(range(start0, start0 + {_SPAN_N})) AS p) t
+  FROM nonfirst, LATERAL (SELECT unnest(range(start0, start0 + {_REMOVE_SPAN_N})) AS p) t
 ),
 kept AS (
   SELECT wp.doc_id, wp.pos, wp.word FROM wp ANTI JOIN covered USING (doc_id, pos)
@@ -1303,7 +1303,7 @@ def dedup_span_removal(spark, sf_dir):
     base = repartition_for_compute(docs).select("doc_id", wf.alias("w")).persist()
     wp = base.select("doc_id", F.posexplode("w").alias("pos", "word"))
     occ = (
-        base.select("doc_id", F.posexplode(textual.word_shingles(F.col("w"), _SPAN_N)).alias("start0", "gram"))
+        base.select("doc_id", F.posexplode(textual.word_shingles(F.col("w"), _REMOVE_SPAN_N)).alias("start0", "gram"))
         .select("doc_id", "start0", F.md5("gram").alias("gkey"))
     )
     enc = (F.col("doc_id") * 1000000 + F.col("start0")).cast("long")
@@ -1311,7 +1311,7 @@ def dedup_span_removal(spark, sf_dir):
     nonfirst = occ.join(firsts, "gkey").where(enc != F.col("first_key"))
     covered = nonfirst.select(
         "doc_id",
-        F.explode(F.sequence(F.col("start0"), F.col("start0") + _SPAN_N - 1)).alias("pos"),
+        F.explode(F.sequence(F.col("start0"), F.col("start0") + _REMOVE_SPAN_N - 1)).alias("pos"),
     ).distinct()
     kept = wp.join(covered, ["doc_id", "pos"], "left_anti")
     clean = kept.groupBy("doc_id").agg(

@@ -146,3 +146,63 @@ def session_close_emitter(events: DataFrame, gap_minutes: int = _GAP_MIN) -> Dat
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+GAPFILL_SCHEMA = "user_id long, day timestamp, n_events long, gap boolean, ff_value_cents long"
+GAPFILL_STATE = "last_day_us long, last_cents long"
+
+
+def daily_forward_fill(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``gapfill_daily`` query: per user,
+    densify event days onto a daily grid and carry the last observed
+    daily sum across empty days. State per user is TWO longs (last
+    emitted day + last daily sum), so a user who goes quiet for a week
+    gets the gap days emitted — forward-filled from state — the moment
+    they reappear; memory is O(1) per key regardless of history.
+
+    One availableNow batch over a static input emits exactly the
+    batch query's rows (parity-tested); incremental batches resume
+    the grid from the state's last day."""
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        user = key[0]
+        pdf = pd.concat(list(pdfs))
+        days = pdf["ts"].dt.floor("D")
+        cents = np.floor(pdf["value"].astype("float64") * 100 + 0.5).astype("int64")
+        daily = (
+            pd.DataFrame({"day": days, "cents": cents})
+            .groupby("day")["cents"]
+            .agg(n_events="size", value_cents="sum")
+        )
+        if state.exists:
+            last_day_us, last_cents = state.get
+            day = pd.Timestamp(last_day_us, unit="us") + pd.Timedelta(days=1)
+            cur = int(last_cents)
+        else:
+            day = daily.index.min()
+            cur = None
+        end = daily.index.max()
+        rows = []
+        while day <= end:
+            if day in daily.index:
+                n = int(daily.loc[day, "n_events"])
+                cur = int(daily.loc[day, "value_cents"])
+                gap = False
+            else:
+                n, gap = 0, True
+            rows.append((user, day, n, gap, cur))
+            day += pd.Timedelta(days=1)
+        state.update((int(end.value // 1000), int(cur)))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "day", "n_events", "gap", "ff_value_cents"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GAPFILL_SCHEMA,
+        stateStructType=GAPFILL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

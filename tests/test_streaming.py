@@ -592,3 +592,39 @@ def test_session_close_emitter_emits_each_session_once(spark, tmp_path):
         (r["user_id"], r["s"], r["n_events"]) for r in batch.collect()
     }
     assert {(u, s, n) for (u, s, _e, n) in got} == batch_rows
+
+
+def test_daily_forward_fill_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming gap-fill (two-long state per user) must
+    emit exactly the batch gapfill_daily rows over one availableNow
+    pass."""
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.streaming.stateful import daily_forward_fill
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    in_dir = tmp_path / "events_json_gapfill"
+    events.coalesce(1).write.option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(str(in_dir))
+    stream = windows.stream_events_from_json(spark, str(in_dir))
+    q = (
+        daily_forward_fill(stream)
+        .writeStream.format("memory")
+        .queryName("gapfill_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["day"], r["n_events"], r["gap"], r["ff_value_cents"])
+        for r in spark.sql("SELECT * FROM gapfill_stream").collect()
+    }
+    expected = {
+        (r["user_id"], r["day"], r["n_events"], r["gap"], r["ff_value_cents"])
+        for r in REGISTRY["gapfill_daily"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -123,6 +123,32 @@ COMMENTARY = {
         "hash joins on a single integer key — no neighbor lists, O(1) row "
         "state, lineage bounded by the fixed round count."
     ),
+    "token_budget_mix": (
+        "The per-source prefix sum is a DISTRIBUTED two-level cumsum: the "
+        "row-level window partitions by (source, md5-prefix bucket) — 256-way "
+        "parallel per source — and the per-bucket base offsets come from a "
+        "tiny aggregate whose own window is |sources|x256 rows, re-joined as "
+        "a broadcast. No Sort is global; the single-window form the oracle "
+        "runs would funnel each source through one task."
+    ),
+    "dedup_span_removal": (
+        "Gram occurrences shuffle as (md5, two longs) — never text; the "
+        "global first-occurrence is a map-side-combinable integer min; the "
+        "cover explode is bounded x5; reassembly sorts only within each "
+        "document's own collected words."
+    ),
+    "hashed_text_classifier": (
+        "Explode + hash + weight are narrow codegen expressions fused into "
+        "the scan; the ONLY exchange is the map-side-combinable per-doc "
+        "aggregate. A trained model swaps in as a broadcast (bucket, weight) "
+        "join without adding a shuffle."
+    ),
+    "gapfill_daily": (
+        "Daily pre-aggregation shuffles one row per user-day (partial agg "
+        "before the exchange); the calendar grid explodes from a per-user "
+        "span aggregate; the forward-fill window partitions BY USER over a "
+        "calendar-bounded frame — no partition-less Window anywhere."
+    ),
 }
 
 
