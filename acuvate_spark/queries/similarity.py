@@ -579,3 +579,107 @@ def coreset_kcenter(spark, sf_dir):
     return spark.createDataFrame(
         rows, "sel_rank long, vec_id long, dist_micro long"
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote auto-labeling (weak supervision over embeddings)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 1
+),
+c AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 1
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS nbr_label, c.vec_id AS neighbor_id,
+         {vectors.cosine_rounded_sql('q.embedding', 'c.embedding', 4)} AS cos_sim
+  FROM q, c
+),
+topk AS (
+  SELECT query_id, true_label, nbr_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs
+),
+votes AS (
+  SELECT query_id, true_label, nbr_label,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM topk WHERE rn <= {_KNN_K}
+  GROUP BY query_id, true_label, nbr_label
+),
+best AS (
+  SELECT query_id, true_label, nbr_label AS pred_label, n_votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, nbr_label) AS vr
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label, n_votes,
+       pred_label = true_label AS correct
+FROM best WHERE vr = 1
+""",
+    survey_ref="training-data: kNN majority-vote auto-labeling "
+    "(semi-supervised label spread / weak supervision over an "
+    "embedding corpus)",
+)
+def knn_label_vote(spark, sf_dir):
+    """kNN auto-labeling: each held-out point (vec_id % 20 = 1 plays
+    the unlabeled pool) takes the majority label of its 5 nearest
+    labeled neighbors by rounded cosine — the weak-supervision /
+    label-spreading step that labels a corpus from a seed set, with
+    the true label kept for an in-result accuracy audit. Vote ties
+    break to the smallest label, neighbor ties to the smallest id, so
+    both engines pick identical neighbors and verdicts.
+
+    100 TB story: the UNLABELED-pool sample broadcasts over the
+    labeled corpus (the ann_cosine_topk shape — corpus never
+    shuffles; for a large unlabeled pool this runs per-shard); the
+    top-k window partitions by query over candidate rows; the vote
+    aggregate is |queries| x |labels| — tiny. At scale the exact
+    scan swaps for the LSH-bucketed candidate join
+    (ann_lsh_bucketed) without touching the vote logic."""
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    )
+    q = e.where(F.col("vec_id") % 20 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.where(F.col("vec_id") % 20 != 1)
+    pairs = c.join(F.broadcast(q), F.lit(True)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("nbr_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        vectors.cosine_rounded(F.col("qe"), F.col("embedding"), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("nbr_label").cast("long").alias("pred_label"),
+            "n_votes",
+            (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -28,6 +28,10 @@ ALLOWED_UNBOUNDED = {
     # corpus stays partitioned — the theta predicate is `!=`, which is
     # the documented exact-baseline shape
     "ann_cosine_topk",
+    # broadcast held-out query sample against the labeled corpus (the
+    # ann_cosine_topk shape; docstring names ann_lsh_bucketed as the
+    # candidate-join swap at scale)
+    "knn_label_vote",
     # K=16 seed centroids / refined centroids broadcast over the
     # corpus — the IVF assign pass is definitionally a small cross
     "ann_ivf_flat",
