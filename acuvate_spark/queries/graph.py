@@ -426,3 +426,148 @@ def kcore_peel(spark, sf_dir):
             keep.withColumnRenamed("a", "b"), "b", "left_semi"
         )
     return ue.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (neighbor Jaccard) and label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "link_prediction_jaccard",
+    oracle=f"""
+WITH {_EDGES_SQL},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+common AS (
+  SELECT a.src AS part_a, b.src AS part_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT CAST(c.part_a AS BIGINT) AS part_a, CAST(c.part_b AS BIGINT) AS part_b,
+       c.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       c.n_common::DOUBLE / (da.deg + db.deg - c.n_common) AS jaccard
+FROM common c
+JOIN deg da ON da.src = c.part_a
+JOIN deg db ON db.src = c.part_b
+""",
+    survey_ref="graph-ML: link prediction via neighbor Jaccard "
+    "(common-neighbor wedge join on the bipartite part-supplier graph)",
+)
+def link_prediction_jaccard(spark, sf_dir):
+    """Link prediction on the part-supplier bipartite graph: for part
+    pairs sharing >= 2 suppliers, the Jaccard of their supplier
+    neighborhoods — the classic common-neighbors feature for
+    recommend-an-edge tasks (alternative suppliers, substitute
+    parts). Integer intersection/degree counts and ONE final IEEE
+    division, so the oracle hashes exactly.
+
+    100 TB story: the pair space never materializes — candidates come
+    from the wedge join ON THE SHARED SUPPLIER (cost tracks sum of
+    squared supplier degrees, the triangle_count bound; a hot-hub cap
+    on dst degree is the standard mitigation), the >= 2 HAVING prunes
+    the pair frame at the partial aggregate, and degrees re-join on
+    the part key (strategy left to AQE)."""
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    a = e.select(F.col("src").alias("part_a"), F.col("dst").alias("s"))
+    b = e.select(F.col("src").alias("part_b"), F.col("dst").alias("s"))
+    common = (
+        a.join(b, ["s"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .where(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("src").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("part_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    # WITH list: edges, undirected view, seed labels, then an
+    # unrolled (counts, argmax) pair per round
+    sql = [f"WITH {_EDGES_SQL.strip()},"]
+    sql.append(
+        "ue AS (SELECT src AS node, dst AS nbr FROM edges "
+        "UNION ALL SELECT dst, src FROM edges),"
+    )
+    sql.append("l0 AS (SELECT DISTINCT node, node AS label FROM ue),")
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"c{r} AS (SELECT u.node, p.label, CAST(count(*) AS BIGINT) AS c "
+            f"FROM ue u JOIN l{r - 1} p ON p.node = u.nbr GROUP BY 1, 2),"
+        )
+        rounds.append(
+            f"l{r} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) AS rn FROM c{r}) WHERE rn = 1),"
+        )
+    sql += rounds
+    body = "\n".join(sql).rstrip(",")
+    return (
+        body
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community "
+        f"FROM l{_LP_ROUNDS}"
+    )
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lp_oracle(),
+    survey_ref="graph-ML: synchronous label-propagation community "
+    "detection (majority vote, deterministic ties, fixed rounds)",
+)
+def label_propagation_communities(spark, sf_dir):
+    """Community detection by synchronous label propagation: every
+    node starts as its own label; each round it adopts the most
+    frequent label among its neighbors (ties to the smallest label —
+    fully deterministic, so the oracle's unrolled three rounds match
+    exactly). Differs from connected components (min-label fixpoint =
+    one community per component): majority vote splits dense regions
+    of the SAME component into communities.
+
+    100 TB story: each round is one edge-to-label equi-join + a
+    (node, label) partial-count aggregate + a map-side-combinable
+    ``min(struct(-count, label))`` argmax — the same per-round cost
+    envelope as connected components, with localCheckpoint bounding
+    lineage; rounds are fixed (3), so the driver loop is bounded."""
+    e = _edges(spark, sf_dir)
+    ue = e.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    ue = ue.localCheckpoint(eager=True)
+    labels = ue.select("node").distinct().select("node", F.col("node").alias("label"))
+    for _ in range(_LP_ROUNDS):
+        counts = (
+            ue.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b"))
+            .select("node", F.col("b.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )
