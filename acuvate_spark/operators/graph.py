@@ -35,6 +35,14 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # self-loops fold the "own label" term INTO the neighbor-min join:
+    # each round becomes ONE join + ONE aggregate (the a == b row both
+    # contributes the node's current label to the min and recovers the
+    # old label for the changed flag) — previously a second
+    # labels-side join per round did that work.
+    sym = sym.unionByName(
+        sym.select(F.col("a"), F.col("a").alias("b")).distinct()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -48,23 +56,23 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # neighbor-min pass: node <- min(own label, neighbors' labels).
-        # The changed flag is computed inside the same pass, so each
-        # round costs one join job (checkpoint) + one cheap agg over
-        # the checkpointed result — no extra old-vs-new join.
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_label = F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component")))
+        # node <- min over {own label (self-loop row), neighbor labels};
+        # old label rides along via the self-loop row, so the changed
+        # flag costs no extra join.
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("b").alias("nbr"), "component")
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("nbr") == F.col("node"), F.col("component"))).alias(
+                    "old"
+                ),
+            )
             .select(
                 "node",
-                new_label.alias("component"),
-                (new_label != F.col("component")).cast("int").alias("changed"),
+                "component",
+                (F.col("component") != F.col("old")).cast("int").alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
