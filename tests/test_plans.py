@@ -263,3 +263,26 @@ def test_hashed_classifier_is_single_exchange_codegen(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_kcenter_round_argmax_is_distributed_topk(spark, sf_dir):
+    """coreset_kcenter materializes per round (plan-audit skips it),
+    so pin the round shape here: the argmax the driver collects each
+    round must plan as a distributed TakeOrderedAndProject over the
+    map-only distance frame — never a global Sort."""
+    from acuvate_spark.queries.similarity import _DIST_SCALE
+    from acuvate_spark.functions import vectors
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    arr = F.array(*[F.lit(float(x)) for x in seed])
+    mind = e.select(
+        "vec_id",
+        F.round((1 - vectors.cosine(F.col("embedding"), arr)) * _DIST_SCALE)
+        .cast("long")
+        .alias("mind"),
+    )
+    top1 = mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc()).limit(1)
+    plan = _plan(top1)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "argmax must not shuffle the distance frame"
