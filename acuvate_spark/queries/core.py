@@ -78,6 +78,64 @@ def getdata_page(spark, sf_dir):
     return page_rows.crossJoin(F.broadcast(total))
 
 
+@register(
+    "getdata_keyset",
+    oracle="""
+WITH f AS (
+  SELECT * FROM orders WHERE o_orderpriority ILIKE '%urg%'
+),
+cur AS (
+  SELECT o_orderdate AS cd, o_orderkey AS ck
+  FROM f ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1 OFFSET 9
+),
+page AS (
+  SELECT f.* FROM f, cur
+  WHERE f.o_orderdate < cur.cd
+     OR (f.o_orderdate = cur.cd AND f.o_orderkey < cur.ck)
+  ORDER BY f.o_orderdate DESC, f.o_orderkey DESC LIMIT 10
+)
+SELECT o_orderkey AS "orderKey", o_custkey AS "custKey",
+       o_orderstatus AS "orderStatus", o_totalprice AS "totalPrice",
+       o_orderdate AS "orderDate", o_orderpriority AS "orderPriority"
+FROM page
+""",
+    survey_ref="W2 keyset variant §3.3 (the deep-page 100 TB form)",
+)
+def getdata_keyset(spark, sf_dir):
+    """Keyset (cursor) pagination — the deep-page form of the GetData
+    flagship: page 2 is addressed by the (orderDate, orderKey) of page
+    1's last row, so the page query is a pushable range predicate plus
+    ONE distributed top-k — no OFFSET scan, which at page 10,000 of a
+    100 TB register means skipping 10,000 pages of work that
+    ``getdata_page``'s offset form still performs. Returns exactly
+    ``getdata_page``'s page-2 rows (sans totalCount, which keyset
+    clients don't re-fetch per page).
+
+    In production the cursor arrives FROM THE CLIENT
+    (``api.get_data_after``); here it is derived in-query (top-10
+    tail via offset(9).limit(1), a 1-row TakeOrderedAndProject
+    broadcast) so the registry query is self-contained and
+    oracle-checkable end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    filtered = orders.where(F.col("o_orderpriority").ilike("%urg%"))
+    cursor = (
+        filtered.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .offset(9)
+        .limit(1)
+        .select(F.col("o_orderdate").alias("cd"), F.col("o_orderkey").alias("ck"))
+    )
+    after = (F.col("o_orderdate") < F.col("cd")) | (
+        (F.col("o_orderdate") == F.col("cd")) & (F.col("o_orderkey") < F.col("ck"))
+    )
+    return (
+        filtered.crossJoin(F.broadcast(cursor))
+        .where(after)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(10)
+        .select(*[F.col(src).alias(dst) for src, dst in _GETDATA_COLS])
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q1-shaped pricing summary — the classic scan+agg benchmark shape
 # ---------------------------------------------------------------------------

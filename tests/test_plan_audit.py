@@ -46,6 +46,9 @@ ALLOWED_UNBOUNDED = {
     # <= page_size rows cross a broadcast 1-row totalCount aggregate
     # (the scale-safe replacement for COUNT(*) OVER (), r03 verdict 1)
     "getdata_page",
+    # 1-row cursor frame (page tail via top-10) broadcast over the
+    # filtered scan; the page itself is a distributed top-k
+    "getdata_keyset",
     # 1-row corpus-total frame broadcast over the unigram counts
     "unigram_logprob_score",
     # 1-row (n_docs, sum_dl) stats frame broadcast over the

@@ -286,3 +286,14 @@ def test_kcenter_round_argmax_is_distributed_topk(spark, sf_dir):
     plan = _plan(top1)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan, "argmax must not shuffle the distance frame"
+
+
+def test_getdata_keyset_is_windowless_double_topk(spark, sf_dir):
+    """The keyset page: cursor derivation AND the page itself must
+    both plan as distributed TakeOrderedAndProject — no Window, no
+    global Sort, ILIKE filter pushed to both scans."""
+    df = REGISTRY["getdata_keyset"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert " Sort [" not in plan
