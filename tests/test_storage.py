@@ -277,3 +277,30 @@ def test_sharded_export_is_deterministic_and_ordered(spark, sf_dir, tmp_path):
         seen.extend(ids)
     expected = [r.doc_id for r in docs.collect()]
     assert sorted(seen) == sorted(expected)
+
+
+def test_sharded_export_order_is_cluster_size_invariant(spark, sf_dir, tmp_path):
+    """The export's in-shard order must depend only on the md5 keys —
+    NOT on how the input happened to be partitioned (the 'reproducible
+    global permutation at any cluster size' claim)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def shard_orders(path):
+        out = {}
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            k = int(d.rsplit("=", 1)[1])
+            files = sorted(glob.glob(f"{d}/*.parquet"))
+            out[k] = [
+                i for f in files for i in pq.read_table(f).column("doc_id").to_pylist()
+            ]
+        return out
+
+    p1 = str(tmp_path / "narrow")
+    p2 = str(tmp_path / "wide")
+    storage.write_sharded(docs.repartition(3), p1, n_shards=8, key_col="doc_id")
+    storage.write_sharded(docs.repartition(13), p2, n_shards=8, key_col="doc_id")
+    assert shard_orders(p1) == shard_orders(p2)
