@@ -628,3 +628,62 @@ def test_daily_forward_fill_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in REGISTRY["gapfill_daily"].fn(spark, sf_dir).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_daily_forward_fill_resumes_state_across_restarts(spark, tmp_path):
+    """The stateful gap-fill's core claim: a user quiet across
+    micro-batches gets the missing days emitted FORWARD-FILLED FROM
+    CHECKPOINTED STATE when they reappear in a later run."""
+    import json as _json
+
+    from acuvate_spark.streaming.stateful import daily_forward_fill
+
+    in_dir = tmp_path / "gapfill_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "gapfill_ckpt")
+
+    def write_batch(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for eid, day, val in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": f"2024-01-{day:02d}T12:00:00.000000Z",
+                            "user_id": 1,
+                            "event_type": "click",
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    out_dir = str(tmp_path / "gapfill_out")
+
+    def run():
+        # file sink: the memory sink refuses checkpoint recovery
+        stream = windows.stream_events_from_json(spark, str(in_dir))
+        q = (
+            daily_forward_fill(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["day"].day, r["n_events"], r["gap"], r["ff_value_cents"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    write_batch("b1.json", [(1, 1, 1.0), (2, 2, 2.0)])
+    got1 = run()
+    assert got1 == {(1, 1, False, 100), (2, 1, False, 200)}
+
+    # user goes quiet for days 3-4, reappears on day 5 in a NEW run:
+    # the gap days must emit forward-filled from the restored state
+    write_batch("b2.json", [(3, 5, 5.0)])
+    got2 = run()
+    assert got2 == got1 | {(3, 0, True, 200), (4, 0, True, 200), (5, 1, False, 500)}
