@@ -32,3 +32,27 @@ def test_adhoc_sql_reads_events_with_tuned_timestamps(spark, sf_dir):
     register_views(spark, sf_dir)
     dtype = dict(spark.table("events").dtypes)["ts"]
     assert dtype == "timestamp"
+
+
+def test_cli_sql_subcommand_end_to_end(sf_dir):
+    """Full main() path in a subprocess: arg parsing, session
+    lifecycle, view registration, statement execution, output."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "acuvate_spark",
+            "sql",
+            "SELECT count(*) AS n FROM orders",
+            "--sf-dir",
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "| n " in r.stdout or "|n" in r.stdout.replace(" ", ""), r.stdout[-500:]
