@@ -281,3 +281,57 @@ def write_sharded(
         .drop("__h")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def scan_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """Per-file min/max/row-count manifest from parquet FOOTERS only —
+    the audit table behind file-skipping decisions (is my layout
+    tight? which files would a given range predicate prune?). Reads
+    metadata, never data pages.
+
+    Scale shape: the file listing parallelizes as a DataFrame of
+    paths and the footer reads run inside mapInPandas (Arrow-batched,
+    one footer per row) — a 100k-file lake manifests in one map-only
+    job instead of a driver loop. Statistics come from the footers'
+    row-group stats (min over mins, max over maxes)."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    files = sorted(
+        p
+        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _os.path.isfile(p)
+    )
+    paths_df = spark.createDataFrame([(p,) for p in files], "file string")
+    out_fields = ", ".join(
+        f"`min_{c}` string, `max_{c}` string" for c in columns
+    )
+    schema = f"file string, n_rows long, {out_fields}"
+
+    def read_footers(it):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.read_metadata(f)
+                name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                rec = {"file": f, "n_rows": md.num_rows}
+                for c in columns:
+                    mins, maxs = [], []
+                    idx = name_to_idx.get(c)
+                    if idx is not None:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(idx).statistics
+                            if st is not None and st.has_min_max:
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                    rec[f"min_{c}"] = str(min(mins)) if mins else None
+                    rec[f"max_{c}"] = str(max(maxs)) if maxs else None
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return paths_df.mapInPandas(read_footers, schema).orderBy(_F.col("file"))

