@@ -55,3 +55,48 @@ def test_embedding_lsh_recall_vs_exact_all_pairs(spark, sf_dir):
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} true pairs)"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Same blind spot, MinHash path: the dedup_minhash_lsh oracle
+    replays the identical md5 minhash + banding in DuckDB, so engine
+    parity cannot catch a banding scheme that misses true
+    Jaccard>=0.7 pairs. Ground truth here is exact set Jaccard over
+    the 3-word shingle sets computed in pure Python."""
+    import itertools
+    import re
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    shingles = {}
+    for doc_id, text in zip(pdf.doc_id, pdf.text):
+        w = [x for x in re.split(r"\s+", text.strip()) if x != ""]
+        s = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+        shingles[int(doc_id)] = s
+        if doc_id % 50 == 0:
+            shingles[int(doc_id) + 100000] = s
+    exact = set()
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        if not sa and not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.7:
+            exact.add((a, b))
+    got = {
+        (int(r.doc_a), int(r.doc_b))
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # precision is structural (candidates are exact-verified)
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    # identical shingle sets -> identical signatures -> every band
+    # collides: clone pairs must all be recovered
+    clones = {(a, b) for a, b in exact if b == a + 100000}
+    assert clones and clones <= got, f"missed clones: {sorted(clones - got)[:5]}"
+    # 4 bands of 2 at J=0.7 give ~93% per-pair collision probability;
+    # demand >= 0.85 so degenerate banding fails loudly
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"MinHash LSH recall {recall:.3f} < 0.85 ({len(exact)} true pairs)"
