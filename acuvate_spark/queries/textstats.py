@@ -241,8 +241,14 @@ def heavy_hitters(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n"))
     )
     top = counts.orderBy(F.col("n").desc(), "word").limit(25)
-    # rank window runs over 25 rows only — post-top-k, scale-free
-    w = Window.orderBy(F.col("n").desc(), "word")
+    # rank window runs over 25 rows only — post-top-k, scale-free.
+    # The constant-valued (but non-foldable — a literal would be
+    # optimized away) partition key keeps WindowExec from logging its
+    # single-partition scale warning on every bench run, which is a
+    # false positive on this bounded frame.
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.col("n").desc(), "word"
+    )
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "word", "n"
     )
