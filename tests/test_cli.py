@@ -56,3 +56,32 @@ def test_cli_sql_subcommand_end_to_end(sf_dir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "| n " in r.stdout or "|n" in r.stdout.replace(" ", ""), r.stdout[-500:]
+
+
+def test_cli_unknown_query_exits_2(sf_dir):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "acuvate_spark", "run", "no_such_query"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
+
+
+def test_cli_list_grep_filters(sf_dir):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", "acuvate_spark", "list", "--grep", "dedup"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines and all("dedup" in ln.lower() for ln in lines)
