@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import tags
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1335,7 +1335,7 @@ def cms_point_query(spark, sf_dir):
     the sketch. The exact side (for the audit columns) is a probe-
     filtered count — the isin filter prunes the token stream before
     its tiny aggregate."""
-    d = load_table(spark, sf_dir, "documents")
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )

@@ -1106,7 +1106,9 @@ def source_overlap_kmv(spark, sf_dir):
       caps at K; sources with fewer distinct shingles use their exact
       set, where the estimator degrades to exact Jaccard).
     """
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    docs = repartition_for_compute(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     w = textual.words(F.trim(F.col("text")))
     shingles = F.array_distinct(
         F.filter(textual.word_shingles(w, 3), lambda s: s != "")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import load_table
+from ..tables import load_table, repartition_for_compute
 from .registry import register
 
 
@@ -65,7 +65,7 @@ def gapfill_daily(spark, sf_dir):
     (``floor(x*100+0.5)``, the repo's portable-rounding idiom) so the
     oracle hashes exactly.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = repartition_for_compute(load_table(spark, sf_dir, "events"))
     day = F.date_trunc("day", F.col("ts"))
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     daily = ev.groupBy(F.col("user_id"), day.alias("day")).agg(

@@ -975,7 +975,7 @@ def token_budget_mix(spark, sf_dir):
     cheap and which re-joins as a broadcast. The oracle runs the
     single-window form — identical semantics, which is exactly the
     point: same answer, scalable shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     h = F.md5(F.concat(F.lit("mixv2|"), F.col("doc_id").cast("string")))
     rows = d.select(
         "doc_id",
@@ -1072,11 +1072,13 @@ def hashed_text_classifier(spark, sf_dir):
     same exploded feature frame without touching the dataflow.
 
     100 TB story: explode + hash + weight are narrow codegen
-    expressions fused into the scan; the only shuffle is the per-doc
-    partial aggregate on doc_id (map-side combinable — a doc's
-    features combine within each task before shuffling one row per
-    doc). Nothing wider than (doc_id, two longs) ever moves."""
-    d = load_table(spark, sf_dir, "documents")
+    expressions; the only data-bearing shuffle is the per-doc partial
+    aggregate on doc_id (map-side combinable — a doc's features
+    combine within each task before shuffling one row per doc; the
+    round-robin input spread is the local single-row-group
+    compensation tables.repartition_for_compute documents). Nothing
+    wider than (doc_id, two longs) ever moves."""
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     w = F.filter(_lower_words(F.col("text")), lambda x: x != "")
     terms = d.select(
         "doc_id",
@@ -1154,7 +1156,7 @@ def bm25_probe_ranking(spark, sf_dir):
     per doc; df is a |probes|-row frame that broadcasts back. Nothing
     unbounded shuffles except the (doc_id, dl) frame, keyed on
     doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     tokd = d.select(
         "doc_id",
         F.explode(F.filter(_lower_words(F.col("text")), lambda x: x != "")).alias("term"),
@@ -1270,7 +1272,7 @@ def mlm_span_mask(spark, sf_dir):
     BY doc_id — per-task state is bounded by document length, the
     same bound every reassembly op in this repo relies on (no global
     window anywhere). One doc-keyed shuffle end to end."""
-    d = load_table(spark, sf_dir, "documents")
+    d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     wf = F.filter(_lower_words(F.col("text")), lambda x: x != "")
     base = d.select("doc_id", wf.alias("w"))
     wp = base.select("doc_id", F.posexplode("w").alias("pos", "word")).withColumn(

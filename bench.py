@@ -73,11 +73,37 @@ def main() -> None:
     from acuvate_spark.queries import REGISTRY
     from acuvate_spark.session import get_spark
 
+    # --extended: profile EVERY registry query (one pass, stderr table)
+    # instead of the guarded headline set — a profiling tool, not the
+    # driver's metric (the headline set matches BENCH_BASELINE).
+    extended = "--extended" in sys.argv[1:]
     spark = get_spark("acuvate-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    if extended:
+        rows = []
+        for name in REGISTRY:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            rows.append((round(time.perf_counter() - t0, 3), name))
+            spark.catalog.clearCache()
+        for t, name in sorted(rows, reverse=True):
+            print(f"  {t:8.3f}s  {name}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "all_queries_single_pass_wall_clock",
+                    "value": round(sum(t for t, _ in rows), 3),
+                    "unit": "sec",
+                    "queries": {n: t for t, n in rows},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        spark.stop()
+        return
     # three passes per query, report the min: steady-state measurement
     # (first pass may pay scan caching / JIT for that query's operators;
     # min-of-3 because min-of-2 at sub-second scale could not separate

@@ -253,13 +253,16 @@ def test_token_budget_mix_is_two_level_prefix_sum(spark, sf_dir):
     assert row_specs and all("bucket" in s for s in row_specs), row_specs
 
 
-def test_hashed_classifier_is_single_exchange_codegen(spark, sf_dir):
-    """The classifier is explode + hash + weight fused into the scan
-    with ONE map-side-combinable doc aggregate: exactly one Exchange,
-    no joins, no Python eval."""
+def test_hashed_classifier_is_single_agg_exchange_codegen(spark, sf_dir):
+    """The classifier is explode + hash + weight over the spread input
+    with ONE map-side-combinable doc aggregate: exactly one
+    hash-partitioned Exchange (the other is the local-input
+    round-robin spread from repartition_for_compute — at real scale
+    inputs arrive pre-split), no joins, no Python eval."""
     df = REGISTRY["hashed_text_classifier"].fn(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("- Exchange (") == 1, plan
+    assert "RoundRobinPartitioning" in plan and "hashpartitioning(" in plan
+    assert plan.count("- Exchange (") == 2, plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
