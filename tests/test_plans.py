@@ -300,3 +300,42 @@ def test_getdata_keyset_is_windowless_double_topk(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert " Sort [" not in plan
+
+
+def test_link_prediction_wedge_join_is_hash_equi(spark, sf_dir):
+    """Candidates must come from the hash equi-join on the shared
+    supplier (wedge), never a pair-space nested loop; the >= 2 common
+    filter prunes on the aggregate (partial counts before the
+    exchange)."""
+    df = REGISTRY["link_prediction_jaccard"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_label_propagation_round_is_join_plus_argmax_agg(spark, sf_dir):
+    """One propagation round = edge-label equi-join + partial-count
+    aggregate + min(struct) argmax — no row_number window, no nested
+    loop. Pinned on an unmaterialized round (the registry query
+    localCheckpoints, which the plan audit skips)."""
+    from acuvate_spark.queries.graph import _edges
+
+    e = _edges(spark, sf_dir)
+    ue = e.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    )
+    labels = ue.select("node").distinct().select("node", F.col("node").alias("label"))
+    counts = (
+        ue.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+        .groupBy("node", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    new_labels = (
+        counts.groupBy("node")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b"))
+        .select("node", F.col("b.label").alias("label"))
+    )
+    plan = _plan(new_labels)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan and "partial_min" in plan
