@@ -32,7 +32,7 @@ def duck():
     return duckdb.connect()
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(texts=_TEXTS)
 def test_textual_helpers_agree_across_engines(spark, duck, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
