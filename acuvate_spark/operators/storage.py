@@ -289,49 +289,95 @@ def scan_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
     tight? which files would a given range predicate prune?). Reads
     metadata, never data pages.
 
-    Scale shape: the file listing parallelizes as a DataFrame of
-    paths and the footer reads run inside mapInPandas (Arrow-batched,
-    one footer per row) — a 100k-file lake manifests in one map-only
-    job instead of a driver loop. Statistics come from the footers'
-    row-group stats (min over mins, max over maxes)."""
-    import glob as _glob
+    The reported min/max are PRUNING BOUNDS, not guaranteed exact
+    extrema: parquet writers may truncate statistics for long
+    string/binary values, so the stored min is <= the true min (resp.
+    max >= true max) — exactly the contract a file-skipping decision
+    needs, and the only one footers universally provide. Where the
+    footer carries exactness flags (pyarrow >= 16 exposes
+    ``is_min_value_exact``) they are AND-folded per file into
+    ``{col}_exact`` (null = writer didn't say). Byte-typed statistics
+    (binary/string physical type) are utf-8-decoded before rendering
+    so the manifest never shows a Python ``b'...'`` repr.
+
+    Scale shape: both the LISTING and the footer reads are
+    distributed — the driver enumerates only the top-level children of
+    ``path`` (on a real lake: one listing RPC), each task recursively
+    expands its own subtree and reads the footers it found
+    (mapInPandas, Arrow-batched) — a 100k-file lake manifests without
+    a driver-side glob of every leaf. Statistics come from the
+    footers' row-group stats (min over mins, max over maxes)."""
     import os as _os
 
     from pyspark.sql import functions as _F
 
-    files = sorted(
-        p
-        for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-        if _os.path.isfile(p)
+    if not _os.path.isdir(path):
+        raise FileNotFoundError(f"scan_stats: no such directory {path!r}")
+    # top-level children only; tasks expand their own subtrees
+    roots = sorted(e.path for e in _os.scandir(path) if e.is_dir()) or [path]
+    roots_df = spark.createDataFrame([(r,) for r in roots], "root string").repartition(
+        min(len(roots), 64)
     )
-    paths_df = spark.createDataFrame([(p,) for p in files], "file string")
     out_fields = ", ".join(
-        f"`min_{c}` string, `max_{c}` string" for c in columns
+        f"`min_{c}` string, `max_{c}` string, `{c}_exact` boolean" for c in columns
     )
     schema = f"file string, n_rows long, {out_fields}"
 
+    def _render(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", errors="replace")
+        return str(v)
+
     def read_footers(it):
+        import glob as _glob
+
         import pandas as pd
         import pyarrow.parquet as pq
 
         for pdf in it:
             rows = []
-            for f in pdf["file"]:
-                md = pq.read_metadata(f)
-                name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                rec = {"file": f, "n_rows": md.num_rows}
-                for c in columns:
-                    mins, maxs = [], []
-                    idx = name_to_idx.get(c)
-                    if idx is not None:
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(idx).statistics
-                            if st is not None and st.has_min_max:
-                                mins.append(st.min)
-                                maxs.append(st.max)
-                    rec[f"min_{c}"] = str(min(mins)) if mins else None
-                    rec[f"max_{c}"] = str(max(maxs)) if maxs else None
-                rows.append(rec)
-            yield pd.DataFrame(rows)
+            for root in pdf["root"]:
+                if _os.path.isfile(root):
+                    files = [root] if root.endswith(".parquet") else []
+                else:
+                    files = sorted(
+                        p
+                        for p in _glob.glob(
+                            _os.path.join(root, "**", "*.parquet"), recursive=True
+                        )
+                        if _os.path.isfile(p)
+                    )
+                for f in files:
+                    md = pq.read_metadata(f)
+                    name_to_idx = {
+                        md.schema.column(i).name: i for i in range(md.num_columns)
+                    }
+                    rec = {"file": f, "n_rows": md.num_rows}
+                    for c in columns:
+                        mins, maxs, exact = [], [], []
+                        idx = name_to_idx.get(c)
+                        if idx is not None:
+                            for rg in range(md.num_row_groups):
+                                st = md.row_group(rg).column(idx).statistics
+                                if st is not None and st.has_min_max:
+                                    mins.append(st.min)
+                                    maxs.append(st.max)
+                                    exact.append(
+                                        getattr(st, "is_min_value_exact", None)
+                                    )
+                                    exact.append(
+                                        getattr(st, "is_max_value_exact", None)
+                                    )
+                        rec[f"min_{c}"] = _render(min(mins)) if mins else None
+                        rec[f"max_{c}"] = _render(max(maxs)) if maxs else None
+                        rec[f"{c}_exact"] = (
+                            all(exact) if exact and all(e is not None for e in exact) else None
+                        )
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "n_rows"]
+                + [p for c in columns for p in (f"min_{c}", f"max_{c}", f"{c}_exact")],
+            )
 
-    return paths_df.mapInPandas(read_footers, schema).orderBy(_F.col("file"))
+    return roots_df.mapInPandas(read_footers, schema).orderBy(_F.col("file"))

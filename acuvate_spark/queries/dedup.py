@@ -1253,12 +1253,16 @@ occ AS (
   FROM ws, LATERAL (SELECT unnest(range(0, greatest(len(w) - {_REMOVE_SPAN_N - 1}, 0))) AS i) t
 ),
 firsts AS (
-  SELECT gkey, min(doc_id * 1000000 + start0) AS first_key FROM occ GROUP BY gkey
+  SELECT gkey, doc_id AS fdoc, start0 AS fstart
+  FROM (SELECT gkey, doc_id, start0,
+               row_number() OVER (PARTITION BY gkey ORDER BY doc_id, start0) AS rn
+        FROM occ)
+  WHERE rn = 1
 ),
 nonfirst AS (
   SELECT o.doc_id, o.start0
   FROM occ o JOIN firsts f USING (gkey)
-  WHERE o.doc_id * 1000000 + o.start0 <> f.first_key
+  WHERE NOT (o.doc_id = f.fdoc AND o.start0 = f.fstart)
 ),
 covered AS (
   SELECT DISTINCT doc_id, p AS pos
@@ -1293,9 +1297,11 @@ def dedup_span_removal(spark, sf_dir):
     (doc_id, n_words, n_kept, md5(cleaned_text)) for every document.
 
     100 TB story: gram occurrences shuffle as (md5 16 B, two longs) —
-    never text; the global first-occurrence is min(doc*1M+start), a
-    map-side-combinable agg (the struct-free integer encoding), and
-    re-joins occurrences on the gram hash (AQE picks the strategy).
+    never text; the global first-occurrence is min(struct(doc, start))
+    — a two-column lexicographic argmin, map-side combinable, and safe
+    for documents of ANY length (the earlier doc*1M+start integer
+    encoding silently mis-ranked docs with >=1M words) — and re-joins
+    occurrences on the gram hash (AQE picks the strategy).
     Cover explode is bounded (x5); the keep filter is an anti join on
     (doc, pos); reassembly is a per-doc sort of that doc's own
     surviving words (collect_list + in-row array_sort — state bounded
@@ -1308,9 +1314,13 @@ def dedup_span_removal(spark, sf_dir):
         base.select("doc_id", F.posexplode(textual.word_shingles(F.col("w"), _REMOVE_SPAN_N)).alias("start0", "gram"))
         .select("doc_id", "start0", F.md5("gram").alias("gkey"))
     )
-    enc = (F.col("doc_id") * 1000000 + F.col("start0")).cast("long")
-    firsts = occ.groupBy("gkey").agg(F.min(enc).alias("first_key"))
-    nonfirst = occ.join(firsts, "gkey").where(enc != F.col("first_key"))
+    firsts = occ.groupBy("gkey").agg(
+        F.min(F.struct("doc_id", "start0")).alias("first_occ")
+    )
+    nonfirst = occ.join(firsts, "gkey").where(
+        (F.col("doc_id") != F.col("first_occ.doc_id"))
+        | (F.col("start0") != F.col("first_occ.start0"))
+    )
     covered = nonfirst.select(
         "doc_id",
         F.explode(F.sequence(F.col("start0"), F.col("start0") + _REMOVE_SPAN_N - 1)).alias("pos"),

@@ -162,7 +162,14 @@ def daily_forward_fill(events: DataFrame) -> DataFrame:
 
     One availableNow batch over a static input emits exactly the
     batch query's rows (parity-tested); incremental batches resume
-    the grid from the state's last day."""
+    the grid from the state's last day.
+
+    Late data: append mode cannot retract an already-emitted day, so
+    events at or below the state's last emitted day are DROPPED here
+    (and, crucially, never regress the state — a late-only batch left
+    the old version re-emitting the whole tail as duplicates). The
+    batch twin replaying the full log is the corrective source of
+    truth for late arrivals, the standard lambda split."""
 
     def fn(key, pdfs, state: GroupState):
         import numpy as np
@@ -178,7 +185,11 @@ def daily_forward_fill(events: DataFrame) -> DataFrame:
         )
         if state.exists:
             last_day_us, last_cents = state.get
-            day = pd.Timestamp(last_day_us, unit="us") + pd.Timedelta(days=1)
+            last_day = pd.Timestamp(last_day_us, unit="us")
+            daily = daily[daily.index > last_day]
+            if daily.empty:
+                return  # late-only batch: emit nothing, keep state monotone
+            day = last_day + pd.Timedelta(days=1)
             cur = int(last_cents)
         else:
             day = daily.index.min()

@@ -321,3 +321,25 @@ def test_scan_stats_manifest_reflects_layout(spark, sf_dir, tmp_path):
     for r in stats:
         assert r.min_o_orderkey is not None
         assert int(r.min_o_orderkey) <= int(r.max_o_orderkey)
+
+
+def test_scan_stats_decodes_string_stats(spark, sf_dir, tmp_path):
+    """String/binary footer statistics must surface as decoded text
+    (never a Python b'...' repr), and min/max are pruning BOUNDS:
+    every actual value sits inside [min, max] per file."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    path = str(tmp_path / "docs_flat")
+    docs.repartition(3).write.parquet(path)
+    stats = storage.scan_stats(spark, path, ["source", "lang"]).collect()
+    assert len(stats) >= 2
+    lo = min(r.min_source for r in stats)
+    hi = max(r.max_source for r in stats)
+    assert not lo.startswith("b'") and not hi.startswith("b'")
+    actual_lo, actual_hi = docs.agg(
+        F.min("source"), F.max("source")
+    ).first()
+    assert lo <= actual_lo and hi >= actual_hi
+    # exactness flags: present -> boolean, or null when the writer
+    # didn't record them; never a crash
+    for r in stats:
+        assert r.source_exact in (True, False, None)

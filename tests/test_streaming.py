@@ -687,3 +687,13 @@ def test_daily_forward_fill_resumes_state_across_restarts(spark, tmp_path):
     write_batch("b2.json", [(3, 5, 5.0)])
     got2 = run()
     assert got2 == got1 | {(3, 0, True, 200), (4, 0, True, 200), (5, 1, False, 500)}
+
+    # LATE-ONLY batch: an event for day 3 (already emitted as a gap
+    # day) must neither duplicate output nor regress the state...
+    write_batch("b3.json", [(4, 3, 9.0)])
+    got3 = run()
+    assert got3 == got2
+    # ...so the next on-time day resumes the grid from day 5, not day 3
+    write_batch("b4.json", [(5, 6, 6.0)])
+    got4 = run()
+    assert got4 == got3 | {(6, 1, False, 600)}
