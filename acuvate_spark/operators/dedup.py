@@ -106,33 +106,81 @@ def _simhash_bit_sources() -> list[tuple[int, int]]:
     return [(i // 32, i % 32 + 1) for i in range(_SIMHASH_BITS)]
 
 
-def simhash_signature(tokens_df: DataFrame, key: str, token_col: str) -> DataFrame:
+# Packed-lane vote aggregation: 4 hex digits (one 16-bit conv) per
+# group; the 4 nibble high-bits are spread into the low bit of four
+# 16-bit lanes of ONE long by a single multiply+mask, so the hot
+# aggregate is 16 packed sums + a count instead of 64 independent
+# conditional sums (the registry's old CPU outlier — a ~4x smaller
+# aggregation buffer and integer ops instead of 64 string compares
+# per token). flag bits sit at 0,4,8,12; term 2^(12k) of the spread
+# constant lifts flag 4j to bit 4j+12k, and 4j+12k = 16m only for
+# j = k = m, so the post-multiply mask isolates exactly one flag per
+# lane (no aliasing).
+_LANE_GROUPS = _SIMHASH_BITS // 4
+_LANE_SPREAD = 1 | (1 << 12) | (1 << 24) | (1 << 36)
+_LANE_MASK = 0x0001000100010001
+_CHUNK_TOKENS = 1 << 14  # lanes hold counts < 2^16 by construction
+
+
+def simhash_signature(
+    tokens_df: DataFrame, key: str, token_col: str, pos_col: str | None = None
+) -> DataFrame:
     """(key, token) rows -> (key, sig) where sig is a 64-char '0'/'1'
     string. Bit i is the sign of the vote sum over tokens: hex digit i
     of the token's md5 digests votes +1 if >= '8' (high bit set) else
-    -1. One groupBy, 64 codegen'd sum aggregates — no Python, and the
-    md5/hex primitives make the signature bit-identical in any engine
-    (xxhash64 would be ~2x faster per token but is Spark-specific;
-    signature hashing is not the dominant cost of the pipeline)."""
-    digests = tokens_df.select(
-        key,
-        F.md5(F.concat(F.lit("s0|"), F.col(token_col))).alias("d0"),
-        F.md5(F.concat(F.lit("s1|"), F.col(token_col))).alias("d1"),
+    -1 — equivalently, bit i is set iff 2*count_high(i) > n_tokens,
+    which is what the packed-lane aggregation computes. All JVM-side
+    column expressions; md5/hex primitives keep the signature
+    bit-identical in any engine (xxhash64 would be ~2x faster per
+    token but is Spark-specific).
+
+    ``pos_col`` (a 0-based token position) enables exact counts for
+    documents of ANY length: tokens aggregate per (key, pos/16384)
+    chunk first — bounding every 16-bit lane — then the tiny per-chunk
+    rows (64 plain sums over ~n_tokens/16384 rows per doc) fold to the
+    doc totals. Without it the single-pass lanes are exact up to
+    65,535 tokens per document."""
+    hexcat = F.concat(
+        F.md5(F.concat(F.lit("s0|"), F.col(token_col))),
+        F.md5(F.concat(F.lit("s1|"), F.col(token_col))),
     )
-    votes = [
-        F.sum(
-            F.when(F.substring(F.col(f"d{seed}"), pos, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i, (seed, pos) in enumerate(_simhash_bit_sources())
-    ]
-    voted = digests.groupBy(key).agg(*votes)
+    packed = []
+    for g in range(_LANE_GROUPS):
+        v = F.conv(F.substring(hexcat, 4 * g + 1, 4), 16, 10).cast("long")
+        flags = F.shiftright(v, 3).bitwiseAND(F.lit(0x1111))
+        packed.append(
+            (flags * F.lit(_LANE_SPREAD)).bitwiseAND(F.lit(_LANE_MASK)).alias(f"p{g}")
+        )
+    cols: list = [F.col(key)]
+    group = [key]
+    if pos_col is not None:
+        cols.append((F.col(pos_col) / F.lit(_CHUNK_TOKENS)).cast("long").alias("__chunk"))
+        group.append("__chunk")
+    partial = tokens_df.select(*cols, *packed).groupBy(*group).agg(
+        *[F.sum(f"p{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
+        F.count("*").alias("__n"),
+    )
+    # conv('abcd') is big-endian: the group's FIRST hex digit lands in
+    # the highest lane, so digit 4g+r lives in lane 3-r of s{g}
+    unpacks = []
+    for i in range(_SIMHASH_BITS):
+        g, r = divmod(i, 4)
+        lane = 3 - r
+        c = F.shiftright(F.col(f"s{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        unpacks.append(c.alias(f"c{i}"))
+    counted = partial.select(key, *unpacks, "__n")
+    if pos_col is not None:
+        counted = counted.groupBy(key).agg(
+            *[F.sum(f"c{i}").alias(f"c{i}") for i in range(_SIMHASH_BITS)],
+            F.sum("__n").alias("__n"),
+        )
     sig = F.concat(
         *[
-            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(F.col(f"c{i}") * 2 > F.col("__n"), F.lit("1")).otherwise(F.lit("0"))
             for i in range(_SIMHASH_BITS)
         ]
     )
-    return voted.select(key, sig.alias("sig"))
+    return counted.select(key, sig.alias("sig"))
 
 
 def simhash_vote_sql(i: int) -> str:
@@ -145,27 +193,59 @@ def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> Dat
     """Candidate pairs via 16-bit band equality (pigeonhole: hamming<=3
     over 4 bands guarantees one identical band), verified by exact
     hamming distance over the bit strings. The band equi-join is the
-    whole point: cost tracks band collisions, not n² pairs."""
-    banded = sig_df.select(
-        key,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.substring(F.col("sig"), b * _BAND_BITS + 1, _BAND_BITS).alias(
-                            "band_val"
-                        ),
-                    )
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select(key, "sig", "band.band_idx", "band.band_val")
+    whole point: cost tracks band collisions, not n² pairs.
+
+    Two things keep the verify cheap at scale:
+
+    * the signature frame is materialized (localCheckpoint) before the
+      self-join, so both join sides read the same 24-byte-per-doc
+      table instead of each re-running the scan -> explode -> md5 ->
+      vote pipeline upstream of it;
+    * each 16-bit band is decoded ONCE per doc into a long, and the
+      hamming distance is 4x ``bit_count(a XOR b)`` — Catalyst pushes
+      the hamming filter into the join condition, where it runs per
+      BAND COLLISION, so it must be a handful of integer ops, not the
+      64 per-character string compares the bit-string form costs
+      (that expression made the verify stage the registry's CPU
+      outlier)."""
+    sig_df = sig_df.localCheckpoint(eager=False)
+    band_longs = [
+        F.conv(F.substring(F.col("sig"), b * _BAND_BITS + 1, _BAND_BITS), 2, 10)
+        .cast("long")
+        .alias(f"b{b}")
+        for b in range(_SIMHASH_BANDS)
+    ]
+    banded = (
+        sig_df.select(key, *band_longs)
+        .select(
+            key,
+            *[f"b{b}" for b in range(_SIMHASH_BANDS)],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"b{b}").alias("band_val"),
+                        )
+                        for b in range(_SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(
+            key,
+            *[f"b{b}" for b in range(_SIMHASH_BANDS)],
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_val").alias("band_val"),
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(_SIMHASH_BANDS)
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -175,21 +255,10 @@ def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> Dat
         .select(
             F.col(f"a.{key}").alias("key_a"),
             F.col(f"b.{key}").alias("key_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = sum(
-        F.when(
-            F.substring(F.col("sig_a"), i + 1, 1) != F.substring(F.col("sig_b"), i + 1, 1), 1
-        ).otherwise(0)
-        for i in range(_SIMHASH_BITS)
-    ).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("key_a", "key_b", "hamming")
+        .distinct()
     )
 
 

@@ -400,16 +400,20 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash from per-word md5 hex-digit bit votes,
     16-bit-band LSH candidates, hamming <= 3 verification. Entirely
-    JVM-side expressions (64 codegen'd sum aggregates, a band
-    equi-join, a char-compare hamming) — no Python, no all-pairs, and
-    every step is portable SQL, so the oracle pins the full pipeline
-    bit-for-bit (round 1 used xxhash64 votes, which forced a weaker
-    rows-only check)."""
+    JVM-side expressions — no Python, no all-pairs — and every step is
+    portable SQL, so the oracle pins the full pipeline bit-for-bit
+    (round 1 used xxhash64 votes, which forced a weaker rows-only
+    check). The vote aggregate packs 4 bit-counts per long into 16-bit
+    lanes (16 sums + a count instead of 64 conditional sums — the old
+    form was the registry's CPU outlier), chunked by token position so
+    lanes stay exact for documents of any length; the oracle's 64
+    plain sums are the same counts by construction."""
     docs = _docs_plus_clones(spark, sf_dir)
     tokens = docs.select(
-        "doc_id", F.explode(textual.words(F.lower(F.col("text")))).alias("token")
+        "doc_id",
+        F.posexplode(textual.words(F.lower(F.col("text")))).alias("pos", "token"),
     ).where(F.col("token") != "")
-    sig = dedup_ops.simhash_signature(tokens, "doc_id", "token")
+    sig = dedup_ops.simhash_signature(tokens, "doc_id", "token", pos_col="pos")
     pairs = dedup_ops.simhash_near_pairs(sig, "doc_id", max_hamming=3)
     return pairs.select(
         F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"), "hamming"
