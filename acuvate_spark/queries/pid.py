@@ -8,6 +8,8 @@ SQL-expressible (the deterministic decode stub was designed to be).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions import tags
@@ -442,37 +444,22 @@ def tile_grid(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "imageprocess_pipeline",
-    oracle=None,  # composes the BFS kernel + NMS (sequential kernels) -> rows-only
-    survey_ref="§3.2 end-to-end: X6 X8 O6 J6 J7 A5 X5 O8",
-)
-def imageprocess_pipeline(spark, sf_dir):
-    """The reference's /api/Home/imageprocess pipeline (SURVEY §3.2)
-    composed end-to-end on synthetic inputs:
-
-    1. detections (from part) -> per-class greedy NMS kernel;
-    2. mask pixels (synthetic strokes) -> pixel-BFS segmentation ->
-       downsampled polylines;
-    3. polyline vertices x surviving boxes -> touch join -> pairwise
-       edges per line -> first-line-per-pair;
-    4. edge endpoints labeled via the MD5-cached LLM stub.
-
-    Each stage is the operator verified elsewhere (nms_detections,
-    extract_segments test, pid_connections, llm_label_cache); this
-    query proves they compose into one lazy plan with kernels and
-    joins interleaved — the reference's whole §3.2 trace as a single
-    dataflow."""
-    p = load_table(spark, sf_dir, "part")
-
-    # 1. detections -> NMS (per document=brand, class=type)
+def _ip_boxes(p):
+    """Stage 1 of the imageprocess pipeline: synthetic detections ->
+    per-class greedy NMS kernel -> stable box ids. Shared by the
+    composed pipeline and the committed-fixture generator
+    (tools/make_imageprocess_fixture.py), so the fixture can only be
+    the real kernel output."""
     det = synth_detections(p, size=12)
-    boxes = kernels.nms(det, iou_threshold=0.5).withColumn(
+    return kernels.nms(det, iou_threshold=0.5).withColumn(
         "box_id",
         F.xxhash64(F.col("document_id"), F.col("cls"), F.col("x1"), F.col("y1")),
     )
 
-    # 2. synthetic mask pixels -> BFS segments -> polylines
+
+def _ip_segments(p):
+    """Stage 2: synthetic mask strokes -> pixel-BFS segmentation ->
+    downsampled polylines (same sharing contract as _ip_boxes)."""
     strokes = (
         p.where(F.col("p_partkey") % 20 == 0)
         .select(
@@ -483,9 +470,15 @@ def imageprocess_pipeline(spark, sf_dir):
         .select("image_id", F.col("i").alias("x"), F.col("ybase").cast("int").alias("y"))
         .distinct()
     )
-    segments = kernels.extract_segments(strokes, downsample=10)
+    return kernels.extract_segments(strokes, downsample=10)
 
-    # 3. polyline vertices x boxes -> touch -> pairwise edges
+
+def _ip_tail(boxes, segments):
+    """Stages 3-4 — the DECLARATIVE tail: polyline vertices x boxes
+    touch join (J6, grid-bucketed), pairwise edges per segment (J7),
+    first-line-per-pair (A5), MD5-cached LLM labels (X5). Pure
+    DataFrame ops, so it is oracle-pinnable given fixed kernel
+    outputs — which is exactly what imageprocess_tail does."""
     verts = segments.select(
         "image_id", "segment_id", F.explode("points").alias("pt")
     ).select(
@@ -521,12 +514,102 @@ def imageprocess_pipeline(spark, sf_dir):
         .groupBy("box_a", "box_b")
         .agg(F.min("segment_id").alias("first_segment"), F.count("*").alias("n_lines"))
     )
-
-    # 4. label edges via the cached LLM stub
     labeled = edges.withColumn(
         "edge_md5", F.md5(F.concat_ws("|", F.col("box_a"), F.col("box_b")))
     ).withColumn("label", kernels.llm_label_stub_expr(F.col("edge_md5")))
     return labeled.select("box_a", "box_b", "first_segment", "n_lines", "label")
+
+
+@register(
+    "imageprocess_pipeline",
+    oracle=None,  # composes the BFS kernel + NMS (sequential kernels) -> rows-only
+    survey_ref="§3.2 end-to-end: X6 X8 O6 J6 J7 A5 X5 O8",
+)
+def imageprocess_pipeline(spark, sf_dir):
+    """The reference's /api/Home/imageprocess pipeline (SURVEY §3.2)
+    composed end-to-end on synthetic inputs:
+
+    1. detections (from part) -> per-class greedy NMS kernel;
+    2. mask pixels (synthetic strokes) -> pixel-BFS segmentation ->
+       downsampled polylines;
+    3. polyline vertices x surviving boxes -> touch join -> pairwise
+       edges per line -> first-line-per-pair;
+    4. edge endpoints labeled via the MD5-cached LLM stub.
+
+    Each stage is the operator verified elsewhere (nms_detections,
+    extract_segments test, pid_connections, llm_label_cache); this
+    query proves they compose into one lazy plan with kernels and
+    joins interleaved — the reference's whole §3.2 trace as a single
+    dataflow. The declarative tail (stages 3-4) is additionally
+    hash-pinned by ``imageprocess_tail`` over committed kernel-output
+    fixtures, so only the two sequential kernels themselves sit
+    outside oracle verification."""
+    p = load_table(spark, sf_dir, "part")
+    return _ip_tail(_ip_boxes(p), _ip_segments(p))
+
+
+_IP_BOXES_FIX = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "ip_boxes.parquet",
+)
+_IP_SEGMENTS_FIX = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "ip_segments.parquet",
+)
+
+
+@register(
+    "imageprocess_tail",
+    oracle=f"""
+WITH boxes AS (SELECT box_id, x1, y1, x2, y2 FROM '{_IP_BOXES_FIX}'),
+segs AS (SELECT image_id, segment_id, points FROM '{_IP_SEGMENTS_FIX}'),
+verts AS (
+  SELECT image_id, segment_id,
+         CAST(pt[1] AS DOUBLE) AS px, CAST(pt[2] AS DOUBLE) AS py
+  FROM (SELECT image_id, segment_id, unnest(points) AS pt FROM segs)
+),
+touch AS (
+  SELECT DISTINCT v.image_id, v.segment_id, b.box_id
+  FROM verts v JOIN boxes b
+    ON v.px BETWEEN b.x1 - 2 AND b.x2 + 2
+   AND v.py BETWEEN b.y1 - 2 AND b.y2 + 2
+),
+pairs AS (
+  SELECT a.segment_id, a.box_id AS box_a, b.box_id AS box_b
+  FROM touch a JOIN touch b
+    ON a.image_id = b.image_id AND a.segment_id = b.segment_id
+   AND a.box_id < b.box_id
+),
+edges AS (
+  SELECT box_a, box_b, min(segment_id) AS first_segment,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM pairs GROUP BY box_a, box_b
+)
+SELECT box_a, box_b, first_segment, n_lines,
+       'LBL-' || upper(substr(md5(CAST(box_a AS VARCHAR) || '|' || CAST(box_b AS VARCHAR)), 1, 6)) AS label
+FROM edges
+""",
+    survey_ref="§3.2 declarative tail, hash-pinned: J6 J7 A5 X5 O8 "
+    "(reference app.py:3171-3201 touch/edges + app.py:3462-3604 labeling)",
+)
+def imageprocess_tail(spark, sf_dir):
+    """The imageprocess pipeline's DECLARATIVE TAIL over committed
+    kernel-output fixtures: NMS boxes + BFS polylines (generated once
+    from the real kernels at sf0.01 by
+    tools/make_imageprocess_fixture.py, staleness-tested against the
+    live kernels) feed the touch join -> pairwise edges ->
+    first-segment agg -> MD5-cached LLM labels — the exact `_ip_tail`
+    composition `imageprocess_pipeline` runs. This pins every
+    relational stage of the §3.2 trace to a DuckDB hash oracle; only
+    the two inherently-sequential kernels (greedy NMS, pixel BFS)
+    remain rows-only. The grid-bucketed containment join is proven
+    equivalent to the oracle's plain theta join for any cell size —
+    the margin drives both the cell cover and the exact predicate."""
+    boxes = spark.read.parquet(_IP_BOXES_FIX)
+    segments = spark.read.parquet(_IP_SEGMENTS_FIX)
+    return _ip_tail(boxes, segments)
 
 
 @register(

@@ -165,3 +165,29 @@ def test_connected_components_rounds_track_diameter_not_size(spark):
     assert stats["mislabeled"] == 0
     # diameter 9 -> min label propagates 9 hops; +1 fixpoint-confirm round
     assert rounds[0] <= 12, f"rounds {rounds[0]} should track diameter (~10), not size"
+
+
+def test_imageprocess_fixture_matches_kernels(spark):
+    """The committed kernel-output fixtures behind imageprocess_tail
+    must equal the LIVE kernel outputs at their pinned scale (sf0.01)
+    — otherwise the hash-pinned tail would be verifying stale inputs.
+    Regenerate with tools/make_imageprocess_fixture.py."""
+    from acuvate_spark.queries.pid import (
+        _IP_BOXES_FIX,
+        _IP_SEGMENTS_FIX,
+        _ip_boxes,
+        _ip_segments,
+    )
+    from acuvate_spark.tables import load_table
+
+    p = load_table(spark, "/root/testdata/sf0.01", "part")
+    live_boxes = {tuple(r) for r in _ip_boxes(p).collect()}
+    fix_boxes = {tuple(r) for r in spark.read.parquet(_IP_BOXES_FIX).collect()}
+    assert live_boxes == fix_boxes and len(fix_boxes) > 100
+
+    def seg_key(r):
+        return (r["image_id"], r["segment_id"], tuple(map(tuple, r["points"])))
+
+    live_segs = {seg_key(r) for r in _ip_segments(p).collect()}
+    fix_segs = {seg_key(r) for r in spark.read.parquet(_IP_SEGMENTS_FIX).collect()}
+    assert live_segs == fix_segs and len(fix_segs) > 10
