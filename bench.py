@@ -91,18 +91,28 @@ def main() -> None:
             spark.catalog.clearCache()
         for t, name in sorted(rows, reverse=True):
             print(f"  {t:8.3f}s  {name}", file=sys.stderr)
+        timings = {n: t for t, n in rows}
+        # full-registry regression guard (VERDICT r04 item 4): the
+        # headline 36 are guarded by BENCH_BASELINE; this guards the
+        # other ~100, where the single-partition-scan bug hid
+        regressions = _regressions(timings, sf, "EXTENDED_BASELINE.json")
+        for line in regressions:
+            print(f"  REGRESSION: {line}", file=sys.stderr)
         print(
             json.dumps(
                 {
                     "metric": "all_queries_single_pass_wall_clock",
                     "value": round(sum(t for t, _ in rows), 3),
                     "unit": "sec",
-                    "queries": {n: t for t, n in rows},
+                    "queries": timings,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "regressions": regressions,
                 }
             )
         )
         spark.stop()
+        if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            sys.exit(2)
         return
     # three passes per query, report the min: steady-state measurement
     # (first pass may pay scan caching / JIT for that query's operators;
@@ -143,7 +153,9 @@ def main() -> None:
         sys.exit(2)
 
 
-def _regressions(timings: dict[str, float], sf: str) -> list[str]:
+def _regressions(
+    timings: dict[str, float], sf: str, baseline_file: str = "BENCH_BASELINE.json"
+) -> list[str]:
     """Queries past 2x their recorded baseline, with a floor on BOTH
     sides of the guard (VERDICT r02 item 3): machine-load runs show
     sub-second queries drifting 2-3x uniformly with no code change, and
@@ -155,7 +167,7 @@ def _regressions(timings: dict[str, float], sf: str) -> list[str]:
       1.9-3.2 s on 0.4-1.3 s baselines, all under this bar while a real
       broadcast->BNL or pushdown loss lands seconds over it).
     Only meaningful at the baseline's scale factor."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), baseline_file)
     try:
         with open(path) as f:
             base = json.load(f)

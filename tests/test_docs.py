@@ -108,3 +108,29 @@ def test_query_version_manifest_is_fresh():
         f"stale QUERY_VERSIONS.json entries (regenerate with "
         f"python tools/query_versions.py): {stale}"
     )
+
+
+def test_extended_baseline_guards_full_registry():
+    """The full-registry perf guard (VERDICT r04 item 4): every
+    registry query has a pinned time in EXTENDED_BASELINE.json at
+    sf0.1, and bench._regressions flags a query that blows past it
+    (dual-floor rule) while ignoring other scale factors."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import bench
+
+    base = json.loads((ROOT / "EXTENDED_BASELINE.json").read_text())
+    assert str(base["sf"]) == "0.1" and base.get("note")
+    missing = set(REGISTRY) - set(base["queries"])
+    assert not missing, f"unpinned registry queries: {sorted(missing)}"
+    # a >=1 s baseline query running at 3x must flag...
+    name = max(base["queries"], key=base["queries"].get)
+    slow = {name: base["queries"][name] * 3 + 1}
+    assert bench._regressions(slow, "0.1", "EXTENDED_BASELINE.json")
+    # ...but not at another scale factor, and not when at baseline
+    assert not bench._regressions(slow, "0.01", "EXTENDED_BASELINE.json")
+    assert not bench._regressions(
+        {name: base["queries"][name]}, "0.1", "EXTENDED_BASELINE.json"
+    )
