@@ -514,6 +514,88 @@ def test_foreach_batch_merge_matches_batch_merge(spark, tmp_path):
     assert after == before
 
 
+def test_foreach_batch_merge_survives_crash_replay(spark, tmp_path):
+    """Chaos replay through the REAL checkpoint machinery (VERDICT r04
+    item 7): delete the checkpoint's last commit marker after a run —
+    the exact state a crash between the version write and the
+    checkpoint commit leaves behind — and restart. Structured
+    Streaming re-runs that micro-batch (at-least-once); the
+    batch_id-versioned, seq-conditional MERGE must overwrite its own
+    version with identical content: same final state, same version
+    directories, no double-apply."""
+    import os
+
+    from acuvate_spark.streaming import merge_sink
+
+    target = tmp_path / "target"
+    ckpt = tmp_path / "ckpt"
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    seed = spark.createDataFrame(
+        [(k, f"orig-{k}", 0) for k in range(1, 4)], "key long, val string, seq long"
+    )
+    seed.write.parquet(str(target / "v0000000000"))
+    batches = [
+        [(1, "b0-upd1", 10), (4, "b0-ins4", 11)],
+        [(2, "b1-upd2", 20), (4, "b1-upd4", 21)],
+    ]
+    for i, rows in enumerate(batches):
+        # one part-file per batch dir so maxFilesPerTrigger=1 maps one
+        # source dir to one micro-batch
+        spark.createDataFrame(rows, "key long, val string, seq long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"b{i}"))
+
+    def run(sess):
+        stream = (
+            sess.readStream.schema("key long, val string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*")
+        )
+        q = merge_sink.start_merge_stream(
+            stream, str(target), str(ckpt), key="key", seq_col="seq"
+        )
+        q.awaitTermination()
+
+    def state():
+        versions = sorted(v for v in os.listdir(target) if v.startswith("v"))
+        contents = {
+            v: sorted(
+                (r["key"], r["val"], r["seq"])
+                for r in spark.read.parquet(str(target / v)).collect()
+            )
+            for v in versions
+        }
+        return versions, contents
+
+    run(spark)
+    versions_before, contents_before = state()
+    assert len(versions_before) == 3  # seed + one per micro-batch
+
+    # crash simulation: the version write landed, the commit didn't
+    # (drop the marker AND its local-FS checksum twin — a stale .crc
+    # makes the re-commit look like a concurrent writer)
+    commit_files = [f for f in os.listdir(ckpt / "commits") if f.isdigit()]
+    last_commit = max(commit_files, key=int)
+    os.remove(ckpt / "commits" / last_commit)
+    crc = ckpt / "commits" / f".{last_commit}.crc"
+    if crc.exists():
+        os.remove(crc)
+    # restart in a fresh session, as a post-crash restart is: the old
+    # session's StreamingQueryManager remembers the checkpoint's last
+    # commit and would treat the regressed log as concurrent use
+    run(spark.newSession())  # -> replays the uncommitted batch
+
+    versions_after, contents_after = state()
+    assert versions_after == versions_before
+    assert contents_after == contents_before
+    final = {
+        r["key"]: r["val"]
+        for r in merge_sink.read_current(spark, str(target)).collect()
+    }
+    assert final == {1: "b0-upd1", 2: "b1-upd2", 3: "orig-3", 4: "b1-upd4"}
+
+
 def test_session_close_emitter_emits_each_session_once(spark, tmp_path):
     """Emit-on-close sessionization (applyInPandasWithState +
     EventTimeTimeout): an intra-batch gap closes a session immediately;
