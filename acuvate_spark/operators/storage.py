@@ -381,3 +381,43 @@ def scan_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
             )
 
     return roots_df.mapInPandas(read_footers, schema).orderBy(_F.col("file"))
+
+
+def pruning_audit(
+    spark: SparkSession, path: str, column: str, lo: float, hi: float
+) -> dict:
+    """MEASURED file-skipping effectiveness of a layout for the range
+    predicate ``lo <= column <= hi`` — the number SCALING.md's layout
+    claims cash out to: how many files (and bytes) would a footer
+    min/max pruner skip? A file is prunable iff its [min, max] bound
+    is disjoint from [lo, hi]; because stored stats are conservative
+    bounds (see :func:`scan_stats`), pruning on them is always sound,
+    which ``tests/test_storage.py`` verifies by reading the pruned
+    files back and asserting zero matching rows.
+
+    Returns ``{n_files, n_pruned, bytes_total, bytes_pruned,
+    files_pruned}``. The manifest is built distributed by scan_stats;
+    collecting it is one row per FILE (not per row group), the same
+    driver-side footprint a table format's manifest query has."""
+    import os as _os
+
+    rows = scan_stats(spark, path, [column]).collect()
+    n_files = len(rows)
+    bytes_total = bytes_pruned = 0
+    pruned = []
+    for r in rows:
+        size = _os.path.getsize(r["file"])
+        bytes_total += size
+        mn, mx = r[f"min_{column}"], r[f"max_{column}"]
+        if mn is not None and mx is not None and (
+            float(mx) < lo or float(mn) > hi
+        ):
+            bytes_pruned += size
+            pruned.append(r["file"])
+    return {
+        "n_files": n_files,
+        "n_pruned": len(pruned),
+        "bytes_total": bytes_total,
+        "bytes_pruned": bytes_pruned,
+        "files_pruned": pruned,
+    }

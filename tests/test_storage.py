@@ -343,3 +343,46 @@ def test_scan_stats_decodes_string_stats(spark, sf_dir, tmp_path):
     # didn't record them; never a crash
     for r in stats:
         assert r.source_exact in (True, False, None)
+
+
+def test_pruning_audit_measures_zorder_benefit(spark, sf_dir, tmp_path):
+    """The layout claims measured (VERDICT r04 stretch): for a range
+    predicate on EITHER z-order dimension, footer pruning skips real
+    bytes under the z-ordered layout but ~nothing under a layout
+    sorted on just the other column — and pruning is SOUND: the
+    skipped files contain zero matching rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "orders_z")
+    storage.write_zordered(orders, zpath, ["o_custkey", "o_orderkey"], n_files=8)
+    single = str(tmp_path / "orders_by_cust")
+    orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(single)
+
+    okey_max = orders.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = 0.0, okey_max * 0.10  # bottom decile of the SECOND z dim
+    z = storage.pruning_audit(spark, zpath, "o_orderkey", lo, hi)
+    s = storage.pruning_audit(spark, single, "o_orderkey", lo, hi)
+    assert z["n_files"] >= 8 and z["bytes_total"] > 0
+    # z-order prunes a real fraction on the non-leading dimension;
+    # the single-column sort can't (its files all span the okey range)
+    assert z["bytes_pruned"] > 0 and z["n_pruned"] >= 2
+    assert z["bytes_pruned"] > s["bytes_pruned"]
+    # soundness: no pruned file contains a matching row
+    for f in z["files_pruned"]:
+        n = (
+            spark.read.parquet(f)
+            .where(F.col("o_orderkey").between(lo, hi))
+            .count()
+        )
+        assert n == 0, f"pruned file {f} had {n} matching rows"
+    # and the pruned scan still returns every matching row
+    keep = [r["file"] for r in storage.scan_stats(spark, zpath, ["o_orderkey"]).collect()
+            if r["file"] not in set(z["files_pruned"])]
+    kept_n = (
+        spark.read.parquet(*keep).where(F.col("o_orderkey").between(lo, hi)).count()
+    )
+    full_n = orders.where(F.col("o_orderkey").between(lo, hi)).count()
+    assert kept_n == full_n > 0
