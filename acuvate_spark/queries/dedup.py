@@ -499,6 +499,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
     emb = e.unionByName(clones)
     sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), _EMB_PLANES))
+    # materialize the tiny (vec_id, band, bkey) frame before the
+    # self-join: each signature is 64 dot products over the embedding,
+    # and without the checkpoint BOTH join sides recompute them (the
+    # same double-evaluation dedup_simhash's verify stage had)
     bands = sig.select(
         "vec_id",
         F.explode(
@@ -512,7 +516,7 @@ def dedup_embedding_cosine(spark, sf_dir):
                 ]
             )
         ).alias("c"),
-    ).select("vec_id", "c.band", "c.bkey")
+    ).select("vec_id", "c.band", "c.bkey").localCheckpoint(eager=False)
     left = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
     right = bands.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
     cand = (
