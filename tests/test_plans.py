@@ -339,3 +339,66 @@ def test_label_propagation_round_is_join_plus_argmax_agg(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_simhash_verify_is_band_equijoin_with_bitcount(spark, sf_dir):
+    """The r05 SimHash rewrite, pinned: candidates come from a hash
+    equi-join on (band_idx, band_val) — never a nested loop — and the
+    hamming filter pushed into the join condition is bit_count over
+    xor'd band longs, not per-character string compares. Pinned on the
+    unmaterialized pair pipeline (the registry query localCheckpoints
+    the signature, which the plan audit skips)."""
+    from acuvate_spark.functions import textual
+    from acuvate_spark.operators import dedup as dedup_ops
+    from acuvate_spark.queries.dedup import _docs_plus_clones
+
+    docs = _docs_plus_clones(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id",
+        F.posexplode(textual.words(F.lower(F.col("text")))).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    sig = dedup_ops.simhash_signature(tokens, "doc_id", "token", pos_col="pos")
+    # bypass the operator's localCheckpoint to see the full logical plan
+    band_longs = [
+        F.conv(F.substring(F.col("sig"), b * 16 + 1, 16), 2, 10)
+        .cast("long")
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+    packed = sig.select("doc_id", *band_longs)
+    banded = packed.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}"))) for k in range(4)
+    ).cast("long")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("key_a"),
+            F.col("b.doc_id").alias("key_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+    # the TOKEN-stream aggregate (the hot one) is 16 packed-lane sums
+    # + a count; the 65-function fold runs over ~1 chunk row per doc
+    assert "Functions [17]: [partial_sum(p0" in plan
+    # and no per-bit conditional sums over the token stream remain
+    assert "CASE WHEN (substring" not in plan.split("Functions [17]")[0]

@@ -133,9 +133,10 @@ COMMENTARY = {
     ),
     "dedup_span_removal": (
         "Gram occurrences shuffle as (md5, two longs) — never text; the "
-        "global first-occurrence is a map-side-combinable integer min; the "
-        "cover explode is bounded x5; reassembly sorts only within each "
-        "document's own collected words."
+        "global first-occurrence is a map-side-combinable min(struct(doc, "
+        "start)) — a two-column lexicographic argmin, exact for documents "
+        "of any length; the cover explode is bounded x5; reassembly sorts "
+        "only within each document's own collected words."
     ),
     "hashed_text_classifier": (
         "Explode + hash + weight are narrow codegen expressions fused into "
