@@ -734,8 +734,16 @@ def dedup_incremental(spark, sf_dir):
         )
         .persist()
     )
-    csig = dedup_ops.minhash_signature(csh, "doc_id", "shingle", _N_HASHES, with_count=True)
-    bsig = dedup_ops.minhash_signature(bsh, "batch_id", "shingle", _N_HASHES, with_count=True)
+    # one row per doc; materialized because counts and bands are
+    # separate consumers that would otherwise re-run the signature
+    # aggregation over the full shingle set (same reuse
+    # dedup_minhash_lsh pins)
+    csig = dedup_ops.minhash_signature(
+        csh, "doc_id", "shingle", _N_HASHES, with_count=True
+    ).localCheckpoint(eager=False)
+    bsig = dedup_ops.minhash_signature(
+        bsh, "batch_id", "shingle", _N_HASHES, with_count=True
+    ).localCheckpoint(eager=False)
     ccounts = csig.select("doc_id", F.col("n").alias("nc"))
     bcounts = bsig.select("batch_id", F.col("n").alias("nb"))
     cbands = dedup_ops.band_keys(csig.drop("n"), "doc_id", _N_HASHES, _BAND_SIZE)
