@@ -76,3 +76,82 @@ def test_knn_label_vote_votes_bounded_by_k(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_votes <= _KNN_K
         assert r.correct == (r.pred_label == r.true_label)
+
+
+def _simhash_reference(doc_tokens: dict[int, list[str]]) -> dict[int, str]:
+    """Pure-Python SimHash reference: the naive 64 vote sums the
+    packed-lane aggregate must reproduce bit for bit."""
+    import hashlib
+
+    out = {}
+    for doc, tokens in doc_tokens.items():
+        votes = [0] * 64
+        for t in tokens:
+            d0 = hashlib.md5(f"s0|{t}".encode()).hexdigest()
+            d1 = hashlib.md5(f"s1|{t}".encode()).hexdigest()
+            hexcat = d0 + d1
+            for i in range(64):
+                votes[i] += 1 if hexcat[i] >= "8" else -1
+        out[doc] = "".join("1" if v > 0 else "0" for v in votes)
+    return out
+
+
+def test_simhash_packed_lanes_match_naive_reference(spark):
+    """The r05 packed-lane vote aggregate (16 sums of 4x16-bit lanes,
+    spread-multiply bit math) against the naive per-bit reference —
+    including a document LONGER than one 16384-token chunk, so the
+    two-level (doc, chunk) fold and its lane-overflow guarantee are
+    exercised, and a single-token doc (all-lane edge)."""
+    import random as _r
+
+    from acuvate_spark.operators.dedup import _CHUNK_TOKENS, simhash_signature
+
+    rng = _r.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = {
+        1: [rng.choice(vocab) for _ in range(_CHUNK_TOKENS + 500)],  # crosses chunks
+        2: [rng.choice(vocab) for _ in range(37)],
+        3: ["solo"],
+        4: [rng.choice(vocab) for _ in range(256)],
+    }
+    rows = [
+        (doc, pos, tok)
+        for doc, toks in docs.items()
+        for pos, tok in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pos long, token string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signature(df, "doc_id", "token", pos_col="pos").collect()
+    }
+    assert got == _simhash_reference(docs)
+
+
+def test_star_cc_matches_label_cc_on_random_graphs(spark):
+    """Star contraction vs min-label propagation on random graphs —
+    both must agree with plain reachability for any topology."""
+    import random as _r
+
+    from acuvate_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = _r.Random(11)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {
+            (r["node"], r["component"])
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        b = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, f"trial {trial}: star vs label disagree"
