@@ -94,8 +94,14 @@ def main() -> None:
         timings = {n: t for t, n in rows}
         # full-registry regression guard (VERDICT r04 item 4): the
         # headline 36 are guarded by BENCH_BASELINE; this guards the
-        # other ~100, where the single-partition-scan bug hid
-        regressions = _regressions(timings, sf, "EXTENDED_BASELINE.json")
+        # other ~100, where the single-partition-scan bug hid.
+        # Single-pass times carry up to ~2.3x run-to-run drift on a
+        # loaded box (measured across three clean r05 runs), so the
+        # rule is 2.5x AND +2 s for every query — the scan bug this
+        # guard exists for showed 2.7-4.1x with 4+ s deltas
+        regressions = _regressions(
+            timings, sf, "EXTENDED_BASELINE.json", ratio=2.5, min_delta=2.0
+        )
         for line in regressions:
             print(f"  REGRESSION: {line}", file=sys.stderr)
         print(
@@ -154,7 +160,11 @@ def main() -> None:
 
 
 def _regressions(
-    timings: dict[str, float], sf: str, baseline_file: str = "BENCH_BASELINE.json"
+    timings: dict[str, float],
+    sf: str,
+    baseline_file: str = "BENCH_BASELINE.json",
+    ratio: float | None = None,
+    min_delta: float | None = None,
 ) -> list[str]:
     """Queries past 2x their recorded baseline, with a floor on BOTH
     sides of the guard (VERDICT r02 item 3): machine-load runs show
@@ -180,7 +190,10 @@ def _regressions(
         b = base["queries"].get(name)
         if b is None:
             continue
-        if b >= 1.0:
+        if ratio is not None:
+            flagged = t > ratio * b and t - b > (min_delta or 0.0)
+            rule = f">{ratio}x and +{min_delta}s"
+        elif b >= 1.0:
             flagged, rule = t > 2 * b, ">2x"
         else:
             flagged, rule = t > 4 * b and t - b > 2.0, ">4x and +2s (sub-second rule)"

@@ -125,12 +125,19 @@ def test_extended_baseline_guards_full_registry():
     assert str(base["sf"]) == "0.1" and base.get("note")
     missing = set(REGISTRY) - set(base["queries"])
     assert not missing, f"unpinned registry queries: {sorted(missing)}"
-    # a >=1 s baseline query running at 3x must flag...
+    # the guard rule the extended path actually uses (2.5x AND +2 s —
+    # single-pass times drift up to ~2.3x under load, see the pin
+    # note): a 3x + 3 s blowout must flag...
+    rule = dict(ratio=2.5, min_delta=2.0)
     name = max(base["queries"], key=base["queries"].get)
-    slow = {name: base["queries"][name] * 3 + 1}
-    assert bench._regressions(slow, "0.1", "EXTENDED_BASELINE.json")
-    # ...but not at another scale factor, and not when at baseline
-    assert not bench._regressions(slow, "0.01", "EXTENDED_BASELINE.json")
+    slow = {name: base["queries"][name] * 3 + 3}
+    assert bench._regressions(slow, "0.1", "EXTENDED_BASELINE.json", **rule)
+    # ...but not at another scale factor, not at baseline, and not a
+    # 2.2x noise-band drift
+    assert not bench._regressions(slow, "0.01", "EXTENDED_BASELINE.json", **rule)
     assert not bench._regressions(
-        {name: base["queries"][name]}, "0.1", "EXTENDED_BASELINE.json"
+        {name: base["queries"][name]}, "0.1", "EXTENDED_BASELINE.json", **rule
+    )
+    assert not bench._regressions(
+        {name: base["queries"][name] * 2.2}, "0.1", "EXTENDED_BASELINE.json", **rule
     )
