@@ -313,8 +313,14 @@ def scan_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
 
     if not _os.path.isdir(path):
         raise FileNotFoundError(f"scan_stats: no such directory {path!r}")
-    # top-level children only; tasks expand their own subtrees
-    roots = sorted(e.path for e in _os.scandir(path) if e.is_dir()) or [path]
+    # top-level children only; tasks expand their own subtrees. Loose
+    # top-level parquet files become their own roots so a MIXED layout
+    # (files beside partition dirs) loses nothing.
+    entries = list(_os.scandir(path))
+    roots = sorted(
+        [e.path for e in entries if e.is_dir()]
+        + [e.path for e in entries if e.is_file() and e.name.endswith(".parquet")]
+    ) or [path]
     roots_df = spark.createDataFrame([(r,) for r in roots], "root string").repartition(
         min(len(roots), 64)
     )
@@ -396,9 +402,11 @@ def pruning_audit(
     files back and asserting zero matching rows.
 
     Returns ``{n_files, n_pruned, bytes_total, bytes_pruned,
-    files_pruned}``. The manifest is built distributed by scan_stats;
-    collecting it is one row per FILE (not per row group), the same
-    driver-side footprint a table format's manifest query has."""
+    files_pruned}``. NUMERIC columns only (the manifest renders stats
+    as strings; the bound comparison re-parses them as floats). The
+    manifest is built distributed by scan_stats; collecting it is one
+    row per FILE (not per row group), the same driver-side footprint
+    a table format's manifest query has."""
     import os as _os
 
     rows = scan_stats(spark, path, [column]).collect()

@@ -386,3 +386,24 @@ def test_pruning_audit_measures_zorder_benefit(spark, sf_dir, tmp_path):
     )
     full_n = orders.where(F.col("o_orderkey").between(lo, hi)).count()
     assert kept_n == full_n > 0
+
+
+def test_scan_stats_covers_mixed_top_level_layout(spark, sf_dir, tmp_path):
+    """A directory holding loose parquet files BESIDE partition
+    subdirectories must manifest every file — the distributed listing
+    roots on both kinds of top-level child."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    mixed = tmp_path / "mixed"
+    orders.withColumn("status", F.col("o_orderstatus")).write.partitionBy(
+        "status"
+    ).parquet(str(mixed))
+    flat = tmp_path / "flat"
+    orders.coalesce(1).write.parquet(str(flat))
+    loose = next(flat.glob("part-*.parquet"))
+    shutil.copyfile(loose, mixed / "loose.parquet")
+
+    stats = storage.scan_stats(spark, str(mixed), ["o_orderkey"]).collect()
+    assert any(r["file"].endswith("loose.parquet") for r in stats)
+    assert sum(r.n_rows for r in stats) == orders.count() * 2
