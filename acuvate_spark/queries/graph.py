@@ -416,14 +416,22 @@ def kcore_peel(spark, sf_dir):
     ue = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
         edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     )
+    # per-round materialization: each round references the previous
+    # edge set THREE times (degree agg + two semi-joins) and the kept
+    # set twice — without the checkpoints the plan re-evaluates the
+    # whole peel history ~3^rounds times (this was the registry's
+    # 4th-most-expensive query for a graph of a few thousand edges)
     for _ in range(_KCORE_ROUNDS):
         keep = (
             ue.groupBy("a").agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select("a")
+            .localCheckpoint(eager=False)
         )
-        ue = ue.join(keep, "a", "left_semi").join(
-            keep.withColumnRenamed("a", "b"), "b", "left_semi"
+        ue = (
+            ue.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
         )
     return ue.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("degree"))
 
