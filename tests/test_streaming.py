@@ -779,3 +779,48 @@ def test_daily_forward_fill_resumes_state_across_restarts(spark, tmp_path):
     write_batch("b4.json", [(5, 6, 6.0)])
     got4 = run()
     assert got4 == got3 | {(6, 1, False, 600)}
+
+
+def test_merge_batch_matches_dict_reference_on_random_sequences(spark):
+    """merge_batch against a dict-model reference over randomized
+    upsert sequences (hypothesis, derandomized): whatever order keys
+    and seqs arrive in, applying batches one at a time must equal the
+    last-writer-wins-by-seq model — the invariant the chaos-replay
+    test's idempotency claim rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from acuvate_spark.streaming import merge_sink
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),     # key
+            st.integers(min_value=0, max_value=9),     # val id
+            st.integers(min_value=0, max_value=20),    # seq
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(batches=st.lists(rows, min_size=1, max_size=3))
+    def run(batches):
+        model: dict = {}
+        target = None
+        for batch in batches:
+            # within-batch dedupe keeps the max-seq row (first-listed
+            # among equal seqs, mirroring row_number's stable order);
+            # the merge takes it iff seq >= the target row's seq
+            best: dict = {}
+            for k, v, s in batch:
+                if k not in best or s > best[k][1]:
+                    best[k] = (v, s)
+            df = spark.createDataFrame(batch, "key long, val long, seq long")
+            target = merge_sink.merge_batch(target, df, key="key", seq_col="seq")
+            for k, (v, s) in best.items():
+                if k not in model or s >= model[k][1]:
+                    model[k] = (v, s)
+        got = {r["key"]: (r["val"], r["seq"]) for r in target.collect()}
+        assert got == model
+
+    run()
