@@ -402,3 +402,63 @@ def test_simhash_verify_is_band_equijoin_with_bitcount(spark, sf_dir):
     assert "Functions [17]: [partial_sum(p0" in plan
     # and no per-bit conditional sums over the token stream remain
     assert "CASE WHEN (substring" not in plan.split("Functions [17]")[0]
+
+
+def test_kcore_round_is_degree_agg_plus_semijoins(spark, sf_dir):
+    """One unmaterialized peel round (the registry query checkpoints
+    per round, which the plan audit skips): map-side-combinable degree
+    aggregate + two LEFT SEMI hash joins on a single integer key — no
+    nested loop, no window."""
+    from acuvate_spark.queries.graph import _edges
+
+    e = _edges(spark, sf_dir)
+    ue = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    keep = (
+        ue.groupBy("a").agg(F.count("*").alias("deg")).where(F.col("deg") >= 2).select("a")
+    )
+    peeled = ue.join(keep, "a", "left_semi").join(
+        keep.withColumnRenamed("a", "b"), "b", "left_semi"
+    )
+    plan = _plan(peeled)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "partial_count" in plan and "Window" not in plan
+
+
+def test_embedding_lsh_verify_is_band_equijoin(spark, sf_dir):
+    """The hyperplane-LSH near-dup path, unmaterialized (the registry
+    query checkpoints the band frame, which the plan audit skips):
+    candidates come from an equi-join on (band, bkey) — no all-pairs
+    nested loop — and the exact-cosine verify joins embeddings back by
+    id only for candidate pairs."""
+    from acuvate_spark.queries.dedup import _EMB_BANDS, _EMB_BITS, _EMB_PLANES
+    from acuvate_spark.functions import vectors
+    from acuvate_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = emb.withColumn(
+        "sig", vectors.hyperplane_signature(F.col("embedding"), _EMB_PLANES)
+    )
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("sig", i * _EMB_BITS + 1, _EMB_BITS).alias("bkey"),
+                )
+                for i in range(_EMB_BANDS)
+            ])
+        ).alias("c"),
+    ).select("vec_id", "c.band", "c.bkey")
+    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
