@@ -81,7 +81,11 @@ def connected_components(
                 "component",
                 (F.col("component") != F.col("old")).cast("int").alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate below is the round's ONE
+            # action — it materializes the checkpoint and reads the
+            # changed-count in the same job (eager=True cost a second
+            # job per round for the same result)
+            .localCheckpoint(eager=False)
         )
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
         labels = new_labels.drop("changed")
