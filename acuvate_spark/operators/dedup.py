@@ -119,7 +119,8 @@ def _simhash_bit_sources() -> list[tuple[int, int]]:
 _LANE_GROUPS = _SIMHASH_BITS // 4
 _LANE_SPREAD = 1 | (1 << 12) | (1 << 24) | (1 << 36)
 _LANE_MASK = 0x0001000100010001
-_CHUNK_TOKENS = 1 << 14  # lanes hold counts < 2^16 by construction
+_CHUNK_SHIFT = 14
+_CHUNK_TOKENS = 1 << _CHUNK_SHIFT  # lanes hold counts < 2^16 by construction
 
 
 def simhash_signature(
@@ -134,12 +135,20 @@ def simhash_signature(
     bit-identical in any engine (xxhash64 would be ~2x faster per
     token but is Spark-specific).
 
-    ``pos_col`` (a 0-based token position) enables exact counts for
-    documents of ANY length: tokens aggregate per (key, pos/16384)
-    chunk first — bounding every 16-bit lane — then the tiny per-chunk
-    rows (64 plain sums over ~n_tokens/16384 rows per doc) fold to the
-    doc totals. Without it the single-pass lanes are exact up to
-    65,535 tokens per document."""
+    Exact for documents of ANY length in BOTH paths: tokens aggregate
+    per (key, chunk) first — bounding every 16-bit lane (and keeping
+    the packed ANSI long sum <= 2^14 * 2^48 = 2^62) — then the tiny
+    per-chunk rows (64 plain sums over ~n_tokens/16384 rows per doc)
+    fold to the doc totals. The chunk is ``pos_col >> 14`` when the
+    caller has a 0-based token position, else
+    ``monotonically_increasing_id() >> 14``: the chunk SPLIT is
+    arbitrary for vote sums (any partition of a doc's tokens yields
+    the same totals), so the id's nondeterminism across retries is
+    harmless — what matters is the bound, and ids are unique per row
+    so no chunk group exceeds 16,384 tokens. (The pre-r06 no-pos_col
+    single-pass form silently wrapped its lanes past 65,535 tokens —
+    ADVICE r05; the internal chunking removes the limit instead of
+    guarding it.)"""
     hexcat = F.concat(
         F.md5(F.concat(F.lit("s0|"), F.col(token_col))),
         F.md5(F.concat(F.lit("s1|"), F.col(token_col))),
@@ -151,12 +160,13 @@ def simhash_signature(
         packed.append(
             (flags * F.lit(_LANE_SPREAD)).bitwiseAND(F.lit(_LANE_MASK)).alias(f"p{g}")
         )
-    cols: list = [F.col(key)]
-    group = [key]
-    if pos_col is not None:
-        cols.append((F.col(pos_col) / F.lit(_CHUNK_TOKENS)).cast("long").alias("__chunk"))
-        group.append("__chunk")
-    partial = tokens_df.select(*cols, *packed).groupBy(*group).agg(
+    # integer shift, not float division: a double mantissa cannot hold
+    # the top of the 64-bit id space, so `/ 16384` could blur chunk
+    # boundaries there; >> 14 is exact floor division for any
+    # non-negative long
+    pos = F.col(pos_col) if pos_col is not None else F.monotonically_increasing_id()
+    chunk = F.shiftright(pos.cast("long"), _CHUNK_SHIFT).alias("__chunk")
+    partial = tokens_df.select(F.col(key), chunk, *packed).groupBy(key, "__chunk").agg(
         *[F.sum(f"p{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
         F.count("*").alias("__n"),
     )
@@ -168,12 +178,14 @@ def simhash_signature(
         lane = 3 - r
         c = F.shiftright(F.col(f"s{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
         unpacks.append(c.alias(f"c{i}"))
-    counted = partial.select(key, *unpacks, "__n")
-    if pos_col is not None:
-        counted = counted.groupBy(key).agg(
+    counted = (
+        partial.select(key, *unpacks, "__n")
+        .groupBy(key)
+        .agg(
             *[F.sum(f"c{i}").alias(f"c{i}") for i in range(_SIMHASH_BITS)],
             F.sum("__n").alias("__n"),
         )
+    )
     sig = F.concat(
         *[
             F.when(F.col(f"c{i}") * 2 > F.col("__n"), F.lit("1")).otherwise(F.lit("0"))

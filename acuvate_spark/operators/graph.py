@@ -103,6 +103,20 @@ def connected_components(
     return labels
 
 
+def _edge_signature(df: DataFrame) -> tuple:
+    """1-row (count, xor-of-hashes) fingerprint of an edge set — the
+    cheap per-round stability probe for :func:`connected_components_star`.
+    A match is only a HINT (64-bit collisions exist); the caller
+    confirms with an exact set-equality job before breaking. Module
+    level so tests can stub it to a constant and prove the exact
+    confirm, not the hash, decides convergence."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free fold
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -126,7 +140,12 @@ def connected_components_star(
     set (which only shrinks toward n-1 star edges), with
     localCheckpoint cutting lineage per round; convergence is
     edge-set stability, checked by a 1-row (count, hash-sum)
-    signature — no driver-side edge materialization at any point."""
+    signature — no driver-side edge materialization at any point. A
+    signature match is CONFIRMED by one exact set-equality job
+    (both-ways ``exceptAll`` empty) before breaking, so a 64-bit hash
+    collision between different edge sets cannot stop contraction
+    before fixpoint — the exact check runs once per convergence, not
+    once per round."""
     e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nodes = (
         e0.select(F.col("u").alias("node"))
@@ -136,15 +155,9 @@ def connected_components_star(
     )
     e = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
-    def signature(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free fold
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     rounds = 0
-    sig = signature(e)
+    sig = _edge_signature(e)
+    prev = e
     for _ in range(max_iter):
         rounds += 1
         # large-star
@@ -174,10 +187,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_sig = signature(e)
+        new_sig = _edge_signature(e)
         if new_sig == sig:
-            break
+            # confirm exactly before trusting the 64-bit signature:
+            # both-ways exceptAll is empty iff the multisets (here:
+            # distinct sets) are equal — one job, convergence only
+            diff = prev.exceptAll(e).unionByName(e.exceptAll(prev))
+            if diff.isEmpty():
+                break
         sig = new_sig
+        prev = e
     else:
         raise RuntimeError(
             f"connected_components_star did not converge within {max_iter} "

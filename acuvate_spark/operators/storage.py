@@ -389,6 +389,15 @@ def scan_stats(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
     return roots_df.mapInPandas(read_footers, schema).orderBy(_F.col("file"))
 
 
+def _exact_number(s):
+    """Footer stat string -> int when integral (exact at any magnitude,
+    unlike float() which rounds int64 values past 2^53), else float."""
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return float(s)
+
+
 def pruning_audit(
     spark: SparkSession, path: str, column: str, lo: float, hi: float
 ) -> dict:
@@ -403,7 +412,10 @@ def pruning_audit(
 
     Returns ``{n_files, n_pruned, bytes_total, bytes_pruned,
     files_pruned}``. NUMERIC columns only (the manifest renders stats
-    as strings; the bound comparison re-parses them as floats). The
+    as strings; integral strings re-parse as Python ints — exact at any
+    magnitude, so an int64 stat >= 2^53 cannot round across the bound
+    and prune a file that holds matching rows — others as floats; the
+    int-vs-float comparisons below are exact in Python). The
     manifest is built distributed by scan_stats; collecting it is one
     row per FILE (not per row group), the same driver-side footprint
     a table format's manifest query has."""
@@ -418,7 +430,7 @@ def pruning_audit(
         bytes_total += size
         mn, mx = r[f"min_{column}"], r[f"max_{column}"]
         if mn is not None and mx is not None and (
-            float(mx) < lo or float(mn) > hi
+            _exact_number(mx) < lo or _exact_number(mn) > hi
         ):
             bytes_pruned += size
             pruned.append(r["file"])

@@ -238,3 +238,29 @@ def test_star_cc_rounds_are_logarithmic_on_long_chain(spark):
     # ~log n observed — 2*log2(n) is a generous ceiling that a
     # diameter-bound algorithm (1499 rounds) can never meet
     assert rounds[0] <= 22, f"rounds {rounds[0]} should be ~log n, not diameter"
+
+
+def test_star_cc_signature_collision_cannot_stop_early(spark, monkeypatch):
+    """ADVICE r05: a 64-bit signature collision between DIFFERENT edge
+    sets must not end contraction before fixpoint. Stub the signature
+    to a constant — the worst case, every round 'collides' — and the
+    exact set-equality confirm must keep the loop going until the edge
+    set is genuinely stable, yielding exactly the min-label result."""
+    from acuvate_spark.operators import graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "_edge_signature", lambda df: (0, 0))
+    hops = spark.range(8).select((F.col("id") * 100).alias("c")).select(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i")
+    )
+    edges = hops.select(
+        (F.col("c") + F.col("i")).alias("src"),
+        (F.col("c") + F.col("i") + 1).alias("dst"),
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in graph_mod.connected_components_star(edges).collect()
+    }
+    expected = {
+        (r["node"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == expected and len(got) == 8 * 7

@@ -155,3 +155,38 @@ def test_star_cc_matches_label_cc_on_random_graphs(spark):
             for r in connected_components_star(df).collect()
         }
         assert a == b, f"trial {trial}: star vs label disagree"
+
+
+def test_simhash_no_pos_col_exact_past_lane_limit(spark):
+    """ADVICE r05: without pos_col the old single-pass lanes were only
+    exact to 65,535 tokens per document — past that they silently
+    wrapped (or ANSI-overflowed mid-aggregate). The path now chunks
+    internally on monotonically_increasing_id, so a document LONGER
+    than the old limit must match the naive reference bit for bit —
+    alongside a short document through the same path."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.operators.dedup import simhash_signature
+
+    short = {5: [f"w{i % 40}" for i in range(120)]}
+    rows = [(doc, tok) for doc, toks in short.items() for tok in toks]
+    df = spark.createDataFrame(rows, "doc_id long, token string")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signature(df, "doc_id", "token").collect()
+    }
+    assert got == _simhash_reference(short)
+
+    n_long = 0x10000 + 7
+    long_df = spark.range(n_long).repartition(8).select(
+        F.lit(9).alias("doc_id"),
+        (F.col("id") % 50).cast("string").alias("token"),
+    )
+    got_long = {
+        r["doc_id"]: r["sig"]
+        for r in simhash_signature(long_df, "doc_id", "token").collect()
+    }
+    expected_long = _simhash_reference(
+        {9: [str(i % 50) for i in range(n_long)]}
+    )
+    assert got_long == expected_long

@@ -407,3 +407,29 @@ def test_scan_stats_covers_mixed_top_level_layout(spark, sf_dir, tmp_path):
     stats = storage.scan_stats(spark, str(mixed), ["o_orderkey"]).collect()
     assert any(r["file"].endswith("loose.parquet") for r in stats)
     assert sum(r.n_rows for r in stats) == orders.count() * 2
+
+
+def test_pruning_audit_exact_for_int64_past_double_mantissa(spark, tmp_path):
+    """ADVICE r05: footer stats re-parsed via float() round int64
+    values past 2^53, which could flip the disjointness test and prune
+    a file that HOLDS matching rows. Stats must re-parse as exact ints:
+    a file whose only value is 2^53 + 1 (not float-representable —
+    float() rounds it to 2^53) queried with lo = 2^53 + 1 must NOT be
+    pruned, while a genuinely disjoint file still is."""
+    big = 2**53 + 1
+    path = str(tmp_path / "bigints")
+    spark.createDataFrame([(big,)], "v long").coalesce(1).write.parquet(path)
+    spark.createDataFrame([(5,)], "v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    audit = storage.pruning_audit(spark, path, "v", lo=big, hi=big + 10)
+    assert audit["n_files"] == 2
+    # float() parsing would compute max=2^53 < lo and prune the match
+    assert audit["n_pruned"] == 1
+    kept = [
+        r["file"]
+        for r in storage.scan_stats(spark, path, ["v"]).collect()
+        if r["file"] not in set(audit["files_pruned"])
+    ]
+    assert spark.read.parquet(*kept).where(F.col("v") >= big).count() == 1
