@@ -23,11 +23,12 @@ Rows are further gated by ``QUERY_VERSIONS.json`` (see
 round >= the round this VERSION of the query appeared, so rewriting a
 query or its oracle automatically re-front-loads it (a round-1 green
 row must not carry a round-3 rewrite — the round-3 review caught
-exactly that with dedup_embedding_cosine's LSH rewrite). Known
-limitation: shared-helper edits outside the decorated function don't
-bump the hash; the local oracle-parity suite covers those.
-``tests/test_docs.py`` pins both the rotation and the manifest
-freshness so neither can regress.
+exactly that with dedup_embedding_cosine's LSH rewrite). Since round
+6 the hash also covers every package symbol the query transitively
+references, so a shared-helper edit outside the decorated function
+re-front-loads its dependents too (the r05 verdict's item-2 blind
+spot). ``tests/test_docs.py`` pins the rotation, the manifest
+freshness, and the helper-bump behavior so none can regress.
 """
 
 from __future__ import annotations

@@ -141,3 +141,42 @@ def test_extended_baseline_guards_full_registry():
     assert not bench._regressions(
         {name: base["queries"][name] * 2.2}, "0.1", "EXTENDED_BASELINE.json", **rule
     )
+
+
+def test_helper_edit_bumps_dependent_query_versions(tmp_path):
+    """VERDICT r05 item 2: the version gate's helper blind spot. A
+    query's hash must cover the package symbols its segment
+    TRANSITIVELY references, so editing a shared helper (here
+    functions/tags.py's classify_tag_type) re-front-loads every query
+    it feeds in the driver rotation — while queries that never touch
+    it keep their hash."""
+    import ast
+    import shutil
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    from query_versions import query_hashes
+
+    base = query_hashes()
+    root = tmp_path / "repo"
+    root.mkdir()
+    shutil.copytree(ROOT / "acuvate_spark", root / "acuvate_spark")
+    tags = root / "acuvate_spark" / "functions" / "tags.py"
+    lines = tags.read_text().splitlines()
+    fn = next(
+        n
+        for n in ast.parse("\n".join(lines)).body
+        if isinstance(n, ast.FunctionDef) and n.name == "classify_tag_type"
+    )
+    # a comment inside the helper's body: syntactically inert, but a
+    # source-segment change like any real edit
+    lines.insert(fn.body[0].lineno - 1, "    # simulated helper edit")
+    tags.write_text("\n".join(lines))
+
+    edited = query_hashes(root)
+    changed = {n for n in base if base[n] != edited[n]}
+    assert {"scanner_tag_etl", "classify_tags"} <= changed, (
+        f"helper edit did not bump its dependents: {sorted(changed)}"
+    )
+    assert "pricing_summary" not in changed, "bumped a query with no tags dep"
+    assert changed < set(base), "a helper edit must never bump the whole registry"
