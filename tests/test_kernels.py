@@ -264,3 +264,41 @@ def test_star_cc_signature_collision_cannot_stop_early(spark, monkeypatch):
         (r["node"], r["component"]) for r in connected_components(edges).collect()
     }
     assert got == expected and len(got) == 8 * 7
+
+
+def test_nms_detections_matches_golden_fixture(spark):
+    """VERDICT r05 item 3: the nms_detections registry query is
+    rows-only at the driver (greedy NMS is inherently sequential per
+    group, so no SQL oracle) — this golden pin makes a silent
+    behavioral change in the NMS kernel fail even when row counts and
+    property tests hold. Regenerate with
+    tools/make_imageprocess_fixture.py."""
+    import os
+
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.queries.pid import _IP_BOXES_FIX
+
+    fix_path = os.path.join(os.path.dirname(_IP_BOXES_FIX), "nms_detections.parquet")
+    live = {tuple(r) for r in REGISTRY["nms_detections"].fn(spark, "/root/testdata/sf0.01").collect()}
+    fix = {tuple(r) for r in spark.read.parquet(fix_path).collect()}
+    assert live == fix and len(fix) > 1000
+
+
+def test_imageprocess_pipeline_equals_fixture_tail(spark):
+    """The live end-to-end imageprocess_pipeline (kernels + tail in
+    one lazy plan) must equal imageprocess_tail (the same tail over
+    the committed kernel-output fixtures). Together with the fixture
+    staleness test and the tail's DuckDB hash oracle, this closes the
+    loop: pipeline == tail(fixtures), fixtures == live kernels, tail
+    is oracle-hashed — no rows-only surface is left unpinned."""
+    from acuvate_spark.queries import REGISTRY
+
+    live = {
+        tuple(r)
+        for r in REGISTRY["imageprocess_pipeline"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    tail = {
+        tuple(r)
+        for r in REGISTRY["imageprocess_tail"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert live == tail and len(live) > 500

@@ -3,16 +3,20 @@
 
     acuvate_spark/resources/ip_boxes.parquet
     acuvate_spark/resources/ip_segments.parquet
+    acuvate_spark/resources/nms_detections.parquet
 
 — the deterministic outputs of the two SEQUENTIAL kernels (per-class
 greedy NMS, pixel-BFS segmentation) of ``imageprocess_pipeline`` at
-sf0.01. The ``imageprocess_tail`` registry query replays the
-pipeline's declarative tail (touch join -> pairwise edges -> cached
-LLM labels) from these fixtures against a DuckDB oracle, hash-pinning
-every relational stage; only the kernels themselves stay rows-only.
+sf0.01, plus the full output of the ``nms_detections`` registry query
+at the driver's correctness scale. The ``imageprocess_tail`` registry
+query replays the pipeline's declarative tail (touch join -> pairwise
+edges -> cached LLM labels) from the first two fixtures against a
+DuckDB oracle, hash-pinning every relational stage; the third golden-
+pins the one remaining rows-only kernel surface (VERDICT r05 item 3).
 ``tests/test_kernels.py::test_imageprocess_fixture_matches_kernels``
-asserts the committed files still equal the live kernel outputs, so
-the fixture cannot silently go stale.
+and ``::test_nms_detections_matches_golden_fixture`` assert the
+committed files still equal the live outputs, so no fixture can
+silently go stale and no kernel can silently change behavior.
 
     python tools/make_imageprocess_fixture.py
 """
@@ -47,6 +51,7 @@ def _write_single(df, order_cols, out_name):
 
 
 def main() -> None:
+    from acuvate_spark.queries import REGISTRY
     from acuvate_spark.queries.pid import _ip_boxes, _ip_segments
     from acuvate_spark.session import get_spark
     from acuvate_spark.tables import load_table
@@ -55,8 +60,13 @@ def main() -> None:
     p = load_table(spark, SF_DIR, "part")
     _write_single(_ip_boxes(p), ["box_id"], "ip_boxes.parquet")
     _write_single(_ip_segments(p), ["image_id", "segment_id"], "ip_segments.parquet")
-    print("wrote", os.path.join(RES, "ip_boxes.parquet"))
-    print("wrote", os.path.join(RES, "ip_segments.parquet"))
+    _write_single(
+        REGISTRY["nms_detections"].fn(spark, SF_DIR),
+        ["document_id", "cls", "x1", "y1"],
+        "nms_detections.parquet",
+    )
+    for name in ("ip_boxes", "ip_segments", "nms_detections"):
+        print("wrote", os.path.join(RES, f"{name}.parquet"))
 
 
 if __name__ == "__main__":
