@@ -75,6 +75,67 @@ def export_excel(df: DataFrame, path: str, header_map: dict[str, str] | None = N
         return csv_path
 
 
+def move_records(
+    spark,
+    src_path: str,
+    dst_path: str,
+    tomb_path: str,
+    predicate,
+    key_cols: list[str],
+    move_id: str,
+    on_between: Callable[[], None] | None = None,
+) -> None:
+    """M5/M6 WRITE SIDE — the reference's transactional insert->delete
+    move (app.py:5365-5444; promote-approved is the same shape with a
+    status predicate) re-expressed for a parquet warehouse with no
+    transaction manager: two commits that are each an OVERWRITE of a
+    DETERMINISTIC target, so replaying the job after a crash at any
+    point converges to exactly-once final state instead of
+    double-inserting or double-deleting.
+
+    1. insert side: matching src rows overwrite ``dst/moves/<move_id>``
+       — recomputed from the RAW src files (tombstones are
+       merge-on-read, so the raw rows are still there on replay),
+       hence byte-stable across replays;
+    2. delete side: the moved rows' keys overwrite
+       ``tomb/<move_id>`` — readers drop tombstoned keys via
+       :func:`read_with_moves` (merge-on-read, the Delta/Iceberg
+       delete-file pattern), so no src rewrite happens in the commit
+       path at all.
+
+    ``on_between`` is the chaos seam tests use to kill the job between
+    the two commits (tests/test_sinks.py)."""
+    src = spark.read.parquet(src_path)
+    moved = src.where(predicate)
+    moved.write.mode("overwrite").parquet(os.path.join(dst_path, "moves", move_id))
+    if on_between is not None:
+        on_between()
+    moved.select(*key_cols).distinct().write.mode("overwrite").parquet(
+        os.path.join(tomb_path, move_id)
+    )
+
+
+def read_with_moves(
+    spark, base_path: str, moves_for: str | None = None, tomb_path: str | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read view over :func:`move_records` state: a table's
+    effective rows are its base files, plus every committed
+    ``moves/*`` delta when it is a move DESTINATION (``moves_for`` =
+    its own path), minus tombstoned keys when it is a move SOURCE
+    (left-anti join on ``key_cols`` — keys shuffle, full rows never
+    do; at warehouse scale the tombstone side is broadcast-sized)."""
+    df = spark.read.parquet(base_path)
+    if moves_for is not None:
+        moves_glob = os.path.join(moves_for, "moves")
+        if os.path.isdir(moves_glob):
+            df = df.unionByName(spark.read.parquet(moves_glob + "/*"))
+    if tomb_path is not None and os.path.isdir(tomb_path):
+        tombs = spark.read.parquet(tomb_path + "/*").select(*key_cols).distinct()
+        df = df.join(tombs, key_cols, "left_anti")
+    return df
+
+
 def append_ledger(entries: list[str], path: str) -> None:
     """S13 — processed-file ledger append (reference app.py:6921-6931);
     the streaming checkpoint replaces this for stream sources."""

@@ -51,3 +51,63 @@ def test_append_ledger(tmp_path):
     sinks.append_ledger(["a.pdf", "b.pdf"], p)
     sinks.append_ledger(["c.pdf"], p)
     assert [json.loads(x)["path"] for x in open(p)] == ["a.pdf", "b.pdf", "c.pdf"]
+
+
+def test_move_records_crash_between_commits_replays_exactly_once(spark, sf_dir, tmp_path):
+    """VERDICT r05 item 6: the move/promote WRITE side under a mid-job
+    crash. Kill the job between the insert-side commit and the
+    delete-side commit, re-run it, and assert exactly-once final
+    state: destination gains each moved row once, source loses exactly
+    the moved rows, and a full second replay after success changes
+    nothing (deterministic commit targets make replay idempotence a
+    structural property, not a cleanup)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "active")
+    dst = str(tmp_path / "archive")
+    tomb = str(tmp_path / "active_tombstones")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    sup.write.parquet(src)
+    sup.limit(0).write.parquet(os.path.join(dst))
+    n_total = sup.count()
+    pred = F.col("s_suppkey") % 4 == 0
+    n_moved = sup.where(pred).count()
+    assert 0 < n_moved < n_total
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash():
+        raise Boom("killed between insert-side and delete-side commits")
+
+    import pytest
+
+    with pytest.raises(Boom):
+        sinks.move_records(
+            spark, src, dst, tomb, pred, ["s_suppkey"], "mv-001", on_between=crash
+        )
+    # crashed state: insert side committed, delete side not — the move
+    # is not yet visible as a delete, and nothing was lost
+    src_view = sinks.read_with_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
+    assert src_view.count() == n_total
+
+    # replay WITHOUT the fault: must converge, not double-insert
+    sinks.move_records(spark, src, dst, tomb, pred, ["s_suppkey"], "mv-001")
+
+    def final_state():
+        d = sinks.read_with_moves(spark, dst, moves_for=dst)
+        s = sinks.read_with_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
+        return d, s
+
+    d, s = final_state()
+    assert d.count() == d.select("s_suppkey").distinct().count() == n_moved
+    assert s.count() == n_total - n_moved
+    assert s.where(pred).count() == 0
+    # and the union is still the original table, row for row
+    merged = {tuple(r) for r in d.unionByName(s).collect()}
+    assert merged == {tuple(r) for r in sup.collect()}
+
+    # a full THIRD run after success is a no-op
+    sinks.move_records(spark, src, dst, tomb, pred, ["s_suppkey"], "mv-001")
+    d2, s2 = final_state()
+    assert d2.count() == n_moved and s2.count() == n_total - n_moved
