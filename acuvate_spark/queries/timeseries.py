@@ -66,6 +66,13 @@ def gapfill_daily(spark, sf_dir):
     oracle hashes exactly.
     """
     ev = repartition_for_compute(load_table(spark, sf_dir, "events"))
+    return gapfill_frame(ev)
+
+
+def gapfill_frame(ev):
+    """The gapfill_daily plan over an arbitrary events frame (ts,
+    user_id, value) — shared by the registry query and the late-data
+    reconciliation job so 'batch truth' is one definition."""
     day = F.date_trunc("day", F.col("ts"))
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     daily = ev.groupBy(F.col("user_id"), day.alias("day")).agg(
@@ -89,4 +96,38 @@ def gapfill_daily(spark, sf_dir):
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
         F.col("n_events").isNull().alias("gap"),
         F.last("value_cents", ignorenulls=True).over(w).cast("long").alias("ff_value_cents"),
+    )
+
+
+def gapfill_corrections(events, late_events):
+    """The BATCH half of the forward-fill lambda split (VERDICT r05
+    item 5). The streaming twin (``streaming.stateful
+    .daily_forward_fill``) runs in append mode, so it DROPS events at
+    or below a user's last emitted day to keep its state monotone —
+    'batch is truth' for late arrivals. This job recomputes that
+    truth for exactly the affected (user, day) ranges: users with a
+    late arrival, over their full observed span from storage (the
+    whole span, because a late day shifts every downstream
+    forward-fill until the next observed day, and can extend the grid
+    backwards past the stream's first emitted day).
+
+    100 TB story: ``late_events`` is the stream's dropped-row side
+    channel — tiny by construction — so the affected-user set
+    broadcasts into a semi-join that prunes the full-log scan before
+    the (user_id, day) partial agg; unaffected users (the overwhelming
+    majority) are never recomputed."""
+    affected = late_events.select("user_id").distinct()
+    return gapfill_frame(events.join(F.broadcast(affected), "user_id", "left_semi"))
+
+
+def merge_corrections(stream_out, corrections):
+    """Stream + corrections == batch truth: correction rows take
+    precedence per (user_id, day); stream rows for corrected days are
+    replaced via a left-anti join on the key, and days only the
+    corrections know about (a late event extending a user's span) are
+    added by the union. No window, no shuffle beyond the key."""
+    return corrections.unionByName(
+        stream_out.join(
+            corrections.select("user_id", "day"), ["user_id", "day"], "left_anti"
+        )
     )

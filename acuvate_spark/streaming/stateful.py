@@ -169,7 +169,10 @@ def daily_forward_fill(events: DataFrame) -> DataFrame:
     (and, crucially, never regress the state — a late-only batch left
     the old version re-emitting the whole tail as duplicates). The
     batch twin replaying the full log is the corrective source of
-    truth for late arrivals, the standard lambda split."""
+    truth for late arrivals, the standard lambda split — implemented:
+    ``queries.timeseries.gapfill_corrections`` recomputes the affected
+    users from storage and ``merge_corrections`` overlays the stream
+    output, parity-tested so stream + corrections == batch truth."""
 
     def fn(key, pdfs, state: GroupState):
         import numpy as np

@@ -824,3 +824,93 @@ def test_merge_batch_matches_dict_reference_on_random_sequences(spark):
         assert got == model
 
     run()
+
+
+def test_forward_fill_late_corrections_restore_batch_truth(spark, tmp_path):
+    """VERDICT r05 item 5 — the batch half of the forward-fill lambda
+    split. The append-mode stream DROPS late events to keep its state
+    monotone; gapfill_corrections recomputes batch truth for exactly
+    the affected users from storage and merge_corrections overlays it,
+    so stream + corrections == gapfill batch truth when late events
+    exist — including a late day inside an emitted span (ff values
+    shift downstream) and a late day BEFORE a user's first emitted day
+    (the grid extends backwards)."""
+    import json as _json
+
+    from acuvate_spark.queries.timeseries import (
+        gapfill_corrections,
+        gapfill_frame,
+        merge_corrections,
+    )
+    from acuvate_spark.streaming.stateful import daily_forward_fill
+
+    in_dir = tmp_path / "ff_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ff_ckpt")
+    out_dir = str(tmp_path / "ff_out")
+
+    def rows_to_json(fname, rows):
+        with open(in_dir / fname, "w") as f:
+            for eid, user, day, val in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": f"2024-01-{day:02d}T12:00:00.000000Z",
+                            "user_id": user,
+                            "event_type": "click",
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    def run_stream():
+        stream = windows.stream_events_from_json(spark, str(in_dir))
+        q = (
+            daily_forward_fill(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1 (all on time): user 1 days 3+6, user 2 days 3+5, user 3 day 5
+    batch1 = [
+        (1, 1, 3, 10.0), (2, 1, 6, 20.0),
+        (3, 2, 3, 5.0), (4, 2, 5, 7.0),
+        (5, 3, 5, 9.0),
+    ]
+    # batch 2: user 1 late day 4 (inside emitted span) + on-time day 8;
+    # user 3 late day 2 (BEFORE its first emitted day); user 2 untouched
+    late = [(6, 1, 4, 99.0), (8, 3, 2, 42.0)]
+    batch2 = late + [(7, 1, 8, 30.0)]
+    rows_to_json("b1.json", batch1)
+    run_stream()
+    rows_to_json("b2.json", batch2)
+    run_stream()
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-{d:02d}T12:00:00", float(v)) for _, u, d, v in rows],
+            "user_id long, ts string, value double",
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+
+    key = lambda r: (r["user_id"], r["day"], r["n_events"], r["gap"], r["ff_value_cents"])
+    stream_out = spark.read.parquet(out_dir)
+    truth = gapfill_frame(ev_df(batch1 + batch2))
+    truth_set = {key(r) for r in truth.collect()}
+    stream_set = {key(r) for r in stream_out.collect()}
+    assert stream_set != truth_set, "no late effect — the test would be vacuous"
+
+    corrections = gapfill_corrections(ev_df(batch1 + batch2), ev_df(late))
+    merged = merge_corrections(stream_out, corrections)
+    assert {key(r) for r in merged.collect()} == truth_set
+    # the unaffected user's rows came from the STREAM, not the recompute
+    assert {key(r) for r in corrections.collect() if r["user_id"] == 2} == set()
+    assert {key(r) for r in merged.where("user_id = 2").collect()} == {
+        key(r) for r in stream_out.where("user_id = 2").collect()
+    }
