@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Measure the scaling exponent of the most expensive registry queries
+(VERDICT r05 item 4): run them at sf0.1 (driver data) and at the
+sf0.2 / sf0.5 scale-ups from tools/make_scaled_sf.py, fit
+log(time) ~ log(sf), and print a JSON line per query.
+
+The 100x design claims in PLANS.md / query docstrings are argued from
+plan shapes (banded LSH, grid equi-joins, two-level prefix sums);
+this measures them: a query whose cost is ~linear in rows should show
+time ratios ~2x / ~5x minus the fixed per-query overhead (Spark job
+setup, plan compile — ~0.2-0.5 s at this scale, which flattens small
+queries' exponents below 1). Anything super-linear (exponent >> 1)
+is either a plan bug or a generator artifact and must be explained in
+SCALING.md.
+
+    python tools/make_scaled_sf.py           # once
+    python tools/measure_scaling.py [--passes 2]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "scanner_tag_etl",
+    "dedup_clusters",
+    "dedup_span_removal",
+    "coreset_kcenter",
+    "graph_connected_components",
+    "dedup_incremental",
+    "bm25_probe_ranking",
+    "dedup_minhash_lsh",
+]
+
+SF_DIRS = {
+    0.1: "/root/testdata/sf0.1",
+    0.2: "/tmp/scaled_sf/sf0.2",
+    0.5: "/tmp/scaled_sf/sf0.5",
+}
+
+
+def main() -> None:
+    passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 2
+    from acuvate_spark.queries import REGISTRY
+    from acuvate_spark.session import get_spark
+
+    spark = get_spark("scaling-measure")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
+    times: dict[str, dict[float, float]] = {q: {} for q in QUERIES}
+    for _ in range(passes):
+        for sf, d in SF_DIRS.items():
+            for q in QUERIES:
+                t0 = time.perf_counter()
+                REGISTRY[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
+                if sf not in times[q] or el < times[q][sf]:
+                    times[q][sf] = el
+                spark.catalog.clearCache()
+                print(f"  sf{sf} {q}: {el:.2f}s", file=sys.stderr)
+    out = []
+    for q in QUERIES:
+        pts = sorted(times[q].items())
+        xs = [math.log(sf) for sf, _ in pts]
+        ys = [math.log(t) for _, t in pts]
+        n = len(pts)
+        mx, my = sum(xs) / n, sum(ys) / n
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        rec = {
+            "query": q,
+            "t": {str(sf): round(t, 2) for sf, t in pts},
+            "ratio_0.2": round(times[q][0.2] / times[q][0.1], 2),
+            "ratio_0.5": round(times[q][0.5] / times[q][0.1], 2),
+            "exponent": round(slope, 2),
+        }
+        out.append(rec)
+        print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
