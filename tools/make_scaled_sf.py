@@ -29,7 +29,10 @@ must not smuggle in super-linear structure:
 Deterministic (pure SQL over the committed sf0.1 files), so repeated
 runs produce identical parquet and measurements are reproducible.
 
-    python tools/make_scaled_sf.py [--out /tmp/scaled_sf]
+    python tools/make_scaled_sf.py [--out /tmp/scaled_sf] [--sf1]
+
+``--sf1`` additionally builds a k=10 scale-up for the memory-pressure
+smoke profile (VERDICT r05 stretch item).
 """
 
 from __future__ import annotations
@@ -129,3 +132,5 @@ def build(sf: str, k: int) -> None:
 if __name__ == "__main__":
     build("0.2", 2)
     build("0.5", 5)
+    if "--sf1" in sys.argv:
+        build("1", 10)
