@@ -1,0 +1,117 @@
+"""The SCALING.md measurements are only as good as the scale-up
+generator, so its invariants are pinned: exact k-fold row scaling,
+referential integrity across offset keys, fixed dimensions, bijective
+(length/shape-preserving) text and embedding transforms, and replica
+DECORRELATION — the property that keeps near-dup cluster sizes
+constant so a k x corpus doesn't smuggle k^2 LSH candidate pairs into
+the measurement (a generator artifact the round-6 sf1 smoke showed is
+very real for fixed-domain workloads).
+
+DuckDB-only: no SparkSession, runs in seconds off sf0.001.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+SRC = "/root/testdata/sf0.001"
+K = 3
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    sys.path.insert(0, str(ROOT / "tools"))
+    import make_scaled_sf as m
+
+    out_root = str(tmp_path_factory.mktemp("scaled"))
+    m.build("t", K, src=SRC, out_root=out_root)
+    return f"{out_root}/sft"
+
+
+def test_row_counts_scale_exactly_and_dims_stay_fixed(scaled):
+    con = duckdb.connect()
+    for name in ["customer", "supplier", "part", "orders", "lineitem",
+                 "events", "documents", "embeddings"]:
+        n0 = con.execute(f"SELECT count(*) FROM '{SRC}/{name}.parquet'").fetchone()[0]
+        n1 = con.execute(f"SELECT count(*) FROM '{scaled}/{name}.parquet'").fetchone()[0]
+        assert n1 == K * n0, name
+    for name in ["region", "nation"]:
+        n0 = con.execute(f"SELECT count(*) FROM '{SRC}/{name}.parquet'").fetchone()[0]
+        n1 = con.execute(f"SELECT count(*) FROM '{scaled}/{name}.parquet'").fetchone()[0]
+        assert n1 == n0, name
+
+
+def test_referential_integrity_and_key_uniqueness(scaled):
+    con = duckdb.connect()
+    for fk, pk, ftab, ptab in [
+        ("l_orderkey", "o_orderkey", "lineitem", "orders"),
+        ("l_partkey", "p_partkey", "lineitem", "part"),
+        ("l_suppkey", "s_suppkey", "lineitem", "supplier"),
+        ("o_custkey", "c_custkey", "orders", "customer"),
+    ]:
+        orphans = con.execute(f"""
+            SELECT count(*) FROM '{scaled}/{ftab}.parquet' f
+            LEFT JOIN '{scaled}/{ptab}.parquet' p ON f.{fk} = p.{pk}
+            WHERE p.{pk} IS NULL""").fetchone()[0]
+        assert orphans == 0, (ftab, fk)
+    for key, tab in [("o_orderkey", "orders"), ("p_partkey", "part"),
+                     ("c_custkey", "customer"), ("doc_id", "documents"),
+                     ("vec_id", "embeddings")]:
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {key}) FROM '{scaled}/{tab}.parquet'"
+        ).fetchone()
+        assert n == d, tab
+
+
+def test_replicas_are_shape_preserving_but_decorrelated(scaled):
+    con = duckdb.connect()
+    # text: every replica doc keeps its source length (bijective char
+    # map) but replica 1+ shares no exact text with replica 0
+    n_docs = con.execute(f"SELECT count(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    bad_len = con.execute(f"""
+        SELECT count(*) FROM '{scaled}/documents.parquet' s
+        JOIN '{SRC}/documents.parquet' o ON s.doc_id % {n_docs} = o.doc_id
+        WHERE len(s.text) <> len(o.text)""").fetchone()[0]
+    assert bad_len == 0
+    cross_dups = con.execute(f"""
+        SELECT count(*) FROM '{scaled}/documents.parquet' a
+        JOIN '{scaled}/documents.parquet' b
+          ON a.text = b.text AND a.doc_id // {n_docs} <> b.doc_id // {n_docs}
+        """).fetchone()[0]
+    assert cross_dups == 0
+    # embeddings: rotation preserves the multiset of values per vector
+    bad_vec = con.execute(f"""
+        SELECT count(*) FROM '{scaled}/embeddings.parquet' s
+        JOIN '{SRC}/embeddings.parquet' o ON s.vec_id % {
+            con.execute(f"SELECT max(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+        } = o.vec_id
+        WHERE len(s.embedding) <> len(o.embedding)
+           OR list_sort(s.embedding) <> list_sort(o.embedding)""").fetchone()[0]
+    assert bad_vec == 0
+
+
+def test_within_replica_dup_structure_is_preserved(scaled):
+    """Planted exact-dup clusters must appear k times at their original
+    SIZE (cluster count scales, cluster size doesn't)."""
+    con = duckdb.connect()
+    base = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT text FROM '{SRC}/documents.parquet' GROUP BY text HAVING count(*) > 1)
+        """).fetchone()[0]
+    scaled_n = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT text FROM '{scaled}/documents.parquet' GROUP BY text HAVING count(*) > 1)
+        """).fetchone()[0]
+    assert scaled_n == K * base
+    max0 = con.execute(f"""
+        SELECT max(c) FROM (SELECT count(*) c FROM '{SRC}/documents.parquet' GROUP BY text)
+        """).fetchone()[0]
+    max1 = con.execute(f"""
+        SELECT max(c) FROM (SELECT count(*) c FROM '{scaled}/documents.parquet' GROUP BY text)
+        """).fetchone()[0]
+    assert max1 == max0

@@ -58,12 +58,12 @@ def _charmap(r: int) -> tuple[str, str]:
     return src, dst
 
 
-def build(sf: str, k: int) -> None:
+def build(sf: str, k: int, src: str = SRC, out_root: str | None = None) -> None:
     con = duckdb.connect()
-    out = os.path.join(OUT, f"sf{sf}")
+    out = os.path.join(out_root or OUT, f"sf{sf}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    t = {n: f"'{SRC}/{n}.parquet'" for n in (
+    t = {n: f"'{src}/{n}.parquet'" for n in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     )}
     maxes = {
