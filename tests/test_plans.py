@@ -462,3 +462,26 @@ def test_embedding_lsh_verify_is_band_equijoin(spark, sf_dir):
     )
     plan = _plan(cand)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_corrections_prunes_scan_via_broadcast_semijoin(spark, sf_dir):
+    """The late-data reconciliation job's 100 TB claim: the affected-
+    user set (tiny by construction — it comes from the stream's
+    dropped-row side channel) must reach the full-log scan as a
+    BROADCAST left-semi join, so unaffected users are pruned before
+    the (user_id, day) aggregation, and the merge must stay a plain
+    key anti-join + union (no Window, no global sort)."""
+    from acuvate_spark.queries.timeseries import (
+        gapfill_corrections,
+        merge_corrections,
+    )
+    from acuvate_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    late = events.where(F.col("user_id") % 500 == 0).select("user_id", "ts", "value")
+    corr = gapfill_corrections(events, late)
+    plan = _plan(corr)
+    assert "BroadcastExchange" in plan and "LeftSemi" in plan
+    merged = merge_corrections(corr, corr)
+    mplan = _plan(merged)
+    assert "LeftAnti" in mplan and "Union" in mplan
