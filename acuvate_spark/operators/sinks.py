@@ -125,14 +125,26 @@ def read_with_moves(
     its own path), minus tombstoned keys when it is a move SOURCE
     (left-anti join on ``key_cols`` — keys shuffle, full rows never
     do; at warehouse scale the tombstone side is broadcast-sized)."""
+    import glob as _glob
+
+    # list committed FILES, not directories: a job that crashed mid-
+    # write leaves a delta dir holding only _temporary/ (no committed
+    # part files), and globbing dirs would feed that to schema
+    # inference and fail every reader until the job is replayed —
+    # whereas an uncommitted delta must simply be invisible
+    def _committed(root: str) -> list[str]:
+        return sorted(_glob.glob(os.path.join(root, "*", "*.parquet")))
+
     df = spark.read.parquet(base_path)
     if moves_for is not None:
-        moves_glob = os.path.join(moves_for, "moves")
-        if os.path.isdir(moves_glob):
-            df = df.unionByName(spark.read.parquet(moves_glob + "/*"))
-    if tomb_path is not None and os.path.isdir(tomb_path):
-        tombs = spark.read.parquet(tomb_path + "/*").select(*key_cols).distinct()
-        df = df.join(tombs, key_cols, "left_anti")
+        files = _committed(os.path.join(moves_for, "moves"))
+        if files:
+            df = df.unionByName(spark.read.parquet(*files))
+    if tomb_path is not None:
+        files = _committed(tomb_path)
+        if files:
+            tombs = spark.read.parquet(*files).select(*key_cols).distinct()
+            df = df.join(tombs, key_cols, "left_anti")
     return df
 
 

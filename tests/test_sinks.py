@@ -111,3 +111,47 @@ def test_move_records_crash_between_commits_replays_exactly_once(spark, sf_dir, 
     sinks.move_records(spark, src, dst, tomb, pred, ["s_suppkey"], "mv-001")
     d2, s2 = final_state()
     assert d2.count() == n_moved and s2.count() == n_total - n_moved
+
+
+def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_dir, tmp_path):
+    """Two hardening cases for the move write side: (1) a crash DURING
+    the insert-side write leaves a moves/<id> dir with only write-
+    protocol droppings and no committed part files — readers must see
+    the table unchanged, not fail schema inference; (2) two different
+    moves compose: read_with_moves folds all committed deltas and all
+    tombstone sets, and replaying the FIRST move after the SECOND has
+    committed is still a no-op."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "active")
+    dst = str(tmp_path / "archive")
+    tomb = str(tmp_path / "active_tombstones")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    sup.write.parquet(src)
+    sup.limit(0).write.parquet(dst)
+    n_total = sup.count()
+
+    # (1) simulate the mid-write crash artifact
+    os.makedirs(os.path.join(dst, "moves", "mv-crashed", "_temporary"))
+    assert sinks.read_with_moves(spark, dst, moves_for=dst).count() == 0
+    assert sinks.read_with_moves(
+        spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+    ).count() == n_total
+
+    # (2) two committed moves with different predicates
+    pred_a = F.col("s_suppkey") % 5 == 0
+    pred_b = F.col("s_suppkey") % 5 == 1
+    n_a = sup.where(pred_a).count()
+    n_b = sup.where(pred_b).count()
+    sinks.move_records(spark, src, dst, tomb, pred_a, ["s_suppkey"], "mv-a")
+    sinks.move_records(spark, src, dst, tomb, pred_b, ["s_suppkey"], "mv-b")
+    # replaying the first move after the second committed: no-op
+    sinks.move_records(spark, src, dst, tomb, pred_a, ["s_suppkey"], "mv-a")
+
+    d = sinks.read_with_moves(spark, dst, moves_for=dst)
+    s = sinks.read_with_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
+    assert d.count() == d.select("s_suppkey").distinct().count() == n_a + n_b
+    assert s.count() == n_total - n_a - n_b
+    assert {tuple(r) for r in d.unionByName(s).collect()} == {
+        tuple(r) for r in sup.collect()
+    }
