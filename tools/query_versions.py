@@ -65,8 +65,9 @@ MANIFEST = REPO / "QUERY_VERSIONS.json"
 class _Module:
     """AST-derived facts about one package module."""
 
-    def __init__(self, name: str, source: str):
+    def __init__(self, name: str, source: str, is_pkg: bool = False):
         self.name = name
+        self.is_pkg = is_pkg
         self.digest = hashlib.md5(source.encode()).hexdigest()
         self.lines = source.splitlines()
         self.tree = ast.parse(source)
@@ -91,21 +92,24 @@ def _segment(lines: list[str], node: ast.AST) -> str:
     return "\n".join(lines[start : node.end_lineno])
 
 
-def _resolve_from(mod_name: str, level: int, target: str | None) -> str:
-    """Absolute module named by a ``from``-import found in mod_name."""
+def _resolve_from(mod_name: str, level: int, target: str | None, is_pkg: bool = False) -> str:
+    """Absolute module named by a ``from``-import found in mod_name.
+    For a regular module, level 1 is its containing package (drop the
+    module leaf); for a package ``__init__`` — whose dotted name IS
+    the package — level 1 is the package itself, so one fewer
+    component drops."""
     if level == 0:
         return target or ""
+    drop = level - (1 if is_pkg else 0)
     base = mod_name.split(".")
-    # level 1 = current package: drop the module leaf; each extra
-    # level drops one more package
-    base = base[: len(base) - level] if len(base) >= level else []
+    base = base[: len(base) - drop] if drop <= len(base) else []
     if target:
         base = base + target.split(".")
     return ".".join(base)
 
 
 def _aliases(
-    nodes, mod_name: str, module_names: set[str]
+    nodes, mod_name: str, module_names: set[str], is_pkg: bool = False
 ) -> dict[str, tuple]:
     """alias -> ('module', modname) | ('symbol', modname, symname) for
     package-internal imports among ``nodes``; external imports skipped."""
@@ -116,7 +120,7 @@ def _aliases(
                 if a.name.split(".")[0] == PKG:
                     out[a.asname or a.name.split(".")[0]] = ("module", a.name)
         elif isinstance(node, ast.ImportFrom):
-            base = _resolve_from(mod_name, node.level, node.module)
+            base = _resolve_from(mod_name, node.level, node.module, is_pkg)
             if not base or base.split(".")[0] != PKG:
                 continue
             for a in node.names:
@@ -163,7 +167,7 @@ def _load_modules(repo_root: Path) -> dict[str, _Module]:
     files = sorted(pkg_root.rglob("*.py"))
     names = {_module_name(p, pkg_root) for p in files}
     for py in files:
-        m = _Module(_module_name(py, pkg_root), py.read_text())
+        m = _Module(_module_name(py, pkg_root), py.read_text(), is_pkg=py.name == "__init__.py")
         for node in m.tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 m.symbols[node.name] = _segment(m.lines, node)
@@ -174,7 +178,7 @@ def _load_modules(repo_root: Path) -> dict[str, _Module]:
                     if isinstance(t, ast.Name):
                         m.symbols[t.id] = _segment(m.lines, node)
                         m.symbol_nodes[t.id] = node
-        m.imports = _aliases(m.tree.body, m.name, names)
+        m.imports = _aliases(m.tree.body, m.name, names, m.is_pkg)
         mods[m.name] = m
     return mods
 
@@ -182,7 +186,7 @@ def _load_modules(repo_root: Path) -> dict[str, _Module]:
 def _symbol_refs(mods: dict[str, _Module], mod: str, sym: str) -> set[tuple]:
     m = mods[mod]
     node = m.symbol_nodes[sym]
-    local = _aliases(list(ast.walk(node)), mod, set(mods))
+    local = _aliases(list(ast.walk(node)), mod, set(mods), m.is_pkg)
     aliases = {**m.imports, **local}
     v = _RefVisitor(aliases, mod, set(m.symbols))
     v.visit(node)
