@@ -107,12 +107,18 @@ def move_records(
     the two commits (tests/test_sinks.py)."""
     src = spark.read.parquet(src_path)
     moved = src.where(predicate)
-    moved.write.mode("overwrite").parquet(os.path.join(dst_path, "moves", move_id))
+    delta = os.path.join(dst_path, "moves", move_id)
+    moved.write.mode("overwrite").parquet(delta)
     if on_between is not None:
         on_between()
-    moved.select(*key_cols).distinct().write.mode("overwrite").parquet(
-        os.path.join(tomb_path, move_id)
-    )
+    # tombstone keys come from the COMMITTED delta, not a recompute of
+    # the src filter: the delete side then exactly matches what the
+    # insert side durably wrote, with no assumption that src was
+    # stable between the two actions (and no double evaluation of the
+    # filter scan)
+    spark.read.parquet(delta).select(*key_cols).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tomb_path, move_id))
 
 
 def read_with_moves(
