@@ -88,37 +88,67 @@ def move_records(
     """M5/M6 WRITE SIDE — the reference's transactional insert->delete
     move (app.py:5365-5444; promote-approved is the same shape with a
     status predicate) re-expressed for a parquet warehouse with no
-    transaction manager: two commits that are each an OVERWRITE of a
-    DETERMINISTIC target, so replaying the job after a crash at any
-    point converges to exactly-once final state instead of
-    double-inserting or double-deleting.
+    transaction manager. Two ordered commits to DETERMINISTIC targets,
+    each gated on its ``_SUCCESS`` marker so replay is MONOTONE — a
+    replay never deletes durable state, it only finishes what remains:
 
-    1. insert side: matching src rows overwrite ``dst/moves/<move_id>``
-       — recomputed from the RAW src files (tombstones are
-       merge-on-read, so the raw rows are still there on replay),
-       hence byte-stable across replays;
-    2. delete side: the moved rows' keys overwrite
-       ``tomb/<move_id>`` — readers drop tombstoned keys via
+    1. insert side: matching rows overwrite ``dst/moves/<move_id>`` —
+       computed through :func:`read_with_moves` (other moves'
+       committed tombstones applied), so a row already moved by a
+       previous overlapping move is not copied twice; SKIPPED when the
+       delta's _SUCCESS already exists (a replay must not drop and
+       rewrite a committed delta — the rewrite window would lose the
+       rows if the replay itself crashed);
+    2. delete side: the COMMITTED delta's keys (read back, not
+       recomputed — the two commits cannot diverge) overwrite
+       ``tomb/<move_id>``; readers drop tombstoned keys via
        :func:`read_with_moves` (merge-on-read, the Delta/Iceberg
-       delete-file pattern), so no src rewrite happens in the commit
-       path at all.
+       delete-file pattern), so no src rewrite happens at all.
+
+    If the tombstone's _SUCCESS exists the move is fully committed and
+    the call returns immediately. Crash anywhere: un-marked partial
+    writes are invisible to readers (see ``read_with_moves``) and the
+    next replay converges to exactly-once. Markers are the standard
+    Hadoop committer's; single sequential writer per move_id assumed
+    (the reference's request-scoped mutation semantics).
 
     ``on_between`` is the chaos seam tests use to kill the job between
     the two commits (tests/test_sinks.py)."""
-    src = spark.read.parquet(src_path)
-    moved = src.where(predicate)
     delta = os.path.join(dst_path, "moves", move_id)
-    moved.write.mode("overwrite").parquet(delta)
+    tomb = os.path.join(tomb_path, move_id)
+    if _has_success(tomb):
+        return  # fully committed: replay is a true no-op
+    if not _has_success(delta):
+        moved = read_with_moves(
+            spark, src_path, tomb_path=tomb_path, key_cols=key_cols
+        ).where(predicate)
+        moved.write.mode("overwrite").parquet(delta)
     if on_between is not None:
         on_between()
-    # tombstone keys come from the COMMITTED delta, not a recompute of
-    # the src filter: the delete side then exactly matches what the
-    # insert side durably wrote, with no assumption that src was
-    # stable between the two actions (and no double evaluation of the
-    # filter scan)
     spark.read.parquet(delta).select(*key_cols).distinct().write.mode(
         "overwrite"
-    ).parquet(os.path.join(tomb_path, move_id))
+    ).parquet(tomb)
+
+
+def _has_success(path: str) -> bool:
+    """True iff the directory holds a completed Hadoop job commit."""
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _committed_files(root: str) -> list[str]:
+    """Part files of the FULLY COMMITTED child dirs of ``root``. Two
+    crash shapes must stay invisible to readers: a dir holding only
+    ``_temporary/`` (killed mid-write — no part files at all) and a
+    dir holding SOME part files but no ``_SUCCESS`` (killed mid
+    job-commit, after the committer started promoting task files but
+    before the marker) — hence the marker check, not just a file glob."""
+    import glob as _glob
+
+    out: list[str] = []
+    for d in sorted(_glob.glob(os.path.join(root, "*"))):
+        if _has_success(d):
+            out.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    return out
 
 
 def read_with_moves(
@@ -126,28 +156,31 @@ def read_with_moves(
     key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge-on-read view over :func:`move_records` state: a table's
-    effective rows are its base files, plus every committed
+    effective rows are its base files (if any — a destination that was
+    only ever written by moves has none), plus every committed
     ``moves/*`` delta when it is a move DESTINATION (``moves_for`` =
-    its own path), minus tombstoned keys when it is a move SOURCE
-    (left-anti join on ``key_cols`` — keys shuffle, full rows never
-    do; at warehouse scale the tombstone side is broadcast-sized)."""
+    its own path), minus committed tombstoned keys when it is a move
+    SOURCE (left-anti join on ``key_cols`` — keys shuffle, full rows
+    never do; at warehouse scale the tombstone side is
+    broadcast-sized)."""
     import glob as _glob
 
-    # list committed FILES, not directories: a job that crashed mid-
-    # write leaves a delta dir holding only _temporary/ (no committed
-    # part files), and globbing dirs would feed that to schema
-    # inference and fail every reader until the job is replayed —
-    # whereas an uncommitted delta must simply be invisible
-    def _committed(root: str) -> list[str]:
-        return sorted(_glob.glob(os.path.join(root, "*", "*.parquet")))
-
-    df = spark.read.parquet(base_path)
+    if (tomb_path is None) != (key_cols is None):
+        raise ValueError("tomb_path and key_cols must be passed together")
+    df = None
+    if _glob.glob(os.path.join(base_path, "*.parquet")):
+        df = spark.read.parquet(base_path)
     if moves_for is not None:
-        files = _committed(os.path.join(moves_for, "moves"))
+        files = _committed_files(os.path.join(moves_for, "moves"))
         if files:
-            df = df.unionByName(spark.read.parquet(*files))
+            deltas = spark.read.parquet(*files)
+            df = deltas if df is None else df.unionByName(deltas)
+    if df is None:
+        raise ValueError(
+            f"{base_path}: no base parquet files and no committed move deltas"
+        )
     if tomb_path is not None:
-        files = _committed(tomb_path)
+        files = _committed_files(tomb_path)
         if files:
             tombs = spark.read.parquet(*files).select(*key_cols).distinct()
             df = df.join(tombs, key_cols, "left_anti")

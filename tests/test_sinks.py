@@ -114,13 +114,18 @@ def test_move_records_crash_between_commits_replays_exactly_once(spark, sf_dir, 
 
 
 def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_dir, tmp_path):
-    """Two hardening cases for the move write side: (1) a crash DURING
-    the insert-side write leaves a moves/<id> dir with only write-
-    protocol droppings and no committed part files — readers must see
-    the table unchanged, not fail schema inference; (2) two different
-    moves compose: read_with_moves folds all committed deltas and all
-    tombstone sets, and replaying the FIRST move after the SECOND has
-    committed is still a no-op."""
+    """Hardening cases for the move write side: (1) crash artifacts —
+    a moves/<id> dir with only write-protocol droppings AND a dir with
+    part files but no _SUCCESS (killed mid job-commit) must both be
+    invisible to readers, not fail schema inference or expose a
+    partial move; (2) a destination that was only ever written by
+    moves (no base files) is readable; (3) two moves with OVERLAPPING
+    predicates compose exactly-once — the second move must not re-copy
+    rows the first already moved — and replaying the first move after
+    the second committed is still a no-op."""
+    import shutil
+
+    import pytest
     from pyspark.sql import functions as F
 
     src = str(tmp_path / "active")
@@ -128,30 +133,43 @@ def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_
     tomb = str(tmp_path / "active_tombstones")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     sup.write.parquet(src)
-    sup.limit(0).write.parquet(dst)
     n_total = sup.count()
 
-    # (1) simulate the mid-write crash artifact
+    # (1a) killed mid-write: only _temporary, no part files
     os.makedirs(os.path.join(dst, "moves", "mv-crashed", "_temporary"))
-    assert sinks.read_with_moves(spark, dst, moves_for=dst).count() == 0
+    # (1b) killed mid job-commit: part files present, no _SUCCESS
+    staged = str(tmp_path / "staged")
+    sup.limit(3).coalesce(1).write.parquet(staged)
+    partial = os.path.join(dst, "moves", "mv-partial")
+    os.makedirs(partial)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), partial)
+    # no committed delta and no base files: the view must refuse
+    # loudly (there is no schema to serve), not guess
+    with pytest.raises(ValueError, match="no base parquet"):
+        sinks.read_with_moves(spark, dst, moves_for=dst)
     assert sinks.read_with_moves(
         spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
     ).count() == n_total
 
-    # (2) two committed moves with different predicates
+    # (3) two committed moves with OVERLAPPING predicates
     pred_a = F.col("s_suppkey") % 5 == 0
-    pred_b = F.col("s_suppkey") % 5 == 1
+    pred_b = F.col("s_suppkey") % 2 == 0  # overlaps pred_a on % 10 == 0
     n_a = sup.where(pred_a).count()
-    n_b = sup.where(pred_b).count()
+    n_union = sup.where(pred_a | pred_b).count()
     sinks.move_records(spark, src, dst, tomb, pred_a, ["s_suppkey"], "mv-a")
     sinks.move_records(spark, src, dst, tomb, pred_b, ["s_suppkey"], "mv-b")
     # replaying the first move after the second committed: no-op
     sinks.move_records(spark, src, dst, tomb, pred_a, ["s_suppkey"], "mv-a")
 
+    # (2) dst has NO base files — the view is deltas-only and the
+    # crash artifacts from (1) stay invisible
     d = sinks.read_with_moves(spark, dst, moves_for=dst)
     s = sinks.read_with_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
-    assert d.count() == d.select("s_suppkey").distinct().count() == n_a + n_b
-    assert s.count() == n_total - n_a - n_b
+    assert d.count() == d.select("s_suppkey").distinct().count() == n_union
+    assert n_a < n_union < n_total
+    assert s.count() == n_total - n_union
     assert {tuple(r) for r in d.unionByName(s).collect()} == {
         tuple(r) for r in sup.collect()
     }

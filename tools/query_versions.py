@@ -117,8 +117,16 @@ def _aliases(
     for node in nodes:
         if isinstance(node, ast.Import):
             for a in node.names:
-                if a.name.split(".")[0] == PKG:
-                    out[a.asname or a.name.split(".")[0]] = ("module", a.name)
+                if a.name.split(".")[0] != PKG:
+                    continue
+                if a.asname:
+                    out[a.asname] = ("module", a.name)
+                else:
+                    # `import a.b.c` binds name `a` (the ROOT package) —
+                    # binding it to the deepest module would let two such
+                    # imports clobber each other and mis-resolve refs;
+                    # the _RefVisitor walks the dotted chain from here
+                    out[PKG] = ("module", PKG)
         elif isinstance(node, ast.ImportFrom):
             base = _resolve_from(mod_name, node.level, node.module, is_pkg)
             if not base or base.split(".")[0] != PKG:
@@ -136,17 +144,39 @@ class _RefVisitor(ast.NodeVisitor):
     """Collect (module, symbol) / (module, None) refs from one symbol's
     AST, resolving through the given alias map."""
 
-    def __init__(self, aliases: dict[str, tuple], own_module: str, own_symbols: set[str]):
+    def __init__(
+        self,
+        aliases: dict[str, tuple],
+        own_module: str,
+        own_symbols: set[str],
+        module_names: set[str] = frozenset(),
+    ):
         self.aliases = aliases
         self.own_module = own_module
         self.own_symbols = own_symbols
+        self.module_names = module_names
         self.refs: set[tuple] = set()
 
     def visit_Attribute(self, node: ast.Attribute):
-        if isinstance(node.value, ast.Name):
-            desc = self.aliases.get(node.value.id)
+        # flatten the dotted chain rooted at a Name so `pkg.sub.mod.sym`
+        # (root-bound by a plain `import pkg.sub.mod`) resolves to the
+        # DEEPEST existing module + one symbol, with any trailing attrs
+        # of the symbol itself ignored
+        parts: list[str] = []
+        cur: ast.expr = node
+        while isinstance(cur, ast.Attribute):
+            parts.append(cur.attr)
+            cur = cur.value
+        if isinstance(cur, ast.Name):
+            desc = self.aliases.get(cur.id)
             if desc and desc[0] == "module":
-                self.refs.add((desc[1], node.attr))
+                parts.reverse()
+                mod = desc[1]
+                i = 0
+                while i < len(parts) and f"{mod}.{parts[i]}" in self.module_names:
+                    mod = f"{mod}.{parts[i]}"
+                    i += 1
+                self.refs.add((mod, parts[i] if i < len(parts) else None))
                 return  # don't also record the bare module Name
         self.generic_visit(node)
 
@@ -175,9 +205,12 @@ def _load_modules(repo_root: Path) -> dict[str, _Module]:
             elif isinstance(node, (ast.Assign, ast.AnnAssign)):
                 targets = node.targets if isinstance(node, ast.Assign) else [node.target]
                 for t in targets:
-                    if isinstance(t, ast.Name):
-                        m.symbols[t.id] = _segment(m.lines, node)
-                        m.symbol_nodes[t.id] = node
+                    # walk covers plain Names AND tuple/list unpacking
+                    # targets (`A, B = ...`), which must version too
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            m.symbols[n.id] = _segment(m.lines, node)
+                            m.symbol_nodes[n.id] = node
         m.imports = _aliases(m.tree.body, m.name, names, m.is_pkg)
         mods[m.name] = m
     return mods
@@ -188,7 +221,7 @@ def _symbol_refs(mods: dict[str, _Module], mod: str, sym: str) -> set[tuple]:
     node = m.symbol_nodes[sym]
     local = _aliases(list(ast.walk(node)), mod, set(mods), m.is_pkg)
     aliases = {**m.imports, **local}
-    v = _RefVisitor(aliases, mod, set(m.symbols))
+    v = _RefVisitor(aliases, mod, set(m.symbols), set(mods))
     v.visit(node)
     v.refs.discard((mod, sym))
     return v.refs
@@ -211,7 +244,19 @@ def _closure(mods: dict[str, _Module], seed_refs: set[tuple]) -> dict[str, str]:
         if m is None:
             continue  # resolved outside the package tree
         if sym is None or sym not in m.symbols:
-            out[f"{mod}.*"] = m.digest
+            if f"{mod}.*" not in out:
+                out[f"{mod}.*"] = m.digest
+                # the fallback must be TRANSITIVE: the module digest
+                # covers its own source but not the helpers IT imports,
+                # so enqueue everything it imports (module-level and
+                # function-local) — otherwise an edit to a helper of a
+                # fallback module would ride through the gate unseen
+                for desc in _aliases(
+                    list(ast.walk(m.tree)), mod, set(mods), m.is_pkg
+                ).values():
+                    todo.append(
+                        (desc[1], None) if desc[0] == "module" else (desc[1], desc[2])
+                    )
             continue
         out[f"{mod}.{sym}"] = m.symbols[sym]
         todo.extend(_symbol_refs(mods, mod, sym))
