@@ -49,15 +49,18 @@ SF_DIRS = {
 
 def main() -> None:
     passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 2
+    queries = QUERIES
+    if "--queries" in sys.argv:
+        queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
     from acuvate_spark.queries import REGISTRY
     from acuvate_spark.session import get_spark
 
     spark = get_spark("scaling-measure")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
-    times: dict[str, dict[float, float]] = {q: {} for q in QUERIES}
+    times: dict[str, dict[float, float]] = {q: {} for q in queries}
     for _ in range(passes):
         for sf, d in SF_DIRS.items():
-            for q in QUERIES:
+            for q in queries:
                 t0 = time.perf_counter()
                 REGISTRY[q].fn(spark, d).write.format("noop").mode("overwrite").save()
                 el = time.perf_counter() - t0
@@ -66,7 +69,7 @@ def main() -> None:
                 spark.catalog.clearCache()
                 print(f"  sf{sf} {q}: {el:.2f}s", file=sys.stderr)
     out = []
-    for q in QUERIES:
+    for q in queries:
         pts = sorted(times[q].items())
         xs = [math.log(sf) for sf, _ in pts]
         ys = [math.log(t) for _, t in pts]
