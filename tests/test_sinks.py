@@ -153,11 +153,19 @@ def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_
         spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
     ).count() == n_total
 
-    # (3) two committed moves with OVERLAPPING predicates
+    # (3) two committed moves with OVERLAPPING predicates; mv-a also
+    # starts from a crashed-mid-tombstone-write artifact (part file
+    # with bogus keys, no _SUCCESS) which must stay invisible and be
+    # converged over, not trusted
     pred_a = F.col("s_suppkey") % 5 == 0
     pred_b = F.col("s_suppkey") % 2 == 0  # overlaps pred_a on % 10 == 0
     n_a = sup.where(pred_a).count()
     n_union = sup.where(pred_a | pred_b).count()
+    bogus = os.path.join(tomb, "mv-a")
+    os.makedirs(bogus)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), bogus)
     sinks.move_records(spark, src, dst, tomb, pred_a, ["s_suppkey"], "mv-a")
     sinks.move_records(spark, src, dst, tomb, pred_b, ["s_suppkey"], "mv-b")
     # replaying the first move after the second committed: no-op
