@@ -181,3 +181,51 @@ def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_
     assert {tuple(r) for r in d.unionByName(s).collect()} == {
         tuple(r) for r in sup.collect()
     }
+
+
+def test_move_records_random_sequences_match_dict_model(spark, sf_dir, tmp_path):
+    """Model check for the move write side: a random sequence of moves
+    with random (overlapping) predicates and randomly interleaved
+    replays must leave dst/src exactly equal to a pure-Python set
+    model where each row moves at most once, at the first move whose
+    predicate selects it among the still-present rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    src = str(tmp_path / "active")
+    dst = str(tmp_path / "archive")
+    tomb = str(tmp_path / "tombs")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sup.write.parquet(src)
+    keys = sorted(r["s_suppkey"] for r in sup.select("s_suppkey").collect())
+
+    model_src = set(keys)
+    model_dst: set[int] = set()
+    history: list[tuple[str, int, int]] = []
+    for i in range(6):
+        mod, res = rng.choice([2, 3, 5, 7]), rng.randrange(7)
+        mv = f"mv-{i}"
+        sinks.move_records(
+            spark, src, dst, tomb,
+            F.col("s_suppkey") % mod == res, ["s_suppkey"], mv,
+        )
+        hit = {k for k in model_src if k % mod == res}
+        model_src -= hit
+        model_dst |= hit
+        history.append((mv, mod, res))
+        if rng.random() < 0.5:  # replay a random earlier move: no-op
+            pmv, pmod, pres = rng.choice(history)
+            sinks.move_records(
+                spark, src, dst, tomb,
+                F.col("s_suppkey") % pmod == pres, ["s_suppkey"], pmv,
+            )
+
+    got_dst = {r["s_suppkey"] for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    got_src = {r["s_suppkey"] for r in sinks.read_with_moves(
+        spark, src, tomb_path=tomb, key_cols=["s_suppkey"]).collect()}
+    n_dst = sinks.read_with_moves(spark, dst, moves_for=dst).count()
+    assert got_dst == model_dst and len(got_dst) == n_dst  # no duplicate rows
+    assert got_src == model_src
+    assert got_dst | got_src == set(keys) and not (got_dst & got_src)
