@@ -16,6 +16,31 @@ from ..functions import tags
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
+
+def _cents(col):
+    """Exact per-row integer cents for a 2-decimal money column.
+
+    Float SUM is not associative, so summing money doubles flips the
+    last cent with row order / partition count (the round-6
+    layout-invariance audit caught this in pricing_summary). Since the
+    money columns carry exactly two decimals, floor(x*100 + 0.5) is
+    the exact integer per row in BOTH engines; sums over it are
+    associative and layout-invariant. DuckDB oracle twin:
+    CAST(floor(x * 100 + 0.5) AS HUGEINT).
+    """
+    return F.floor(col * 100 + F.lit(0.5))
+
+
+def _money_sum(col, alias):
+    """Exact cents sum rendered back to the conventional rounded
+    double. The decimal accumulator cannot overflow at any scale
+    (a raw long sum would ANSI-overflow around 9.2e16 dollars).
+    DuckDB oracle twin: round(sum(<cents>)::DOUBLE / 100, 2)."""
+    return (
+        F.round(F.sum(_cents(col).cast("decimal(25,0)")).cast("double") / 100, 2).alias(alias)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: GetData paginated read (reference app.py:5029-5109, SURVEY §3.3)
 # ---------------------------------------------------------------------------
@@ -146,12 +171,20 @@ def getdata_keyset(spark, sf_dir):
     oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2)
+           AS sum_base_price,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                      * (100 - floor(l_discount * 100 + 0.5)) AS HUGEINT))::DOUBLE
+             / 10000, 2) AS sum_disc_price,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                      * (100 - floor(l_discount * 100 + 0.5))
+                      * (100 + floor(l_tax * 100 + 0.5)) AS HUGEINT))::DOUBLE
+             / 1000000, 2) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100
+             / count(*), 4) AS avg_price,
+       round(sum(CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))::DOUBLE / 100
+             / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -164,21 +197,36 @@ def pricing_summary(spark, sf_dir):
     filter + projection push into the parquet scan, partial aggregation
     happens before the (tiny, 6-group) shuffle. This plan scales
     linearly to any data size.
+
+    Money math is exact fixed-point: every input column carries exactly
+    two decimals, so per-row integer cents (and integer cent-products
+    for the discount/tax terms) make each SUM associative — a float sum
+    is not, and its last cent flips with row order / partitioning (the
+    round-6 layout-invariance audit caught exactly that in sum_charge).
+    Per-row products stay < 2^63; the accumulators are decimal so the
+    sums cannot overflow at any scale. Quantity is integral-valued, so
+    its double sum/avg is already exact.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pc = _cents(F.col("l_extendedprice"))
+    dc = _cents(F.col("l_discount"))
+    tc = _cents(F.col("l_tax"))
+    disc_u = pc * (F.lit(100) - dc)  # units of 1e-4
+    charge_u = disc_u * (F.lit(100) + tc)  # units of 1e-6
+    dec = "decimal(25,0)"
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(pc.cast(dec)).cast("double") / 100, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_u.cast(dec)).cast("double") / 10000, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_u.cast(dec)).cast("double") / 1000000, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(F.sum(pc.cast(dec)).cast("double") / 100 / n, 4).alias("avg_price"),
+            F.round(F.sum(dc.cast(dec)).cast("double") / 100 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -500,7 +548,7 @@ SELECT o_orderstatus,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
        sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
-       round(sum(o_totalprice), 2) AS sum_price,
+       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_price,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderstatus
@@ -513,7 +561,7 @@ def agg_order_stats(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(F.when(F.col("o_totalprice") > 50000, 1).otherwise(0)).alias("n_big"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        _money_sum(F.col("o_totalprice"), "sum_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -871,7 +919,7 @@ WITH signup AS (
   FROM events WHERE event_type = 'signup' GROUP BY user_id
 ), purchases AS (
   SELECT e.user_id, count(*) AS n_purchases,
-         round(sum(e.value), 2) AS purchase_value
+         round(sum(CAST(floor(e.value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS purchase_value
   FROM events e JOIN signup s
     ON e.user_id = s.user_id AND e.event_type = 'purchase'
    AND e.ts::TIMESTAMP > s.first_signup
@@ -911,7 +959,14 @@ def event_funnel(spark, sf_dir):
         .agg(
             F.count(F.when(qualifies, F.lit(1))).alias("n_purchases"),
             F.coalesce(
-                F.round(F.sum(F.when(qualifies, F.col("value"))), 2), F.lit(0.0)
+                F.round(
+                    F.sum(
+                        F.when(qualifies, _cents(F.col("value"))).cast("decimal(25,0)")
+                    ).cast("double")
+                    / 100,
+                    2,
+                ),
+                F.lit(0.0),
             ).alias("purchase_value"),
         )
         .withColumn("converted", F.col("n_purchases") > 0)
@@ -997,7 +1052,7 @@ def sketch_hll_distinct(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_rows,
-       round(sum(l_extendedprice), 2) AS revenue
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -1015,7 +1070,7 @@ def rollup_sales(spark, sf_dir):
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            _money_sum(F.col("l_extendedprice"), "revenue"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
     )
@@ -1025,9 +1080,15 @@ def rollup_sales(spark, sf_dir):
     "pivot_order_status",
     oracle="""
 SELECT CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS order_year,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0), 2) AS f_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0), 2) AS o_total,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0), 2) AS p_total
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                      0)::DOUBLE / 100, 2) AS f_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                      0)::DOUBLE / 100, 2) AS o_total,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                      0)::DOUBLE / 100, 2) AS p_total
 FROM orders GROUP BY 1
 """,
     survey_ref="A-family extension: pivot (long -> wide conditional aggregation)",
@@ -1043,17 +1104,23 @@ def pivot_order_status(spark, sf_dir):
         o.select(
             F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
             "o_orderstatus",
-            "o_totalprice",
+            _cents(F.col("o_totalprice")).cast("decimal(25,0)").alias("cents"),
         )
         .groupBy("order_year")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .sum("o_totalprice")
+        .sum("cents")
     )
+
+    def dollars(col_name, alias):
+        return F.round(
+            F.coalesce(F.col(col_name), F.lit(0)).cast("double") / 100, 2
+        ).alias(alias)
+
     return wide.select(
         "order_year",
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("f_total"),
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("o_total"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("p_total"),
+        dollars("F", "f_total"),
+        dollars("O", "o_total"),
+        dollars("P", "p_total"),
     )
 
 
@@ -1069,7 +1136,7 @@ WITH v AS (
 SELECT o_orderstatus, order_year,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_year) AS BIGINT) AS gid,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS total
 FROM v
 GROUP BY CUBE (o_orderstatus, order_year)
 """,
@@ -1091,7 +1158,7 @@ def cube_order_year(spark, sf_dir):
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _money_sum(F.col("o_totalprice"), "total"),
         )
         .select("o_orderstatus", "order_year", "gid", "n_orders", "total")
     )
@@ -1221,7 +1288,7 @@ SELECT CASE WHEN l_extendedprice <= bs[1] THEN 1
             WHEN l_extendedprice <= bs[3] THEN 3
             ELSE 4 END AS bin,
        count(*) AS n_rows,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_price,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem, b
@@ -1258,7 +1325,7 @@ def price_equidepth_bins(spark, sf_dir):
     )
     return j.groupBy(bin_col.alias("bin")).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum(price), 2).alias("sum_price"),
+        _money_sum(price, "sum_price"),
         F.round(F.min(price), 2).alias("min_price"),
         F.round(F.max(price), 2).alias("max_price"),
     )
