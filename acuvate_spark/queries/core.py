@@ -794,7 +794,8 @@ def except_customers(spark, sf_dir):
     "tumbling_event_counts",
     oracle="""
 SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       round(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     survey_ref="§2.9 (batch view of the streaming tumbling-window agg)",
@@ -809,7 +810,11 @@ def tumbling_event_counts(spark, sf_dir):
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             "event_type",
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_cents(F.col("value")).cast("decimal(25,0)")).cast("double") / 100, 2)
+            .alias("sum_value"),
+        )
     )
 
 
@@ -822,7 +827,8 @@ exp AS (
          event_type, value
   FROM ev, unnest([0, 1]) AS t(k)
 )
-SELECT window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_value
 FROM exp GROUP BY 1, 2
 """,
     survey_ref="§2.9 (batch view of the streaming sliding-window agg)",
@@ -837,7 +843,11 @@ def sliding_event_counts(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_cents(F.col("value")).cast("decimal(25,0)")).cast("double") / 100, 2)
+            .alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 

@@ -25,10 +25,17 @@ def windowed_counts(
     queries.core.tumbling_event_counts / sliding_event_counts — the
     batch/stream parity is asserted in tests/test_streaming.py."""
     win = F.window("ts", window_len, slide) if slide else F.window("ts", window_len)
+    # value carries exactly two decimals: summing exact integer cents
+    # keeps the incremental aggregation associative (a float sum flips
+    # its last cent with merge order), matching the batch twins.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("decimal(25,0)")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 

@@ -32,6 +32,8 @@ MONEY_AGG_QUERIES = [
     "cube_order_year",
     "pivot_order_status",
     "price_equidepth_bins",
+    "tumbling_event_counts",
+    "sliding_event_counts",
     # exact already (integral quantities / longs), pinned as guards:
     "salted_agg_lineitem",
     "corpus_report_by_source",
