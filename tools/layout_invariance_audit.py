@@ -55,6 +55,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--layout", action="store_true", help="reshuffle rows + regroup files")
+    ap.add_argument("--seed", type=int, default=7, help="reshuffle permutation seed")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
@@ -62,8 +63,8 @@ def main() -> int:
     sf_dir = args.sf_dir
     if args.layout:
         tag = os.path.basename(sf_dir.rstrip("/"))
-        dst = f"/tmp/layout_audit_{tag}"
-        build_reshuffled(sf_dir, dst)
+        dst = f"/tmp/layout_audit_{tag}_s{args.seed}"
+        build_reshuffled(sf_dir, dst, seed=args.seed)
         sf_dir = dst
         print(f"reshuffled copy at {sf_dir}")
 
