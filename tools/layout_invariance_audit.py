@@ -57,6 +57,13 @@ def main() -> int:
     ap.add_argument("--layout", action="store_true", help="reshuffle rows + regroup files")
     ap.add_argument("--seed", type=int, default=7, help="reshuffle permutation seed")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra runtime spark conf, e.g. spark.sql.adaptive.enabled=false",
+    )
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -75,6 +82,9 @@ def main() -> int:
     spark = get_spark("layout-audit", cpus=8)
     if args.partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
 
     names = args.only or sorted(REGISTRY)
     con = duck_con(sf_dir)
