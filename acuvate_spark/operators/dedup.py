@@ -143,12 +143,18 @@ def simhash_signature(
     caller has a 0-based token position, else
     ``monotonically_increasing_id() >> 14``: the chunk SPLIT is
     arbitrary for vote sums (any partition of a doc's tokens yields
-    the same totals), so the id's nondeterminism across retries is
-    harmless — what matters is the bound, and ids are unique per row
-    so no chunk group exceeds 16,384 tokens. (The pre-r06 no-pos_col
-    single-pass form silently wrapped its lanes past 65,535 tokens —
-    ADVICE r05; the internal chunking removes the limit instead of
-    guarding it.)"""
+    the same totals), and ids are unique per row so no chunk group
+    exceeds 16,384 tokens. Because the id is nondeterministic, the
+    stamped frame is MATERIALIZED (eager localCheckpoint) before it
+    becomes a shuffle key: under a partial map-stage retry after a
+    shuffle-fetch failure (the SPARK-38388 class), recomputed
+    partitions could otherwise assign rows to different chunks while
+    other reducers had already fetched old output — double-counting or
+    dropping lane votes near the majority threshold (ADVICE r06).
+    Callers with a real position column pay nothing. (The pre-r06
+    no-pos_col single-pass form silently wrapped its lanes past 65,535
+    tokens — ADVICE r05; the internal chunking removes the limit
+    instead of guarding it.)"""
     hexcat = F.concat(
         F.md5(F.concat(F.lit("s0|"), F.col(token_col))),
         F.md5(F.concat(F.lit("s1|"), F.col(token_col))),
@@ -166,7 +172,12 @@ def simhash_signature(
     # non-negative long
     pos = F.col(pos_col) if pos_col is not None else F.monotonically_increasing_id()
     chunk = F.shiftright(pos.cast("long"), _CHUNK_SHIFT).alias("__chunk")
-    partial = tokens_df.select(F.col(key), chunk, *packed).groupBy(key, "__chunk").agg(
+    stamped = tokens_df.select(F.col(key), chunk, *packed)
+    if pos_col is None:
+        # pin the nondeterministic id-derived chunk assignment before
+        # it becomes a shuffle key (see docstring: partial-retry class)
+        stamped = stamped.localCheckpoint(eager=True)
+    partial = stamped.groupBy(key, "__chunk").agg(
         *[F.sum(f"p{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
         F.count("*").alias("__n"),
     )

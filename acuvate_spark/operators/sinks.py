@@ -112,6 +112,19 @@ def move_records(
     Hadoop committer's; single sequential writer per move_id assumed
     (the reference's request-scoped mutation semantics).
 
+    The source is read with ``moves_for=src_path``, so a source that
+    is itself a move DESTINATION (chained moves A->B then B->C) sees
+    rows that arrived via committed deltas — a plain base table has no
+    ``moves/`` dir and the parameter is a no-op there.
+
+    Isolation caveat: between the delta commit and the tombstone
+    commit a moved row is visible in BOTH source and destination
+    (read-committed per table, not snapshot across tables). The window
+    closes at the tombstone commit; replay converges it. Readers that
+    need cross-table exactly-once must read the source view only, or
+    anti-join the destination's deltas against the source (what
+    ``read_with_moves`` tombstone handling does after commit 2).
+
     ``on_between`` is the chaos seam tests use to kill the job between
     the two commits (tests/test_sinks.py)."""
     delta = os.path.join(dst_path, "moves", move_id)
@@ -120,7 +133,8 @@ def move_records(
         return  # fully committed: replay is a true no-op
     if not _has_success(delta):
         moved = read_with_moves(
-            spark, src_path, tomb_path=tomb_path, key_cols=key_cols
+            spark, src_path, moves_for=src_path,
+            tomb_path=tomb_path, key_cols=key_cols,
         ).where(predicate)
         moved.write.mode("overwrite").parquet(delta)
     if on_between is not None:
@@ -162,13 +176,19 @@ def read_with_moves(
     its own path), minus committed tombstoned keys when it is a move
     SOURCE (left-anti join on ``key_cols`` — keys shuffle, full rows
     never do; at warehouse scale the tombstone side is
-    broadcast-sized)."""
+    broadcast-sized).
+
+    Base files obey the same crash-invisibility contract as deltas and
+    tombstones: they are served only when ``base_path`` carries its
+    ``_SUCCESS`` marker, so a base writer killed mid job-commit (part
+    files promoted, no marker) is invisible rather than served as
+    complete."""
     import glob as _glob
 
     if (tomb_path is None) != (key_cols is None):
         raise ValueError("tomb_path and key_cols must be passed together")
     df = None
-    if _glob.glob(os.path.join(base_path, "*.parquet")):
+    if _has_success(base_path) and _glob.glob(os.path.join(base_path, "*.parquet")):
         df = spark.read.parquet(base_path)
     if moves_for is not None:
         files = _committed_files(os.path.join(moves_for, "moves"))
@@ -177,7 +197,7 @@ def read_with_moves(
             df = deltas if df is None else df.unionByName(deltas)
     if df is None:
         raise ValueError(
-            f"{base_path}: no base parquet files and no committed move deltas"
+            f"{base_path}: no committed base parquet files and no committed move deltas"
         )
     if tomb_path is not None:
         files = _committed_files(tomb_path)

@@ -190,3 +190,30 @@ def test_simhash_no_pos_col_exact_past_lane_limit(spark):
         {9: [str(i % 50) for i in range(n_long)]}
     )
     assert got_long == expected_long
+
+
+def test_simhash_no_pos_col_pins_chunk_assignment_before_shuffle(spark):
+    """ADVICE r06: the no-pos_col chunk key derives from
+    monotonically_increasing_id — a nondeterministic expression that
+    must NOT feed a shuffle unmaterialized (partial map-stage retries
+    could reassign rows to different chunks while reducers hold old
+    output). Pin that the path materializes: the stamped frame shows
+    up as a checkpointed LogicalRDD scan, while the pos_col path stays
+    a pure parquet-free projection with no checkpoint."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.operators.dedup import simhash_signature
+
+    df = spark.range(100).select(
+        F.lit(1).alias("doc_id"), (F.col("id") % 9).cast("string").alias("token")
+    )
+    plan_no_pos = simhash_signature(df, "doc_id", "token")._jdf.queryExecution().toString()
+    assert "LogicalRDD" in plan_no_pos or "Scan ExistingRDD" in plan_no_pos
+
+    with_pos = df.withColumn("pos", F.col("doc_id") * 0 + F.monotonically_increasing_id())
+    plan_pos = (
+        simhash_signature(with_pos, "doc_id", "token", pos_col="pos")
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "LogicalRDD" not in plan_pos and "Scan ExistingRDD" not in plan_pos

@@ -147,7 +147,7 @@ def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_
             shutil.copy(os.path.join(staged, f), partial)
     # no committed delta and no base files: the view must refuse
     # loudly (there is no schema to serve), not guess
-    with pytest.raises(ValueError, match="no base parquet"):
+    with pytest.raises(ValueError, match="no committed base parquet"):
         sinks.read_with_moves(spark, dst, moves_for=dst)
     assert sinks.read_with_moves(
         spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
@@ -181,6 +181,87 @@ def test_move_records_survives_crash_during_insert_write_and_composes(spark, sf_
     assert {tuple(r) for r in d.unionByName(s).collect()} == {
         tuple(r) for r in sup.collect()
     }
+
+
+def test_move_records_chained_moves_carry_delta_rows(spark, sf_dir, tmp_path):
+    """ADVICE r06: chained moves A->B then B->C. Rows that arrived in
+    B via a committed move DELTA (never B's base files) must be
+    visible to the second move's source read and travel on to C —
+    the insert side reads its source with ``moves_for=src``."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    c = str(tmp_path / "c")
+    tomb_a = str(tmp_path / "tomb_a")
+    tomb_b = str(tmp_path / "tomb_b")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sup.write.parquet(a)
+    sup.limit(0).write.parquet(b)  # B starts empty: all its rows arrive via the delta
+
+    pred_ab = F.col("s_suppkey") % 2 == 0  # A -> B: evens
+    pred_bc = F.col("s_suppkey") % 4 == 0  # B -> C: multiples of 4 (all delta-arrived)
+    n_ab = sup.where(pred_ab).count()
+    n_bc = sup.where(pred_bc).count()
+    assert 0 < n_bc < n_ab
+
+    sinks.move_records(spark, a, b, tomb_a, pred_ab, ["s_suppkey"], "mv-ab")
+    sinks.move_records(spark, b, c, tomb_b, pred_bc, ["s_suppkey"], "mv-bc")
+
+    got_c = {r["s_suppkey"] for r in sinks.read_with_moves(spark, c, moves_for=c).collect()}
+    assert got_c == {k for k in range(0, 10**6) if k % 4 == 0} & {
+        r["s_suppkey"] for r in sup.collect()
+    }
+    assert len(got_c) == n_bc
+    # B's effective view lost exactly the rows that moved on to C
+    got_b = {
+        r["s_suppkey"]
+        for r in sinks.read_with_moves(
+            spark, b, moves_for=b, tomb_path=tomb_b, key_cols=["s_suppkey"]
+        ).collect()
+    }
+    assert got_b == {r["s_suppkey"] for r in sup.where(pred_ab).collect()} - got_c
+    # replays of either move after both committed: no-ops
+    sinks.move_records(spark, a, b, tomb_a, pred_ab, ["s_suppkey"], "mv-ab")
+    sinks.move_records(spark, b, c, tomb_b, pred_bc, ["s_suppkey"], "mv-bc")
+    assert sinks.read_with_moves(spark, c, moves_for=c).count() == n_bc
+
+
+def test_read_with_moves_uncommitted_base_is_invisible(spark, sf_dir, tmp_path):
+    """ADVICE r06: a base table whose writer was killed mid job-commit
+    (part files present, no _SUCCESS) must NOT be served as complete —
+    the same crash-invisibility contract deltas and tombstones get."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    staged = str(tmp_path / "staged")
+    sup.coalesce(1).write.parquet(staged)
+
+    # base with part files but no _SUCCESS: refuse loudly
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), broken)
+    import pytest
+
+    with pytest.raises(ValueError, match="no committed base"):
+        sinks.read_with_moves(spark, broken)
+
+    # ... but committed deltas under the same path still serve (the
+    # destination-only shape), with the uncommitted base still ignored
+    tomb = str(tmp_path / "tomb")
+    src = str(tmp_path / "src")
+    sup.write.parquet(src)
+    sinks.move_records(
+        spark, src, broken, tomb, F.col("s_suppkey") % 3 == 0, ["s_suppkey"], "mv-x"
+    )
+    got = {r["s_suppkey"] for r in sinks.read_with_moves(spark, broken, moves_for=broken).collect()}
+    assert got == {r["s_suppkey"] for r in sup.where(F.col("s_suppkey") % 3 == 0).collect()}
 
 
 def test_move_records_random_sequences_match_dict_model(spark, sf_dir, tmp_path):
