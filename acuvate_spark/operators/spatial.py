@@ -30,13 +30,23 @@ def grid_containment_join(
     by2: str = "by2",
     margin: float = 1.0,
     cell: int = 10,
+    keys: tuple[str, ...] = (),
     broadcast_boxes: bool = True,
 ) -> DataFrame:
     """All (point, box) pairs with the point inside the margin-expanded
     box. Returns points' columns + boxes' columns (one row per pair;
     callers project/distinct as needed). The single ``margin`` value
     drives BOTH the cell-coverage bounds and the exact predicate, so
-    they cannot drift apart."""
+    they cannot drift apart.
+
+    ``keys`` are extra equi-join columns present on BOTH sides — in
+    practice the per-document/per-drawing id. They matter at scale:
+    with the document id in the join key, corpus growth adds KEY
+    GROUPS (more documents) instead of cell occupancy (denser cells),
+    so per-cell candidate pairs stay bounded by per-document geometry
+    no matter the corpus size; without them, a 10x corpus in a fixed
+    coordinate domain is 10x density and ~100x candidate pairs (the
+    r06 sf1-smoke cliff)."""
     lo_x, hi_x = F.col(bx1) - margin, F.col(bx2) + margin
     lo_y, hi_y = F.col(by1) - margin, F.col(by2) + margin
     box_cells = boxes.withColumn(
@@ -50,7 +60,7 @@ def grid_containment_join(
         "cy", F.floor(F.col(py) / cell)
     )
     return (
-        pts.join(box_cells, ["cx", "cy"])
+        pts.join(box_cells, ["cx", "cy", *keys])
         .where(F.col(px).between(lo_x, hi_x) & F.col(py).between(lo_y, hi_y))
         .drop("cx", "cy")
     )

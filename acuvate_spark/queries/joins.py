@@ -117,21 +117,29 @@ def lookup_first_match(spark, sf_dir):
 
 # Synthetic geometry: parts are "components" at (p_size, (p_retailprice-900)),
 # suppliers are "tag boxes" at (s_suppkey*5 % 50, (s_acctbal % 100)).
+# Both carry a per-document (per-drawing) id — p_partkey div 200 and
+# s_suppkey div 10, aligned by the 20:1 part:supplier row ratio — so
+# nearest-tag search happens WITHIN a drawing, the reference's regime
+# (find_closest_tag runs per processed sheet). The doc dimension is
+# what keeps the grid join linear in corpus size: more documents, not
+# denser cells (r06 verdict item 1).
 _PX = "CAST(p_size AS DOUBLE)"
 _PY = "(p_retailprice - 900.0)"
 _SX = "CAST((s_suppkey * 5) % 50 AS DOUBLE)"
 _SY = "CAST(s_acctbal AS DOUBLE) % 100"
+_PDOC = "p_partkey // 200"
+_SDOC = "s_suppkey // 10"
 
 
 @register(
     "nearest_tag_join",
     oracle=f"""
-WITH comp AS (SELECT p_partkey, {_PX} AS px, {_PY} AS py FROM part),
-     tag  AS (SELECT s_suppkey, {_SX} AS sx, {_SY} AS sy FROM supplier),
+WITH comp AS (SELECT p_partkey, {_PDOC} AS doc_id, {_PX} AS px, {_PY} AS py FROM part),
+     tag  AS (SELECT s_suppkey, {_SDOC} AS doc_id, {_SX} AS sx, {_SY} AS sy FROM supplier),
      pairs AS (
        SELECT c.p_partkey, t.s_suppkey,
               sqrt((c.px - t.sx) * (c.px - t.sx) + (c.py - t.sy) * (c.py - t.sy)) AS dist
-       FROM comp c CROSS JOIN tag t
+       FROM comp c JOIN tag t ON c.doc_id = t.doc_id
      ), ranked AS (
        SELECT p_partkey, s_suppkey, dist,
               row_number() OVER (PARTITION BY p_partkey ORDER BY dist, s_suppkey) AS rn
@@ -144,25 +152,30 @@ FROM ranked WHERE rn = 1 AND dist < 40
 )
 def nearest_tag_join(spark, sf_dir):
     """find_closest_tag (reference app.py:2025-2041): nearest Tag box
-    by Euclidean distance under a threshold. Grid-bucketed (SURVEY §4
-    O3, same scheme as distance_dedupe): cell size = the 40-unit
-    threshold, the tag side explodes to its 3x3 neighbor cells and is
-    broadcast, so the theta join becomes a broadcast-hash EQUI-join on
-    (cellx, celly). Any tag within distance < 40 of a point differs by
-    < 40 per axis, hence lies in one of the point's 9 neighbor cells —
-    same result as the cross join, but candidate pairs track grid
-    collisions instead of |parts| x |tags| (the one geometric join
-    that was still cross-join shaped through round 2; flagged by the
-    r02 bench guard). sqrt is IEEE-deterministic so distances are
-    bit-identical across engines."""
+    by Euclidean distance under a threshold, per drawing. Grid-bucketed
+    (SURVEY §4 O3, same scheme as distance_dedupe): cell size = the
+    40-unit threshold, the tag side explodes to its 3x3 neighbor cells
+    and is broadcast, so the theta join becomes a broadcast-hash
+    EQUI-join on (doc_id, cellx, celly). Any tag within distance < 40
+    of a point differs by < 40 per axis, hence lies in one of the
+    point's 9 neighbor cells — same result as the per-document cross
+    join, but candidate pairs track per-document grid collisions, a
+    constant per doc: corpus growth adds documents, not density. The
+    tag side stays dim-like (10 tags/doc) so the broadcast holds at
+    bench scales; at warehouse scale drop the hint and the same
+    (doc, cell) key runs as a shuffle equi-join. sqrt is
+    IEEE-deterministic so distances are bit-identical across
+    engines."""
     CELL = 40.0
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
+        F.expr("p_partkey div 200").alias("doc_id"),
         F.col("p_size").cast("double").alias("px"),
         (F.col("p_retailprice") - 900.0).alias("py"),
     )
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
+        F.expr("s_suppkey div 10").alias("doc_id"),
         ((F.col("s_suppkey") * 5) % 50).cast("double").alias("sx"),
         (F.col("s_acctbal").cast("double") % 100).alias("sy"),
     )
@@ -176,10 +189,12 @@ def nearest_tag_join(spark, sf_dir):
         ]
     )
     tags = s.withColumn("c", F.explode(neighbor_cells)).select(
-        "s_suppkey", "sx", "sy", F.col("c.cellx").alias("cellx"), F.col("c.celly").alias("celly")
+        "s_suppkey", "doc_id", "sx", "sy",
+        F.col("c.cellx").alias("cellx"), F.col("c.celly").alias("celly"),
     )
     probe = repartition_for_compute(p).select(
         "p_partkey",
+        "doc_id",
         "px",
         "py",
         F.floor(F.col("px") / CELL).cast("long").alias("cellx"),
@@ -195,7 +210,7 @@ def nearest_tag_join(spark, sf_dir):
     # dist<threshold filter is applied before the agg — it can only
     # remove non-qualifying minima, and qualifying minima survive it.
     pairs = (
-        probe.join(F.broadcast(tags), ["cellx", "celly"])
+        probe.join(F.broadcast(tags), ["doc_id", "cellx", "celly"])
         .withColumn("dist", dist)
         .where(F.col("dist") < 40)
     )
@@ -339,16 +354,17 @@ def interval_overlap_join(spark, sf_dir):
     "distance_dedupe",
     oracle="""
 WITH pts AS (
-  SELECT p_partkey, p_type, p_size::DOUBLE AS cx, round(p_retailprice - 900.0, 2) AS conf
+  SELECT p_partkey, p_partkey // 200 AS doc_id, p_type,
+         p_size::DOUBLE AS cx, round(p_retailprice - 900.0, 2) AS conf
   FROM part
 ), dominated AS (
   SELECT DISTINCT a.p_partkey
   FROM pts a JOIN pts b
-    ON a.p_type = b.p_type AND a.p_partkey <> b.p_partkey
+    ON a.doc_id = b.doc_id AND a.p_type = b.p_type AND a.p_partkey <> b.p_partkey
    AND abs(a.cx - b.cx) < 1.5
    AND (b.conf > a.conf OR (b.conf = a.conf AND b.p_partkey < a.p_partkey))
 )
-SELECT p.p_partkey, p.p_type, p.cx, p.conf
+SELECT p.p_partkey, p.doc_id, p.p_type, p.cx, p.conf
 FROM pts p WHERE p.p_partkey NOT IN (SELECT p_partkey FROM dominated)
 """,
     survey_ref="J9 A6",
@@ -356,34 +372,44 @@ FROM pts p WHERE p.p_partkey NOT IN (SELECT p_partkey FROM dominated)
 def distance_dedupe(spark, sf_dir):
     """remove_duplicate_bboxes (reference app.py:2908-2947): same-class
     detections closer than a threshold keep only the best-confidence
-    one. Re-expressed as: self-join on class + distance predicate ->
-    dominated set -> anti-join. The O(n²) Python loop becomes a
-    class-partitioned join; ties broken by key for determinism."""
+    one — PER IMAGE, which is how the reference runs it (the dedupe
+    happens inside one processed sheet). The detection side carries a
+    per-document id (p_partkey div 200, the drawing the detection came
+    from), and domination only applies within (doc, class):
+    self-join on (doc, cell) + class/distance predicate -> dominated
+    set -> anti-join. The O(n²) Python loop becomes a doc+cell-
+    partitioned join whose per-cell candidates are bounded by
+    per-image geometry no matter the corpus size (r06 verdict item 1:
+    without the doc key, a 10x corpus was 10x density in the fixed
+    p_size domain and ~110x pairs); ties broken by key for
+    determinism."""
     p = load_table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey",
+        F.expr("p_partkey div 200").alias("doc_id"),
         "p_type",
         F.col("p_size").cast("double").alias("cx"),
         F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
     )
     # Grid-bucket the distance predicate (SURVEY §4 O3): cell size >=
     # threshold, probe side explodes to its 3 neighboring cells, join
-    # becomes an equi-join on (class, cell) that Catalyst hash-joins.
+    # becomes an equi-join on (doc, cell) that Catalyst hash-joins.
     # Same result as the unbounded theta join, but candidate pairs are
-    # bounded per cell instead of per class (~50x fewer at sf0.1).
+    # bounded per (doc, cell) instead of per class.
     cell = F.floor(F.col("cx") / 1.5).cast("long")
     a = pts.withColumn("cell", cell)
     b = pts.withColumn(
-        "cell", F.explode(F.array(cell - 1, cell, cell + 1))
+        "b_cell", F.explode(F.array(cell - 1, cell, cell + 1))
     ).select(
         F.col("p_partkey").alias("b_key"),
+        F.col("doc_id").alias("b_doc"),
         F.col("p_type").alias("b_type"),
         F.col("cx").alias("b_cx"),
         F.col("conf").alias("b_conf"),
-        "cell",
+        "b_cell",
     )
     dominated = (
-        a.join(b, ["cell"])
+        a.join(b, (F.col("doc_id") == F.col("b_doc")) & (F.col("cell") == F.col("b_cell")))
         .where(
             (F.col("p_type") == F.col("b_type"))
             & (F.col("p_partkey") != F.col("b_key"))
@@ -396,7 +422,9 @@ def distance_dedupe(spark, sf_dir):
         .select("p_partkey")
         .distinct()
     )
-    return pts.join(dominated, "p_partkey", "left_anti").select("p_partkey", "p_type", "cx", "conf")
+    return pts.join(dominated, "p_partkey", "left_anti").select(
+        "p_partkey", "doc_id", "p_type", "cx", "conf"
+    )
 
 
 # ---------------------------------------------------------------------------

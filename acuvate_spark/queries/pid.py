@@ -24,19 +24,28 @@ from .registry import register
 # ---------------------------------------------------------------------------
 
 
+_LINES_PER_DOC = 200  # 20:1 part:supplier ratio x BOXES_PER_DOC
+
+
 @register(
     "pid_connections",
     oracle=f"""
 WITH {SYNTH_BOXES_SQL},
-pts AS (SELECT p_partkey AS line_id, unnest(range(0, 5)) AS j FROM part),
+pts AS (
+  SELECT p_partkey AS line_id, p_partkey // {_LINES_PER_DOC} AS doc_id,
+         unnest(range(0, 5)) AS j
+  FROM part
+),
 pxy AS (
-  SELECT line_id, (line_id * 3 + j * 7) % 110 AS x, (line_id * 11 + j * 5) % 110 AS y
+  SELECT line_id, doc_id,
+         (line_id * 3 + j * 7) % 110 AS x, (line_id * 11 + j * 5) % 110 AS y
   FROM pts
 ),
 touch AS (
   SELECT DISTINCT line_id, box_id
-  FROM pxy, boxes
-  WHERE x BETWEEN bx1 - 1 AND bx2 + 1 AND y BETWEEN by1 - 1 AND by2 + 1
+  FROM pxy p, boxes b
+  WHERE p.doc_id = b.doc_id
+    AND x BETWEEN bx1 - 1 AND bx2 + 1 AND y BETWEEN by1 - 1 AND by2 + 1
 ),
 edges AS (
   SELECT a.box_id AS box_a, b.box_id AS box_b, a.line_id
@@ -51,50 +60,87 @@ def pid_connections(spark, sf_dir):
     """The P&ID connection pipeline (reference
     build_simple_touch_connections_1 app.py:3171-3201 + grouped_lines
     app.py:2137-2152): explode polyline vertices -> margin-expanded
-    containment join vs boxes -> per-line touched-box set -> in-row
-    pairwise expansion -> first-line-per-pair + line counts.
+    containment join vs boxes (within the same DRAWING — doc_id joins
+    the grid key) -> per-line touched-box set -> in-row pairwise
+    expansion -> first-line-per-pair + line counts.
 
     Scale shape: vertices explode is narrow; the containment join
-    broadcasts the (per-document-small) box side; then ONE
-    collect_set groupBy replaces the r03 distinct + localCheckpoint +
-    self-join (3 shuffles + a materialization -> 1 shuffle): a line's
-    touched-box set is geometry-bounded (a polyline crosses few
-    boxes), so expanding its i<j pairs inside the row is both cheaper
-    and skew-proof — per-line state is O(boxes touched), never
-    O(lines)."""
+    meets on (doc_id, cell) — the document id carries corpus scale
+    (more drawings of constant complexity, the reference's
+    per-drawing reality), so per-cell candidates are bounded by
+    per-document geometry at ANY corpus size (r06 verdict item 1: the
+    pre-r07 fixture drew every line and box into ONE shared canvas,
+    which made corpus scale density scale and measured ~340x at a 10x
+    smoke). The box side is broadcast here (dim-like at these
+    scales); with doc_id in the key the hint can simply be dropped at
+    warehouse scale and the same plan runs as a shuffle equi-join.
+    ONE collect_set groupBy replaces the r03 distinct +
+    localCheckpoint + self-join (3 shuffles + a materialization -> 1
+    shuffle): a line's touched-box set is geometry-bounded (a
+    polyline crosses few boxes), so expanding its i<j pairs inside
+    the row is both cheaper and skew-proof — per-line state is
+    O(boxes touched), never O(lines)."""
+    return _pid_connections_plan(spark, sf_dir)
+
+
+def _pid_connections_plan(spark, sf_dir, dense: bool = False, dense_cap: int | None = None):
+    """Shared plan for pid_connections. ``dense=True`` switches the
+    pair expansion from the in-row i<j generator to a per-line
+    SELF-JOIN over the distinct touch pairs — the documented fallback
+    (SCALING.md) for corpora whose per-group touched-box sets outgrow
+    the geometry assumption (symptom: executor GCLocker retries on
+    ~256 MB single allocations in the collect_set stage). The
+    self-join keeps per-row state O(1) at the cost of shuffling the
+    touch pairs twice; results are identical. ``dense_cap`` (dense
+    path only) additionally DROPS lines touching more than that many
+    boxes — an explicit degradation switch for adversarial geometry
+    (a line crossing everything), changing results by construction
+    and therefore never on by default."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     boxes = synth_boxes(s)
     pxy = (
-        p.select(F.col("p_partkey").alias("line_id"), F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"))
+        p.select(
+            F.col("p_partkey").alias("line_id"),
+            F.expr(f"p_partkey div {_LINES_PER_DOC}").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+        )
         .select(
             "line_id",
+            "doc_id",
             ((F.col("line_id") * 3 + F.col("j") * 7) % 110).alias("x"),
             ((F.col("line_id") * 11 + F.col("j") * 5) % 110).alias("y"),
         )
     )
-    # Grid-bucketed containment (SURVEY §4 O3, operators.spatial):
-    # the |points| x |boxes| theta join becomes a (cx, cy) equi-join.
-    # collect_set dedups the (line, box) touches map-side, sort_array
-    # fixes box_a < box_b, and the i<j pair expansion happens inside
-    # the row — no second shuffle until the final per-pair aggregate.
-    touched = (
-        grid_containment_join(
-            repartition_for_compute(pxy), boxes, margin=1.0, cell=10
+    # Grid-bucketed containment (SURVEY §4 O3, operators.spatial): the
+    # |points| x |boxes| theta join becomes a (doc_id, cx, cy)
+    # equi-join.
+    touched_pairs = grid_containment_join(
+        repartition_for_compute(pxy), boxes, margin=1.0, cell=10, keys=("doc_id",)
+    )
+    if dense:
+        touch = touched_pairs.select("line_id", "box_id").distinct()
+        if dense_cap is not None:
+            counts = touch.groupBy("line_id").agg(F.count("*").alias("__n"))
+            keep = counts.where(F.col("__n") <= dense_cap).select("line_id")
+            touch = touch.join(keep, "line_id", "left_semi")
+        a = touch.select("line_id", F.col("box_id").alias("box_a"))
+        b = touch.select("line_id", F.col("box_id").alias("box_b"))
+        pairs = a.join(b, "line_id").where(F.col("box_a") < F.col("box_b"))
+    else:
+        touched = touched_pairs.groupBy("line_id").agg(
+            F.sort_array(F.collect_set("box_id")).alias("bs")
         )
-        .groupBy("line_id")
-        .agg(F.sort_array(F.collect_set("box_id")).alias("bs"))
-    )
-    # i<j expansion via two codegen-friendly generators (posexplode +
-    # slice + explode) — measured 2.4x faster than the equivalent
-    # higher-order transform/flatten, which is interpreted per element
-    pairs = touched.select(
-        "line_id", "bs", F.posexplode("bs").alias("i", "box_a")
-    ).select(
-        "line_id",
-        "box_a",
-        F.explode(F.expr("slice(bs, i + 2, size(bs))")).alias("box_b"),
-    )
+        # i<j expansion via two codegen-friendly generators (posexplode +
+        # slice + explode) — measured 2.4x faster than the equivalent
+        # higher-order transform/flatten, which is interpreted per element
+        pairs = touched.select(
+            "line_id", "bs", F.posexplode("bs").alias("i", "box_a")
+        ).select(
+            "line_id",
+            "box_a",
+            F.explode(F.expr("slice(bs, i + 2, size(bs))")).alias("box_b"),
+        )
     return pairs.groupBy("box_a", "box_b").agg(
         F.min("line_id").alias("first_line"), F.count("*").alias("n_lines")
     )

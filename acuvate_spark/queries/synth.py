@@ -11,10 +11,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Boxes from supplier: 8x8 boxes scattered over a 100x100 canvas.
-SYNTH_BOXES_SQL = """
+# Boxes from supplier: 8x8 boxes scattered over a 100x100 per-document
+# drawing, BOXES_PER_DOC boxes per document (doc_id = s_suppkey div
+# BOXES_PER_DOC). The document dimension is what carries corpus scale:
+# more data means MORE documents of constant per-document complexity —
+# the reference's per-drawing reality (app.py:3171-3201) — never a
+# denser single canvas. Keys are integer-divided (never float), so doc
+# ids stay exact at any key magnitude, and the driver's replica-offset
+# scale-ups (tools/make_scaled_sf.py: s_suppkey + r * max) map replica
+# r to its own doc-id range, preserving per-document density. The
+# 20:1 part:supplier row ratio makes ``p_partkey div (20 *
+# BOXES_PER_DOC)`` the matching per-document line key.
+BOXES_PER_DOC = 10
+SYNTH_BOXES_SQL = f"""
 boxes AS (
-  SELECT s_suppkey AS box_id,
+  SELECT s_suppkey AS box_id, s_suppkey // {BOXES_PER_DOC} AS doc_id,
          (s_suppkey * 7) % 100 AS bx1, (s_suppkey * 13) % 100 AS by1,
          (s_suppkey * 7) % 100 + 8 AS bx2, (s_suppkey * 13) % 100 + 8 AS by2
   FROM supplier
@@ -25,6 +36,7 @@ boxes AS (
 def synth_boxes(supplier: DataFrame) -> DataFrame:
     return supplier.select(
         F.col("s_suppkey").alias("box_id"),
+        F.expr(f"s_suppkey div {BOXES_PER_DOC}").alias("doc_id"),
         ((F.col("s_suppkey") * 7) % 100).alias("bx1"),
         ((F.col("s_suppkey") * 13) % 100).alias("by1"),
         ((F.col("s_suppkey") * 7) % 100 + 8).alias("bx2"),
