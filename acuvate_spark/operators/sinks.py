@@ -207,6 +207,160 @@ def read_with_moves(
     return df
 
 
+def promote_records(
+    spark,
+    staging_path: str,
+    main_path: str,
+    status_path: str,
+    staging_tomb_path: str,
+    predicate,
+    key_cols: list[str],
+    action_col: str,
+    promote_id: str,
+    staging_key_cols: list[str] | None = None,
+    on_between: Callable[[int], None] | None = None,
+) -> None:
+    """M6 WRITE SIDE — the reference's approve workflow
+    (approve_tag_equipment app.py:5706-5888): approved staging rows
+    promote into the main register with Add-vs-Edit validation, a
+    status row is recorded, and the staging rows are deleted — three
+    effects that the reference wraps in one DB transaction. On a
+    parquet warehouse with no transaction manager the same
+    exactly-once outcome comes from THREE ordered commits to
+    DETERMINISTIC targets, each gated on its ``_SUCCESS`` marker
+    (the :func:`move_records` discipline, composed):
+
+    1. main delta: VALID approved rows (Edit needs an existing main
+       key, Add a missing one — validated against the merged main
+       view at delta-build time) overwrite
+       ``main/promotes/<promote_id>``, carrying ``action_col`` and an
+       embedded ``__seq`` version = 1 + the max committed delta seq.
+       An Edit is NOT delete-plus-insert here (a tombstone on the key
+       would also kill the replacement row, or — applied base-only —
+       leave stale versions from earlier promotes): the main view in
+       :func:`read_with_promotes` is last-writer-wins per key by
+       ``__seq``, the Delta/Iceberg MoR upsert pattern. The seq is
+       embedded in the committed rows, so replays reuse the committed
+       decision instead of recomputing it against drifted inputs.
+       Invalid rows are rejected (left in staging, like the
+       reference's validation failures).
+    2. status: one disposition row per promoted key (derived from the
+       COMMITTED delta, read back) overwrites ``status/<promote_id>``.
+    3. staging tombstones: ALL promoted keys overwrite
+       ``staging_tombs/<promote_id>`` — committing this last means a
+       crash can leave a promoted row transiently visible in both
+       staging and main (same read-committed-per-table window as
+       move_records), but never lost; replay finishes the remaining
+       commits and converges.
+
+    Readers: main = :func:`read_with_promotes`; staging =
+    ``read_with_moves(staging, tomb_path=staging_tombs, ...)``.
+    Single sequential writer assumed (the reference's request-scoped
+    approval semantics) — the ``__seq`` counter is derived from
+    committed state, not caller-supplied ordering.
+
+    ``staging_key_cols`` is the staging ROW identity (defaults to
+    ``key_cols``): staging tombstones must key on the submission, not
+    the entity — entity-key tombstones would make a RE-submitted key
+    (edit the same tag again later, the normal approval loop)
+    invisible to every later promote. The reference's history table
+    has exactly this per-request row identity.
+
+    ``on_between(i)`` is the chaos seam: called after commit i
+    (1-2), letting tests kill the job between any two commits."""
+    from pyspark.sql import functions as F
+
+    staging_key_cols = staging_key_cols or key_cols
+    delta = os.path.join(main_path, "promotes", promote_id)
+    status = os.path.join(status_path, promote_id)
+    staging_tomb = os.path.join(staging_tomb_path, promote_id)
+    if _has_success(staging_tomb):
+        return  # fully committed: replay is a true no-op
+    if not _has_success(delta):
+        staging = read_with_moves(
+            spark, staging_path, moves_for=staging_path,
+            tomb_path=staging_tomb_path, key_cols=staging_key_cols,
+        ).where(predicate)
+        main_now = read_with_promotes(spark, main_path, key_cols)
+        main_keys = main_now.select(*key_cols).distinct()
+        exists = staging.join(main_keys, key_cols, "left_semi")
+        missing = staging.join(main_keys, key_cols, "left_anti")
+        valid = exists.where(F.col(action_col) == "Edit").unionByName(
+            missing.where(F.col(action_col) == "Add")
+        )
+        seq = _next_promote_seq(spark, main_path)
+        valid.withColumn("__seq", F.lit(seq)).write.mode("overwrite").parquet(delta)
+    if on_between is not None:
+        on_between(1)
+    committed = spark.read.parquet(delta)
+    if not _has_success(status):
+        committed.select(
+            *key_cols,
+            F.col(action_col).alias("action"),
+            F.when(F.col(action_col) == "Edit", F.lit("edited"))
+            .otherwise(F.lit("added"))
+            .alias("disposition"),
+        ).write.mode("overwrite").parquet(status)
+    if on_between is not None:
+        on_between(2)
+    committed.select(*staging_key_cols).distinct().write.mode("overwrite").parquet(
+        staging_tomb
+    )
+
+
+def _next_promote_seq(spark, main_path: str) -> int:
+    """1 + the max ``__seq`` across committed promote deltas (1 for
+    the first promote). Reads only committed state, so a replay that
+    reaches this point before its own delta committed recomputes the
+    same value."""
+    files = _committed_files(os.path.join(main_path, "promotes"))
+    if not files:
+        return 1
+    row = spark.read.parquet(*files).agg({"__seq": "max"}).collect()[0]
+    return int(row[0]) + 1
+
+
+def read_with_promotes(spark, main_path: str, key_cols: list[str]) -> DataFrame:
+    """Merge-on-read main view over :func:`promote_records` state:
+    committed base rows (seq 0) unioned with committed promote deltas
+    (embedded ``__seq``), keeping the HIGHEST-seq version per key —
+    one window shuffle on the key. Crash-invisibility as everywhere:
+    un-marked part files never serve."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = None
+    if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
+        df = spark.read.parquet(main_path).withColumn("__seq", F.lit(0))
+    files = _committed_files(os.path.join(main_path, "promotes"))
+    if files:
+        deltas = spark.read.parquet(*files)
+        extra = [c for c in deltas.columns if c not in (df.columns if df is not None else deltas.columns)]
+        deltas = deltas.drop(*extra) if df is not None and extra else deltas
+        df = deltas if df is None else df.unionByName(deltas, allowMissingColumns=True)
+    if df is None:
+        raise ValueError(
+            f"{main_path}: no committed base parquet files and no committed promote deltas"
+        )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+
+
+def read_status(spark, status_path: str) -> DataFrame:
+    """Committed status rows across all promotes (crash-invisible like
+    every other :func:`promote_records` artifact)."""
+    files = _committed_files(status_path)
+    if not files:
+        raise ValueError(f"{status_path}: no committed status rows")
+    return spark.read.parquet(*files)
+
+
 def append_ledger(entries: list[str], path: str) -> None:
     """S13 — processed-file ledger append (reference app.py:6921-6931);
     the streaming checkpoint replaces this for stream sources."""

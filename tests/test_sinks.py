@@ -264,6 +264,168 @@ def test_read_with_moves_uncommitted_base_is_invisible(spark, sf_dir, tmp_path):
     assert got == {r["s_suppkey"] for r in sup.where(F.col("s_suppkey") % 3 == 0).collect()}
 
 
+def _promote_setup(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    staging = str(tmp_path / "staging")
+    main = str(tmp_path / "main")
+    status = str(tmp_path / "status")
+    staging_tomb = str(tmp_path / "staging_tombs")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    # main holds keys not divisible by 4; staging proposes evens with
+    # +50 balances — action Edit where main has the key, Add where not
+    # (plus deliberately INVALID rows: Add on existing, Edit on missing)
+    sup.where(F.col("s_suppkey") % 4 != 0).write.parquet(main)
+    sup.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey",
+        F.lit(1).alias("submission_id"),
+        (F.col("s_acctbal") + 50.0).alias("s_acctbal"),
+        F.when(F.col("s_suppkey") % 8 == 0, F.lit("Add"))
+        .otherwise(F.lit("Edit"))
+        .alias("action"),
+        F.lit(True).alias("approved"),
+    ).write.parquet(staging)
+    paths = dict(
+        staging_path=staging, main_path=main, status_path=status,
+        staging_tomb_path=staging_tomb,
+    )
+    return sup, paths
+
+
+def _promote_expected(sup_rows):
+    """Pure-Python model of one full promote over the fixture: main'
+    and promoted-key set. Valid: Edit on existing main key (% 4 != 0),
+    Add on missing (% 4 == 0); staging rows are evens, Add tagged on
+    % 8 == 0."""
+    main = {k: b for k, b in sup_rows if k % 4 != 0}
+    promoted = {}
+    for k, b in sup_rows:
+        if k % 2 != 0:
+            continue
+        action = "Add" if k % 8 == 0 else "Edit"
+        if action == "Edit" and k in main:
+            promoted[k] = ("edited", b + 50.0)
+        elif action == "Add" and k not in main:
+            promoted[k] = ("added", b + 50.0)
+    final_main = dict(main)
+    for k, (_, b) in promoted.items():
+        final_main[k] = b
+    return final_main, promoted
+
+
+def test_promote_records_crash_at_every_seam_replays_exactly_once(spark, sf_dir, tmp_path):
+    """VERDICT r06 item 6: the M6 approve workflow's write side under
+    mid-job kills. Kill after EACH interior commit (delta, status),
+    then replay to completion, and assert the composed exactly-once
+    state:
+    main edited/added exactly once, status rows exactly one per
+    promoted key, staging loses exactly the promoted rows, and a full
+    extra replay is a no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sup_rows = [(r["s_suppkey"], r["s_acctbal"]) for r in sup.collect()]
+    expected_main, promoted = _promote_expected(sup_rows)
+    assert any(d == "edited" for d, _ in promoted.values())
+    assert any(d == "added" for d, _ in promoted.values())
+
+    class Boom(RuntimeError):
+        pass
+
+    pred = F.col("approved")
+    for seam in (1, 2):
+        def crash(i, seam=seam):
+            if i == seam:
+                raise Boom(f"killed after commit {i}")
+
+        with pytest.raises(Boom):
+            sinks.promote_records(
+                spark, predicate=pred, key_cols=["s_suppkey"],
+                staging_key_cols=["s_suppkey", "submission_id"],
+                action_col="action", promote_id="pr-1", on_between=crash,
+                **paths,
+            )
+        # each crash leaves only MORE commits done; nothing is lost:
+        # staging view still serves every unpromoted row
+        staging_view = sinks.read_with_moves(
+            spark, paths["staging_path"],
+            tomb_path=paths["staging_tomb_path"], key_cols=["s_suppkey"],
+        )
+        assert staging_view.count() == sup.where(F.col("s_suppkey") % 2 == 0).count()
+
+    sinks.promote_records(
+        spark, predicate=pred, key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-1", **paths,
+    )
+    sinks.promote_records(  # full replay after success: no-op
+        spark, predicate=pred, key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-1", **paths,
+    )
+    got_main = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(spark, paths["main_path"], ["s_suppkey"])
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    assert got_main == expected_main
+    st = sinks.read_status(spark, paths["status_path"]).collect()
+    assert {(r["s_suppkey"], r["disposition"]) for r in st} == {
+        (k, d) for k, (d, _) in promoted.items()
+    }
+    assert len(st) == len(promoted)  # exactly one status row per key
+    got_staging = {
+        r["s_suppkey"]
+        for r in sinks.read_with_moves(
+            spark, paths["staging_path"],
+            tomb_path=paths["staging_tomb_path"], key_cols=["s_suppkey"],
+        ).collect()
+    }
+    # invalid rows (rejected) remain in staging; promoted ones are gone
+    assert got_staging == {k for k, _ in sup_rows if k % 2 == 0} - set(promoted)
+
+
+def test_promote_records_second_promote_edits_first_promotes_adds(spark, sf_dir, tmp_path):
+    """Composition: a second promote whose Edits target keys the FIRST
+    promote Added must see them in the main view (delta-aware read)
+    and replace them exactly once."""
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sup_rows = [(r["s_suppkey"], r["s_acctbal"]) for r in sup.collect()]
+    expected_main, promoted = _promote_expected(sup_rows)
+    pred = F.col("approved")
+    sinks.promote_records(
+        spark, predicate=pred, key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-1", **paths,
+    )
+    # stage a second batch: Edit every previously-ADDED key to -1.0
+    added = [k for k, (d, _) in promoted.items() if d == "added"]
+    assert added
+    batch2 = spark.createDataFrame(
+        [(k, 2, -1.0, "Edit", True) for k in added],
+        "s_suppkey long, submission_id int, s_acctbal double, action string, approved boolean",
+    )
+    batch2.write.mode("append").parquet(paths["staging_path"])
+    sinks.promote_records(
+        spark, predicate=pred, key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-2", **paths,
+    )
+    got_main = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(spark, paths["main_path"], ["s_suppkey"])
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    for k in added:
+        expected_main[k] = -1.0
+    assert got_main == expected_main
+
+
 def test_move_records_random_sequences_match_dict_model(spark, sf_dir, tmp_path):
     """Model check for the move write side: a random sequence of moves
     with random (overlapping) predicates and randomly interleaved
