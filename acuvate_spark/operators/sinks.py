@@ -322,33 +322,58 @@ def _next_promote_seq(spark, main_path: str) -> int:
 
 def read_with_promotes(spark, main_path: str, key_cols: list[str]) -> DataFrame:
     """Merge-on-read main view over :func:`promote_records` state:
-    committed base rows (seq 0) unioned with committed promote deltas
-    (embedded ``__seq``), keeping the HIGHEST-seq version per key —
-    one window shuffle on the key. Crash-invisibility as everywhere:
-    un-marked part files never serve."""
+    committed base rows overridden by the HIGHEST-``__seq`` committed
+    delta version per key. The window that picks the winner runs over
+    the DELTAS ONLY (the small, recent side — bounded by promote
+    volume since the last compaction); the base table never sorts: it
+    anti-joins the delta key set (keys shuffle — broadcast-sized at
+    warehouse scale — full base rows never do) and unions the
+    winners. Crash-invisibility as everywhere: un-marked part files
+    never serve.
+
+    Schema contract: delta rows must carry every main column
+    (promote_records copies the staging row, so staging must be a
+    superset of main's schema); staging-only columns are dropped from
+    the view when base files exist. One approved row per entity key
+    per promote is the intended usage (the reference approves one
+    history row per tag per request); if a single promote does carry
+    same-key rows, the winner is still DETERMINISTIC — ties on
+    ``__seq`` break on the remaining columns' values — but which
+    submission that is carries no meaning, so collapse multi-pending
+    keys before promoting."""
     import glob as _glob
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    df = None
+    base = None
     if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
-        df = spark.read.parquet(main_path).withColumn("__seq", F.lit(0))
+        base = spark.read.parquet(main_path)
     files = _committed_files(os.path.join(main_path, "promotes"))
-    if files:
-        deltas = spark.read.parquet(*files)
-        extra = [c for c in deltas.columns if c not in (df.columns if df is not None else deltas.columns)]
-        deltas = deltas.drop(*extra) if df is not None and extra else deltas
-        df = deltas if df is None else df.unionByName(deltas, allowMissingColumns=True)
-    if df is None:
-        raise ValueError(
-            f"{main_path}: no committed base parquet files and no committed promote deltas"
-        )
-    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    if not files:
+        if base is None:
+            raise ValueError(
+                f"{main_path}: no committed base parquet files and no committed promote deltas"
+            )
+        return base
+    deltas = spark.read.parquet(*files)
+    tiebreak = [
+        F.col(c).desc()
+        for c in sorted(deltas.columns)
+        if c not in (*key_cols, "__seq")
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc(), *tiebreak)
+    winners = (
+        deltas.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn", "__seq")
+    )
+    if base is None:
+        return winners
+    winners = winners.drop(*[c for c in winners.columns if c not in base.columns])
+    keys = winners.select(*key_cols).distinct()
+    return base.join(keys, key_cols, "left_anti").unionByName(
+        winners, allowMissingColumns=True
     )
 
 
