@@ -26,10 +26,11 @@ COMMENTARY = {
         "global Sort) and totalCount a broadcast 1-row partial-count aggregate."
     ),
     "nearest_tag_join": (
-        "BroadcastHashJoin on the 2D grid cell (tags exploded to their 3x3 "
-        "neighbor cells and broadcast) — the theta join is re-keyed to an "
-        "equi-join, then partial min(struct(dist,key)) — the argmin is "
-        "map-side combinable, so the candidate pairs never shuffle."
+        "BroadcastHashJoin on (doc_id, cellx, celly) — tags exploded to "
+        "their 3x3 neighbor cells and broadcast, the per-drawing doc id in "
+        "the key so corpus growth adds documents, never cell density — then "
+        "partial min(struct(dist,key)): the argmin is map-side combinable, "
+        "so the candidate pairs never shuffle."
     ),
     "anti_join_customers": (
         "LeftAnti BroadcastHashJoin — the existence check is one hash probe "
@@ -49,8 +50,10 @@ COMMENTARY = {
     "pid_connections": (
         "Grid-bucketed containment (operators.spatial): boxes explode to "
         "covered cells, points key by exact cell, and the containment check "
-        "runs only within matching cells — a hash equi-join whose candidate "
-        "count tracks cell co-occupancy, not |points| x |boxes|."
+        "runs only within matching (doc_id, cx, cy) cells — a hash "
+        "equi-join whose candidate count tracks per-document cell "
+        "co-occupancy (bounded geometry per drawing), not |points| x "
+        "|boxes| and not corpus density."
     ),
     "edge_snap_join": (
         "Same grid reformulation with margin = snap radius: endpoint-to-box "
