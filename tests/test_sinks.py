@@ -472,3 +472,43 @@ def test_move_records_random_sequences_match_dict_model(spark, sf_dir, tmp_path)
     assert got_dst == model_dst and len(got_dst) == n_dst  # no duplicate rows
     assert got_src == model_src
     assert got_dst | got_src == set(keys) and not (got_dst & got_src)
+
+
+def test_promote_records_recomputes_uncommitted_delta(spark, sf_dir, tmp_path):
+    """A promote killed mid delta job-commit (part files promoted, no
+    _SUCCESS) must be invisible to readers AND recomputed — never
+    trusted — on replay."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sup_rows = [(r["s_suppkey"], r["s_acctbal"]) for r in sup.collect()]
+    expected_main, promoted = _promote_expected(sup_rows)
+
+    # plant a bogus partial delta: wrong rows, no marker
+    staged = str(tmp_path / "staged")
+    sup.limit(3).coalesce(1).write.parquet(staged)
+    partial = os.path.join(paths["main_path"], "promotes", "pr-1")
+    os.makedirs(partial)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), partial)
+    # uncommitted delta is invisible: the view is just the base
+    base_keys = {r["s_suppkey"] for r in sup.where(F.col("s_suppkey") % 4 != 0).collect()}
+    got = {r["s_suppkey"] for r in sinks.read_with_promotes(
+        spark, paths["main_path"], ["s_suppkey"]).collect()}
+    assert got == base_keys
+
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-1", **paths,
+    )
+    got_main = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(spark, paths["main_path"], ["s_suppkey"])
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    assert got_main == expected_main

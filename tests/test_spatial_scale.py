@@ -19,6 +19,26 @@ from acuvate_spark.queries.pid import _LINES_PER_DOC, _pid_connections_plan
 from acuvate_spark.queries.synth import BOXES_PER_DOC
 
 
+def test_doc_dimension_ratio_assumption_holds_in_fixtures(spark):
+    """The per-document keys assume part:supplier = 20:1 with dense
+    0-based keys (lines p_partkey div 200 must land in the same doc
+    range as boxes s_suppkey div 10). Pin that against the actual
+    driver data at every committed sf, so a testdata change can't
+    silently desynchronize the two doc spaces."""
+    for sf in ("0.001", "0.01", "0.1"):
+        sup = spark.read.parquet(f"/root/testdata/sf{sf}/supplier.parquet")
+        prt = spark.read.parquet(f"/root/testdata/sf{sf}/part.parquet")
+        n_s, n_p = sup.count(), prt.count()
+        assert n_p == 20 * n_s, (sf, n_s, n_p)
+        assert sup.agg({"s_suppkey": "min"}).collect()[0][0] == 0
+        assert prt.agg({"p_partkey": "min"}).collect()[0][0] == 0
+        assert sup.agg({"s_suppkey": "max"}).collect()[0][0] == n_s - 1
+        assert prt.agg({"p_partkey": "max"}).collect()[0][0] == n_p - 1
+        # same number of documents on both sides
+        assert -(-n_s // BOXES_PER_DOC) == -(-n_p // _LINES_PER_DOC)
+    assert _LINES_PER_DOC == 20 * BOXES_PER_DOC
+
+
 def _frame_set(df):
     cols = sorted(df.columns)
     return {tuple(r) for r in df.select(*cols).collect()}
