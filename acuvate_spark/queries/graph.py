@@ -116,10 +116,12 @@ def first_line_per_pair(spark, sf_dir):
     oracle=f"""
 WITH {SYNTH_BOXES_SQL},
 eps AS (
-  SELECT p_partkey AS line_id, unnest([0, 4]) AS endpoint_idx FROM part
+  SELECT p_partkey AS line_id, p_partkey // 200 AS doc_id,
+         unnest([0, 4]) AS endpoint_idx
+  FROM part
 ),
 exy AS (
-  SELECT line_id, endpoint_idx,
+  SELECT line_id, doc_id, endpoint_idx,
          (line_id * 3 + endpoint_idx * 7) % 110 AS x,
          (line_id * 11 + endpoint_idx * 5) % 110 AS y
   FROM eps
@@ -128,7 +130,7 @@ pairs AS (
   SELECT e.line_id, e.endpoint_idx, b.box_id,
          sqrt(greatest(b.bx1 - e.x, 0, e.x - b.bx2) * greatest(b.bx1 - e.x, 0, e.x - b.bx2)
             + greatest(b.by1 - e.y, 0, e.y - b.by2) * greatest(b.by1 - e.y, 0, e.y - b.by2)) AS dist
-  FROM exy e CROSS JOIN boxes b
+  FROM exy e JOIN boxes b ON e.doc_id = b.doc_id
 ),
 ranked AS (
   SELECT line_id, endpoint_idx, box_id, dist,
@@ -146,21 +148,28 @@ def edge_snap_join(spark, sf_dir):
     ImprovedLineConnectionManager.connect_lines_to_boxes
     app.py:508-581): each line endpoint snaps to the nearest box by
     rectangle-boundary distance (clamped-axis formula), one box per
-    endpoint, within a snap radius. Candidates come from the shared
-    grid equi-join with margin = snap radius (a point within Euclid 6
-    of a box is within the 6-expanded box, so the grid prefilter loses
-    nothing); the exact distance predicate and min(struct) argmin run
-    on candidates only. Round 1 used crossJoin(broadcast) here — the
-    one O(|endpoints|*|boxes|)-per-partition plan in the repo; the
-    grid join scales with cell co-occupancy instead."""
+    endpoint, within a snap radius — per DRAWING, the reference's
+    per-sheet regime (doc_id = p_partkey div 200 on the endpoint
+    side, matching synth_boxes' s_suppkey div 10). Candidates come
+    from the shared grid equi-join on (doc_id, cx, cy) with margin =
+    snap radius (a point within Euclid 6 of a box is within the
+    6-expanded box, so the grid prefilter loses nothing); the exact
+    distance predicate and min(struct) argmin run on candidates only.
+    Round 1 used crossJoin(broadcast) here — the one
+    O(|endpoints|*|boxes|)-per-partition plan in the repo; with the
+    doc id in the grid key, corpus growth adds drawings, never cell
+    density (the r07 sf1 smoke read 8.7x for 10x data before this
+    key; the doc-keyed spatial family reads 1-3x)."""
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     boxes = synth_boxes(s)
     eps = p.select(
         F.col("p_partkey").alias("line_id"),
+        F.expr("p_partkey div 200").alias("doc_id"),
         F.explode(F.array(F.lit(0), F.lit(4))).alias("endpoint_idx"),
     ).select(
         "line_id",
+        "doc_id",
         "endpoint_idx",
         ((F.col("line_id") * 3 + F.col("endpoint_idx") * 7) % 110).alias("x"),
         ((F.col("line_id") * 11 + F.col("endpoint_idx") * 5) % 110).alias("y"),
@@ -172,7 +181,7 @@ def edge_snap_join(spark, sf_dir):
     # cell = box span (8) + 2 * snap radius (6) => <= 2 cells per axis
     pairs = (
         grid_containment_join(
-            repartition_for_compute(eps), boxes, margin=6.0, cell=20
+            repartition_for_compute(eps), boxes, margin=6.0, cell=20, keys=("doc_id",)
         )
         .withColumn("dist", dist)
         .where(F.col("dist") <= 6)

@@ -311,12 +311,13 @@ def pairwise_self_join(spark, sf_dir):
     "interval_overlap_join",
     oracle="""
 WITH iv AS (
-  SELECT p_partkey, p_brand, p_size::DOUBLE AS x1, p_size::DOUBLE + 4.0 AS x2
+  SELECT p_partkey, p_partkey // 200 AS doc_id, p_brand,
+         p_size::DOUBLE AS x1, p_size::DOUBLE + 4.0 AS x2
   FROM part
 )
 SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
 FROM iv a JOIN iv b
-  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  ON a.doc_id = b.doc_id AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
  AND NOT (a.x2 < b.x1 OR b.x2 < a.x1)
 """,
     survey_ref="J8",
@@ -324,11 +325,18 @@ FROM iv a JOIN iv b
 def interval_overlap_join(spark, sf_dir):
     """bbox-intersection adjacency (reference intersects
     app.py:2849-2850): NOT(a.x2<b.x1 OR b.x2<a.x1) overlap predicate,
-    partitioned by an equi-key (brand ~ document_id) so the theta part
-    only runs within co-partitioned groups — the scale-safe shape."""
+    partitioned by (doc_id, brand) so the theta part only runs within
+    co-partitioned groups — and the DOC dimension (p_partkey div 200,
+    the drawing a bbox came from) is what makes the shape scale-safe:
+    brand alone is a fixed 25-value key, so per-group rows would grow
+    linearly with the corpus and intra-group pairs quadratically (the
+    same density artifact the r07 doc-dimension rewrite removed from
+    the rest of the spatial family); with the doc id, group sizes are
+    constant and corpus growth only adds groups."""
     p = load_table(spark, sf_dir, "part")
     iv = p.select(
         "p_partkey",
+        F.expr("p_partkey div 200").alias("doc_id"),
         "p_brand",
         F.col("p_size").cast("double").alias("x1"),
         (F.col("p_size").cast("double") + 4.0).alias("x2"),
@@ -337,7 +345,8 @@ def interval_overlap_join(spark, sf_dir):
     return (
         a.join(
             b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
             & ~((F.col("a.x2") < F.col("b.x1")) | (F.col("b.x2") < F.col("a.x1"))),
         )

@@ -57,9 +57,11 @@ COMMENTARY = {
     ),
     "edge_snap_join": (
         "Same grid reformulation with margin = snap radius: endpoint-to-box "
-        "candidates come from a BroadcastHashJoin on (cx, cy) cells (round 1 "
-        "shipped a BroadcastNestedLoopJoin here), then the exact clamped-axis "
-        "distance and a map-side-combinable min(struct) argmin."
+        "candidates come from a BroadcastHashJoin on (doc_id, cx, cy) cells "
+        "(round 1 shipped a BroadcastNestedLoopJoin here; the per-drawing "
+        "doc id joined the key in r07, taking the 10x smoke from 8.7x to "
+        "1.2x), then the exact clamped-axis distance and a "
+        "map-side-combinable min(struct) argmin."
     ),
     "ann_ivf_flat": (
         "Both small sides broadcast: the K centroids for the assign pass and "
