@@ -505,13 +505,23 @@ def _ip_boxes(p):
 
 def _ip_segments(p):
     """Stage 2: synthetic mask strokes -> pixel-BFS segmentation ->
-    downsampled polylines (same sharing contract as _ip_boxes)."""
+    downsampled polylines (same sharing contract as _ip_boxes). The
+    image key is ``p_partkey div 2000`` — the SAME document index the
+    detections carry ('D' + that index, synth.DETS_PER_DOC), so the
+    tail can join boxes to segments per image. Per image: one
+    horizontal stroke row per eligible part at y = 2 * (7 * local
+    rank % 30) — EVEN rows only, so distinct strokes are 2 px apart
+    and never 8-connect into one blob — a constant ~1.2k-pixel,
+    ~30-segment mask per image at ANY corpus size (the pre-r07 form
+    keyed images by ``p_partkey % 97``, a fixed 97-image set whose
+    masks grew with the corpus; its y formula was also degenerate —
+    (20m*3) % 60 == 0 put every stroke at y=0)."""
     strokes = (
         p.where(F.col("p_partkey") % 20 == 0)
         .select(
-            (F.col("p_partkey") % 97).alias("image_id"),
+            F.expr("p_partkey div 2000").alias("image_id"),
             F.explode(F.sequence(F.lit(0), F.lit(40))).alias("i"),
-            ((F.col("p_partkey") * 3) % 60).alias("ybase"),
+            ((F.expr("(p_partkey div 20) * 7") % 30) * 2).alias("ybase"),
         )
         .select("image_id", F.col("i").alias("x"), F.col("ybase").cast("int").alias("y"))
         .distinct()
@@ -521,8 +531,11 @@ def _ip_segments(p):
 
 def _ip_tail(boxes, segments):
     """Stages 3-4 — the DECLARATIVE tail: polyline vertices x boxes
-    touch join (J6, grid-bucketed), pairwise edges per segment (J7),
-    first-line-per-pair (A5), MD5-cached LLM labels (X5). Pure
+    touch join (J6, grid-bucketed, WITHIN an image — the boxes'
+    document index joins the grid key, so a segment can only touch
+    its own image's boxes, the §3.2 per-image reality; corpus growth
+    adds images, never cell density), pairwise edges per segment
+    (J7), first-line-per-pair (A5), MD5-cached LLM labels (X5). Pure
     DataFrame ops, so it is oracle-pinnable given fixed kernel
     outputs — which is exactly what imageprocess_tail does."""
     verts = segments.select(
@@ -533,6 +546,11 @@ def _ip_tail(boxes, segments):
         F.element_at("pt", 1).cast("double").alias("px"),
         F.element_at("pt", 2).cast("double").alias("py"),
     )
+    # boxes carry document_id = 'D<n>' (synth_detections); n is the
+    # segments' image_id
+    boxes_k = boxes.withColumn(
+        "image_id", F.expr("CAST(substring(document_id, 2, 18) AS BIGINT)")
+    )
     # One collect_set groupBy replaces the r03 distinct +
     # localCheckpoint + self-join (same rewrite as pid_connections):
     # with a single consumer the kernel lineage runs exactly once, so
@@ -541,9 +559,9 @@ def _ip_tail(boxes, segments):
     # i<j expansion is skew-proof.
     touched = (
         grid_containment_join(
-            verts, boxes,
+            verts, boxes_k,
             px="px", py="py", bx1="x1", by1="y1", bx2="x2", by2="y2",
-            margin=2.0, cell=16,
+            margin=2.0, cell=16, keys=("image_id",),
         )
         .groupBy("image_id", "segment_id")
         .agg(F.sort_array(F.collect_set("box_id")).alias("bs"))
@@ -609,7 +627,11 @@ _IP_SEGMENTS_FIX = os.path.join(
 @register(
     "imageprocess_tail",
     oracle=f"""
-WITH boxes AS (SELECT box_id, x1, y1, x2, y2 FROM '{_IP_BOXES_FIX}'),
+WITH boxes AS (
+  SELECT box_id, CAST(substring(document_id, 2) AS BIGINT) AS image_id,
+         x1, y1, x2, y2
+  FROM '{_IP_BOXES_FIX}'
+),
 segs AS (SELECT image_id, segment_id, points FROM '{_IP_SEGMENTS_FIX}'),
 verts AS (
   SELECT image_id, segment_id,
@@ -619,7 +641,8 @@ verts AS (
 touch AS (
   SELECT DISTINCT v.image_id, v.segment_id, b.box_id
   FROM verts v JOIN boxes b
-    ON v.px BETWEEN b.x1 - 2 AND b.x2 + 2
+    ON v.image_id = b.image_id
+   AND v.px BETWEEN b.x1 - 2 AND b.x2 + 2
    AND v.py BETWEEN b.y1 - 2 AND b.y2 + 2
 ),
 pairs AS (

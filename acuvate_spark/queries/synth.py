@@ -44,14 +44,28 @@ def synth_boxes(supplier: DataFrame) -> DataFrame:
     )
 
 
+# Detections per DOCUMENT (image): DETS_PER_DOC detections per
+# document, doc = 'D' + (p_partkey div DETS_PER_DOC) — the same
+# corpus-scale-in-the-key rule as SYNTH_BOXES_SQL. The pre-r07 form
+# keyed documents by p_brand, a FIXED 25-value set, so per-(document,
+# class) NMS group sizes grew linearly with the corpus and the O(n²)
+# suppression quadratically — the last member of the fixed-domain
+# density class (SCALING.md). With the div key, per-doc detection
+# count (and per-(doc, class) group size, ~13 rows over ~150 classes)
+# is constant at ANY corpus size, matching per-image reality.
+DETS_PER_DOC = 2000
+
+
 def synth_detections(part: DataFrame, size: int) -> DataFrame:
-    """Detection boxes from part: per (document=brand, class=type)
-    with ``size``-px squares; confidence from the retail price. Used
-    by nms_detections (size=10) and imageprocess_pipeline (size=12 —
+    """Detection boxes from part: per (document, class=type) with
+    ``size``-px squares; confidence from the retail price. Used by
+    nms_detections (size=10) and imageprocess_pipeline (size=12 —
     slightly larger so the composed pipeline produces denser overlaps;
     the parameter makes the variation explicit)."""
     return part.select(
-        F.col("p_brand").alias("document_id"),
+        F.concat(
+            F.lit("D"), F.expr(f"p_partkey div {DETS_PER_DOC}").cast("string")
+        ).alias("document_id"),
         F.col("p_type").alias("cls"),
         ((F.col("p_size") * 3) % 80).cast("double").alias("x1"),
         ((F.col("p_partkey") * 7) % 80).cast("double").alias("y1"),
@@ -64,7 +78,8 @@ def synth_detections(part: DataFrame, size: int) -> DataFrame:
 def synth_dets_sql(size: int) -> str:
     """DuckDB rendering of synth_detections (same shapes, same conf)."""
     return f"""dets AS (
-  SELECT p_brand AS document_id, p_type AS cls,
+  SELECT 'D' || CAST(p_partkey // {DETS_PER_DOC} AS VARCHAR) AS document_id,
+         p_type AS cls,
          CAST((p_size * 3) % 80 AS DOUBLE) AS x1,
          CAST((p_partkey * 7) % 80 AS DOUBLE) AS y1,
          CAST((p_size * 3) % 80 + {size} AS DOUBLE) AS x2,

@@ -38,9 +38,13 @@ def test_nms_keeps_max_conf_per_group(spark, sf_dir):
     # the highest-confidence detection of every (doc, cls) group always survives
     from acuvate_spark.tables import load_table
 
+    from acuvate_spark.queries.synth import DETS_PER_DOC
+
     p = load_table(spark, sf_dir, "part")
     src = p.select(
-        F.col("p_brand").alias("document_id"),
+        F.concat(
+            F.lit("D"), F.expr(f"p_partkey div {DETS_PER_DOC}").cast("string")
+        ).alias("document_id"),
         F.col("p_type").alias("cls"),
         F.round(F.col("p_retailprice") - 900.0, 2).alias("conf"),
     )
