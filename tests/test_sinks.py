@@ -512,3 +512,90 @@ def test_promote_records_recomputes_uncommitted_delta(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_main == expected_main
+
+
+def test_promote_records_random_sequences_match_model(spark, tmp_path):
+    """Model check for the promote write side (the move sink's
+    randomized twin): a random sequence of staged batches (random
+    Add/Edit actions, same-key resubmissions across batches,
+    randomly interleaved replays of earlier promotes) must leave
+    main/staging/status exactly equal to a pure-Python model where
+    each promote applies every still-staged approved row with
+    Add-needs-missing / Edit-needs-existing validation and removes
+    exactly the applied submissions from staging. Row values derive
+    from the key alone, so same-key duplicates within one promote
+    (possible when a rejected row is retried beside a resubmission)
+    cannot make the comparison tie-break-sensitive."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    staging = str(tmp_path / "staging")
+    main = str(tmp_path / "main")
+    status = str(tmp_path / "status")
+    stomb = str(tmp_path / "stombs")
+
+    def val(k):
+        return k * 1.5
+
+    base_keys = list(range(0, 12))
+    spark.createDataFrame(
+        [(k, val(k)) for k in base_keys], "k long, v double"
+    ).write.parquet(main)
+
+    model_main = {k: val(k) for k in base_keys}
+    model_staged: dict[tuple, str] = {}  # (k, sub) -> action, still in staging
+    model_status = 0
+    history = []
+    sub = 0
+    for i in range(6):
+        # stage a random batch: some fresh keys, some existing, some resubmits
+        batch = []
+        for _ in range(rng.randrange(2, 6)):
+            sub += 1
+            k = rng.randrange(0, 30)
+            action = rng.choice(["Add", "Edit"])
+            batch.append((k, sub, val(k), action, True))
+            model_staged[(k, sub)] = action
+        spark.createDataFrame(
+            batch, "k long, sub long, v double, action string, approved boolean"
+        ).write.mode("append").parquet(staging)
+
+        pid = f"pr-{i}"
+        sinks.promote_records(
+            spark, staging, main, status, stomb,
+            F.col("approved"), ["k"], "action", pid,
+            staging_key_cols=["k", "sub"],
+        )
+        history.append(pid)
+        # model: apply every still-staged approved row
+        valid = [
+            (k, s) for (k, s), a in model_staged.items()
+            if (a == "Edit") == (k in model_main)
+        ]
+        for k, s in valid:
+            model_main[k] = val(k)
+        for ks in valid:
+            del model_staged[ks]
+        model_status += len(valid)
+        if rng.random() < 0.5:  # replay a random earlier promote: no-op
+            sinks.promote_records(
+                spark, staging, main, status, stomb,
+                F.col("approved"), ["k"], "action", rng.choice(history),
+                staging_key_cols=["k", "sub"],
+            )
+
+    got_main = {
+        r["k"]: r["v"]
+        for r in sinks.read_with_promotes(spark, main, ["k"]).select("k", "v").collect()
+    }
+    assert got_main == model_main
+    got_staged = {
+        (r["k"], r["sub"])
+        for r in sinks.read_with_moves(
+            spark, staging, tomb_path=stomb, key_cols=["k", "sub"]
+        ).collect()
+    }
+    assert got_staged == set(model_staged)
+    assert sinks.read_status(spark, status).count() == model_status

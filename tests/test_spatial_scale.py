@@ -44,6 +44,46 @@ def _frame_set(df):
     return {tuple(r) for r in df.select(*cols).collect()}
 
 
+def test_grid_containment_join_equals_naive_theta_any_cell(spark):
+    """Direct property pin for the grid operator (previously verified
+    only transitively through query oracles): for RANDOM boxes and
+    points, any cell size, any margin, and with or without extra
+    equi-keys, the grid-bucketed join must produce exactly the naive
+    crossJoin + containment-filter pair set — the cell size tunes
+    candidates, never results."""
+    import random
+
+    from acuvate_spark.operators.spatial import grid_containment_join
+
+    rng = random.Random(20260815)
+    pts = [
+        (i, rng.randrange(4), rng.uniform(-50, 150), rng.uniform(-50, 150))
+        for i in range(300)
+    ]
+    boxes = []
+    for b in range(60):
+        x1, y1 = rng.uniform(-40, 140), rng.uniform(-40, 140)
+        boxes.append((b, rng.randrange(4), x1, y1, x1 + rng.uniform(0, 15), y1 + rng.uniform(0, 15)))
+    pdf = spark.createDataFrame(pts, "pid long, doc long, x double, y double")
+    bdf = spark.createDataFrame(boxes, "box_id long, doc long, bx1 double, by1 double, bx2 double, by2 double")
+
+    for cell, margin, keys in [(10, 1.0, ()), (7, 2.5, ()), (25, 0.0, ("doc",)), (10, 1.0, ("doc",))]:
+        got = {
+            (r["pid"], r["box_id"])
+            for r in grid_containment_join(
+                pdf, bdf, margin=margin, cell=cell, keys=keys
+            ).collect()
+        }
+        want = set()
+        for pid, pdoc, x, y in pts:
+            for bid, bdoc, x1, y1, x2, y2 in boxes:
+                if keys and pdoc != bdoc:
+                    continue
+                if x1 - margin <= x <= x2 + margin and y1 - margin <= y <= y2 + margin:
+                    want.add((pid, bid))
+        assert got == want, (cell, margin, keys)
+
+
 def test_pid_connections_pairs_stay_within_document(spark, sf_dir):
     """A line can only connect boxes of its OWN drawing: every output
     pair's two box ids must map to the same doc (box doc = s_suppkey
