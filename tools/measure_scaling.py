@@ -49,6 +49,8 @@ SF_DIRS = {
 
 def main() -> None:
     passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 2
+    if "--sf1" in sys.argv:  # 10x point (build with make_scaled_sf.py --sf1)
+        SF_DIRS[1.0] = "/tmp/scaled_sf/sf1"
     queries = QUERIES
     if "--queries" in sys.argv:
         queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
@@ -85,6 +87,8 @@ def main() -> None:
             "ratio_0.5": round(times[q][0.5] / times[q][0.1], 2),
             "exponent": round(slope, 2),
         }
+        if 1.0 in times[q]:
+            rec["ratio_1"] = round(times[q][1.0] / times[q][0.1], 2)
         out.append(rec)
         print(json.dumps(rec))
     spark.stop()
