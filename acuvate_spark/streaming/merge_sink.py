@@ -32,6 +32,12 @@ from pyspark.sql.window import Window
 
 
 def _current_version(target_dir: str, max_num: int | None = None) -> str | None:
+    """Newest COMMITTED version at or below ``max_num``. A version dir
+    counts only with its ``_SUCCESS`` marker — a writer killed mid
+    job-commit (part files promoted, marker absent) must stay
+    invisible to readers, the same crash-invisibility rule the move/
+    promote sinks enforce; the next replay overwrites the partial dir
+    (same batch_id -> same target) and commits it properly."""
     if not os.path.isdir(target_dir):
         return None
     versions = [
@@ -40,6 +46,7 @@ def _current_version(target_dir: str, max_num: int | None = None) -> str | None:
         if v.startswith("v")
         and v[1:].isdigit()
         and (max_num is None or int(v[1:]) <= max_num)
+        and os.path.isfile(os.path.join(target_dir, v, "_SUCCESS"))
     ]
     if not versions:
         return None

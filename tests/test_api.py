@@ -135,3 +135,34 @@ def test_keyset_pagination(spark, registry):
     ).collect()
     all_keyset = [r["tag_no"] for r in page1 + page2 + page3]
     assert len(all_keyset) == 25 and len(set(all_keyset)) == 25
+
+
+def test_registry_uncommitted_version_is_invisible(spark, tmp_path):
+    """A register version whose writer was killed mid job-commit (part
+    files, no _SUCCESS) must not become current — readers serve the
+    previous committed version (r07, same crash-invisibility rule as
+    the move/promote/merge sinks)."""
+    import os
+    import shutil
+
+    from acuvate_spark.api import TagRegistry
+
+    reg = TagRegistry(spark, str(tmp_path / "root"))
+    df = spark.createDataFrame(
+        [("T-1", "d", "doc", "u", None)],
+        "tag_no string, description string, document string, "
+        "modified_by string, modified_date timestamp",
+    )
+    reg._write_version("equip", df)
+    assert reg.table("equip").count() == 1
+
+    staged = str(tmp_path / "staged")
+    df.limit(0).coalesce(1).write.parquet(staged)
+    partial = os.path.join(reg._versions_dir("equip"), f"v{'9' * 25}")
+    os.makedirs(partial)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), partial)
+
+    # the partial (empty) newer version is ignored; v1 still serves
+    assert reg.table("equip").count() == 1

@@ -914,3 +914,33 @@ def test_forward_fill_late_corrections_restore_batch_truth(spark, tmp_path):
     assert {key(r) for r in merged.where("user_id = 2").collect()} == {
         key(r) for r in stream_out.where("user_id = 2").collect()
     }
+
+
+def test_merge_sink_uncommitted_version_is_invisible(spark, tmp_path):
+    """r07 sweep of the _SUCCESS lens: a version dir whose writer was
+    killed mid job-commit (part files present, no marker) must not be
+    served as current — the previous committed version stays current,
+    for both the plain reader and the max_num replay path."""
+    import os
+    import shutil
+
+    from acuvate_spark.streaming import merge_sink
+
+    target = str(tmp_path / "reg")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    os.makedirs(target)
+    v1.write.parquet(os.path.join(target, "v0000000001"))
+
+    # partial newer version: copy part files only, no _SUCCESS
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame([(9, "X")], "k long, v string").coalesce(1).write.parquet(staged)
+    partial = os.path.join(target, "v0000000002")
+    os.makedirs(partial)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), partial)
+
+    got = {tuple(r) for r in merge_sink.read_current(spark, target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    got2 = {tuple(r) for r in merge_sink.read_current(spark, target, max_num=2).collect()}
+    assert got2 == {(1, "a"), (2, "b")}
