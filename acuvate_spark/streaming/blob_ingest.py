@@ -47,10 +47,35 @@ def route(path: Column) -> Column:
 
 
 def _load_retry_state(spark: SparkSession, retry_dir: str) -> DataFrame:
-    try:
-        return spark.read.parquet(retry_dir)
-    except Exception:
+    """Newest COMMITTED retry-state version (the merge-sink version
+    scheme). The pre-r07 form overwrote ``retry_dir`` in place: Spark
+    overwrite deletes before it writes, so a crash inside the window
+    lost every pending retry counter — and since the checkpointed
+    file source never redelivers, those blobs would have been lost
+    for good, a silent-data-loss window no retry budget can fix."""
+    from .merge_sink import read_current
+
+    cur = read_current(spark, retry_dir)
+    if cur is None:
         return spark.createDataFrame([], "path string, attempts int")
+    return cur
+
+
+def _write_retry_state(state: DataFrame, retry_dir: str) -> None:
+    """Commit the new retry state as the next version dir (crash-safe:
+    the previous committed version serves until the new ``_SUCCESS``
+    lands), then best-effort prune older committed versions — safe in
+    any crash position because readers always pick the max COMMITTED
+    version."""
+    import shutil
+
+    from .merge_sink import _current_version
+
+    cur = _current_version(retry_dir)
+    n = (int(os.path.basename(cur)[1:]) if cur else 0) + 1
+    state.write.mode("overwrite").parquet(os.path.join(retry_dir, f"v{n:010d}"))
+    if cur is not None:
+        shutil.rmtree(cur, ignore_errors=True)
 
 
 def start_blob_ingest(
@@ -111,8 +136,7 @@ def start_blob_ingest(
             .join(prev.select("path"), "path", "left_anti")
         )
         state = prev.unionByName(new_failures)
-        # overwrite retry state atomically-enough for the local emulation
-        state.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
+        _write_retry_state(state.localCheckpoint(eager=True), retry_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -142,7 +166,7 @@ def _retry_pass(
     if dead.take(1):
         dead.write.mode("append").parquet(dlq_dir)
     pending = failures.where(F.col("attempts") < MAX_RETRIES)
-    pending.localCheckpoint(eager=True).write.mode("overwrite").parquet(retry_dir)
+    _write_retry_state(pending.localCheckpoint(eager=True), retry_dir)
 
 
 def retry_pending(spark: SparkSession, out_dir: str) -> DataFrame:

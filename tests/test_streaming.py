@@ -944,3 +944,45 @@ def test_merge_sink_uncommitted_version_is_invisible(spark, tmp_path):
     assert got == {(1, "a"), (2, "b")}
     got2 = {tuple(r) for r in merge_sink.read_current(spark, target, max_num=2).collect()}
     assert got2 == {(1, "a"), (2, "b")}
+
+
+def test_retry_state_survives_crashed_rewrite(spark, tmp_path):
+    """r07: the retry-state table is versioned-commit, not
+    overwrite-in-place — a crash mid-rewrite (partial newer version,
+    no _SUCCESS) must leave the previous committed counters serving.
+    The old overwrite form deleted before writing, so that crash
+    window lost every pending retry counter and (because the
+    checkpointed source never redelivers) the blobs themselves."""
+    import os
+    import shutil
+
+    from acuvate_spark.streaming import blob_ingest
+
+    retry_dir = str(tmp_path / "retry_state")
+    state = spark.createDataFrame([("a.pdf", 2), ("b.pdf", 1)], "path string, attempts int")
+    blob_ingest._write_retry_state(state, retry_dir)
+    got = {tuple(r) for r in blob_ingest._load_retry_state(spark, retry_dir).collect()}
+    assert got == {("a.pdf", 2), ("b.pdf", 1)}
+
+    # crashed rewrite: partial newer version without a marker
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame([("x.pdf", 9)], "path string, attempts int").coalesce(1).write.parquet(staged)
+    partial = os.path.join(retry_dir, "v0000000099")
+    os.makedirs(partial)
+    for f in os.listdir(staged):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(staged, f), partial)
+    got2 = {tuple(r) for r in blob_ingest._load_retry_state(spark, retry_dir).collect()}
+    assert got2 == {("a.pdf", 2), ("b.pdf", 1)}
+
+    # a successful rewrite prunes the old committed version
+    blob_ingest._write_retry_state(
+        spark.createDataFrame([("a.pdf", 3)], "path string, attempts int"), retry_dir
+    )
+    committed = [
+        v for v in os.listdir(retry_dir)
+        if v.startswith("v") and os.path.isfile(os.path.join(retry_dir, v, "_SUCCESS"))
+    ]
+    assert len(committed) == 1
+    got3 = {tuple(r) for r in blob_ingest._load_retry_state(spark, retry_dir).collect()}
+    assert got3 == {("a.pdf", 3)}
