@@ -149,6 +149,30 @@ def _has_success(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
+def _warn_unmarked_base(path: str) -> None:
+    """A base dir holding part files WITHOUT ``_SUCCESS`` is treated
+    as uncommitted (crash-invisibility), but the identical shape is
+    produced by a legitimate marker-less writer (non-Spark tools, or
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``). With
+    no deltas the read fails loudly; when committed deltas ARE being
+    served the base rows would otherwise vanish silently from the
+    merged view — so surface it. Migration note: a pre-existing
+    marker-less base must be seeded with a ``_SUCCESS`` file (after
+    verifying the write completed) before deltas are layered on it."""
+    import glob as _glob
+    import warnings
+
+    if not _has_success(path) and _glob.glob(os.path.join(path, "*.parquet")):
+        warnings.warn(
+            f"{path}: base part files present without _SUCCESS are not served "
+            "(crash-invisibility contract) while committed deltas are; if this "
+            "base was completed by a marker-less writer, add a _SUCCESS file "
+            "to make it visible",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def _committed_files(root: str) -> list[str]:
     """Part files of the FULLY COMMITTED child dirs of ``root``. Two
     crash shapes must stay invisible to readers: a dir holding only
@@ -193,6 +217,8 @@ def read_with_moves(
     if moves_for is not None:
         files = _committed_files(os.path.join(moves_for, "moves"))
         if files:
+            if df is None:
+                _warn_unmarked_base(base_path)
             deltas = spark.read.parquet(*files)
             df = deltas if df is None else df.unionByName(deltas)
     if df is None:
@@ -281,10 +307,16 @@ def promote_records(
             spark, staging_path, moves_for=staging_path,
             tomb_path=staging_tomb_path, key_cols=staging_key_cols,
         ).where(predicate)
-        main_now = read_with_promotes(spark, main_path, key_cols)
-        main_keys = main_now.select(*key_cols).distinct()
-        exists = staging.join(main_keys, key_cols, "left_semi")
-        missing = staging.join(main_keys, key_cols, "left_anti")
+        main_now = read_with_promotes(spark, main_path, key_cols, missing_ok=True)
+        if main_now is None:
+            # brand-new register: the main key set is empty, so every
+            # staged key is missing — Adds validate, Edits reject
+            exists = staging.limit(0)
+            missing = staging
+        else:
+            main_keys = main_now.select(*key_cols).distinct()
+            exists = staging.join(main_keys, key_cols, "left_semi")
+            missing = staging.join(main_keys, key_cols, "left_anti")
         valid = exists.where(F.col(action_col) == "Edit").unionByName(
             missing.where(F.col(action_col) == "Add")
         )
@@ -317,10 +349,15 @@ def _next_promote_seq(spark, main_path: str) -> int:
     if not files:
         return 1
     row = spark.read.parquet(*files).agg({"__seq": "max"}).collect()[0]
-    return int(row[0]) + 1
+    # max over ONLY-EMPTY committed deltas is NULL (a promote whose
+    # predicate matched nothing, or whose rows all failed validation,
+    # still commits an empty delta) — the counter restarts at 1
+    return 1 if row[0] is None else int(row[0]) + 1
 
 
-def read_with_promotes(spark, main_path: str, key_cols: list[str]) -> DataFrame:
+def read_with_promotes(
+    spark, main_path: str, key_cols: list[str], missing_ok: bool = False
+) -> DataFrame | None:
     """Merge-on-read main view over :func:`promote_records` state:
     committed base rows overridden by the HIGHEST-``__seq`` committed
     delta version per key. The window that picks the winner runs over
@@ -352,10 +389,17 @@ def read_with_promotes(spark, main_path: str, key_cols: list[str]) -> DataFrame:
     files = _committed_files(os.path.join(main_path, "promotes"))
     if not files:
         if base is None:
+            if missing_ok:
+                # bootstrap shape: a brand-new register with nothing
+                # committed yet reads as "no main view" rather than an
+                # error, so a first Add-only promote can seed it
+                return None
             raise ValueError(
                 f"{main_path}: no committed base parquet files and no committed promote deltas"
             )
         return base
+    if base is None:
+        _warn_unmarked_base(main_path)
     deltas = spark.read.parquet(*files)
     tiebreak = [
         F.col(c).desc()

@@ -260,7 +260,9 @@ def test_read_with_moves_uncommitted_base_is_invisible(spark, sf_dir, tmp_path):
     sinks.move_records(
         spark, src, broken, tomb, F.col("s_suppkey") % 3 == 0, ["s_suppkey"], "mv-x"
     )
-    got = {r["s_suppkey"] for r in sinks.read_with_moves(spark, broken, moves_for=broken).collect()}
+    with pytest.warns(UserWarning, match="without _SUCCESS"):
+        served = sinks.read_with_moves(spark, broken, moves_for=broken)
+    got = {r["s_suppkey"] for r in served.collect()}
     assert got == {r["s_suppkey"] for r in sup.where(F.col("s_suppkey") % 3 == 0).collect()}
 
 
@@ -599,3 +601,146 @@ def test_promote_records_random_sequences_match_model(spark, tmp_path):
     }
     assert got_staged == set(model_staged)
     assert sinks.read_status(spark, status).count() == model_status
+
+
+def test_promote_seq_survives_empty_committed_deltas(spark, sf_dir, tmp_path):
+    """ADVICE r07 (medium): a promote whose predicate matches nothing
+    commits an EMPTY delta; the next promote's max(__seq) over
+    only-empty deltas is NULL and must restart the counter at 1, not
+    crash with int(None). The later real promote must then fully
+    succeed and read back correctly."""
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sup_rows = [(r["s_suppkey"], r["s_acctbal"]) for r in sup.collect()]
+    expected_main, promoted = _promote_expected(sup_rows)
+
+    # promote 1: predicate selects nothing -> empty delta commits
+    sinks.promote_records(
+        spark, predicate=F.lit(False), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-empty", **paths,
+    )
+    # promote 2 (previously TypeError in _next_promote_seq)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-real", **paths,
+    )
+    got_main = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(spark, paths["main_path"], ["s_suppkey"])
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    assert got_main == expected_main
+    # the empty promote contributed zero status rows; the real one, all
+    st = sinks.read_status(spark, paths["status_path"]).collect()
+    assert len(st) == len(promoted)
+
+
+def test_promote_records_bootstraps_brand_new_main(spark, tmp_path):
+    """ADVICE r07 (low): a first Add-only promote onto a register with
+    NO committed base and NO deltas must treat the main key set as
+    empty (Adds validate, Edits reject) instead of raising."""
+    from pyspark.sql import functions as F
+
+    staging = str(tmp_path / "staging")
+    main = str(tmp_path / "main")  # never written: brand-new register
+    paths = dict(
+        staging_path=staging, main_path=main,
+        status_path=str(tmp_path / "status"),
+        staging_tomb_path=str(tmp_path / "staging_tombs"),
+    )
+    spark.createDataFrame(
+        [(1, 1, 10.0, "Add", True), (2, 1, 20.0, "Add", True),
+         (3, 1, 30.0, "Edit", True)],  # Edit on empty main: invalid
+        "s_suppkey long, submission_id int, s_acctbal double, action string, approved boolean",
+    ).write.parquet(staging)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-boot", **paths,
+    )
+    got = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(spark, main, ["s_suppkey"])
+        .select("s_suppkey", "s_acctbal")
+        .collect()
+    }
+    assert got == {1: 10.0, 2: 20.0}
+    # the rejected Edit stays staged for resubmission
+    left = {
+        r["s_suppkey"]
+        for r in sinks.read_with_moves(
+            spark, staging, tomb_path=paths["staging_tomb_path"],
+            key_cols=["s_suppkey", "submission_id"],
+        ).collect()
+    }
+    assert left == {3}
+    # and the still-empty-base view stays an error for plain readers
+    import pytest
+
+    probe = str(tmp_path / "never_written")
+    with pytest.raises(ValueError, match="no committed base"):
+        sinks.read_with_promotes(spark, probe, ["s_suppkey"])
+
+
+def test_unmarked_base_under_served_deltas_warns(spark, sf_dir, tmp_path):
+    """ADVICE r07 (low): base part files WITHOUT _SUCCESS while
+    committed deltas are being served must not vanish silently — both
+    merged-view readers emit a UserWarning naming the remedy."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+
+    # --- moves side ---
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tomb = str(tmp_path / "tomb")
+    sup.write.parquet(src)
+    sup.limit(5).write.parquet(dst)
+    os.remove(os.path.join(dst, "_SUCCESS"))  # marker-less base
+    sinks.move_records(
+        spark, src, dst, tomb, F.col("s_suppkey") % 5 == 0, ["s_suppkey"], "mv-1"
+    )
+    with pytest.warns(UserWarning, match="without _SUCCESS"):
+        got = sinks.read_with_moves(spark, dst, moves_for=dst)
+    assert got.count() == sup.where(F.col("s_suppkey") % 5 == 0).count()
+
+    # --- promotes side ---
+    staging = str(tmp_path / "staging")
+    main = str(tmp_path / "main")
+    paths = dict(
+        staging_path=staging, main_path=main,
+        status_path=str(tmp_path / "status"),
+        staging_tomb_path=str(tmp_path / "staging_tombs"),
+    )
+    spark.createDataFrame(
+        [(1, 1, 10.0, "Add", True)],
+        "s_suppkey long, submission_id int, s_acctbal double, action string, approved boolean",
+    ).write.parquet(staging)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-1", **paths,
+    )
+    # retro-write an unmarked base under the same main path
+    spark.createDataFrame(
+        [(9, 99.0)], "s_suppkey long, s_acctbal double"
+    ).write.mode("append").parquet(main)
+    os.remove(os.path.join(main, "_SUCCESS"))
+    with pytest.warns(UserWarning, match="without _SUCCESS"):
+        got = sinks.read_with_promotes(spark, main, ["s_suppkey"])
+    assert {r["s_suppkey"] for r in got.collect()} == {1}
+
+    # a marker-less base with NO deltas anywhere stays a loud error,
+    # and a committed base emits no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        clean = str(tmp_path / "clean")
+        sup.write.parquet(clean)
+        assert sinks.read_with_moves(spark, clean).count() == sup.count()
