@@ -968,7 +968,16 @@ def repeated_ngram_spans(spark, sf_dir):
 # SemDeDup: cluster-scoped semantic dedup over embeddings
 # ---------------------------------------------------------------------------
 
-_SEM_K = 16  # centroid count; scales with |corpus| so cluster size stays bounded
+# Centroid count DERIVES from the corpus so per-cluster size stays
+# bounded (~_SEM_TARGET members) — with a fixed K, intra-cluster
+# pairwise work grows quadratically in the corpus (measured before
+# the fix: 16.5x wall-clock for 10x data, the full-registry 10x sweep's
+# only >10x ratio). The floor keeps K=16 at every verification scale
+# (N=510 at sf0.001/0.01, N=2040 at sf0.1 -> 2040//125=16), so results
+# are unchanged where the gate looks; at the 10x point K=163 and
+# cluster sizes stay ~125.
+_SEM_K_MIN = 16
+_SEM_TARGET = 125  # target members per cluster
 _SEM_TAU = 0.95
 
 
@@ -977,7 +986,8 @@ _SEM_TAU = 0.95
     oracle=f"""
 WITH {_EMB_SQL},
 seeds AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM emb ORDER BY vec_id LIMIT {_SEM_K}
+  SELECT vec_id AS centroid_id, embedding AS ce FROM emb ORDER BY vec_id
+  LIMIT (SELECT greatest({_SEM_K_MIN}, count(*) // {_SEM_TARGET}) FROM emb)
 ),
 assign0 AS (
   SELECT e.vec_id, e.embedding, s.centroid_id,
@@ -1006,16 +1016,19 @@ FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
 )
 def semdedup_clusters(spark, sf_dir):
     """SemDeDup: k-means-cluster the embeddings (deterministic seed
-    centroids — the 16 lowest vec_ids — so the oracle replays
-    assignment bit-for-bit; production runs Lloyd rounds through
-    ann_ivf_lloyd's identical assign pass), then WITHIN each cluster
-    mark every vector whose cosine to a lower-id member is >= tau as
-    a duplicate of the smallest such member. Pairwise cost is scoped
-    to a cluster, never the corpus: K scales with |corpus| at 100 TB
-    so |cluster| stays bounded, which is exactly why SemDeDup beats
-    corpus-wide pairwise at scale. The cluster frame feeds both sides
-    of the pairwise join plus the final flag join, so it persists for
-    the run and the result materializes before release."""
+    centroids — the K lowest vec_ids, K = max(16, N // 125) so cluster
+    size stays ~bounded BY CONSTRUCTION as the corpus grows — so the
+    oracle replays assignment bit-for-bit; production runs Lloyd
+    rounds through ann_ivf_lloyd's identical assign pass), then WITHIN
+    each cluster mark every vector whose cosine to a lower-id member
+    is >= tau as a duplicate of the smallest such member. Pairwise
+    cost is scoped to a cluster, never the corpus — which is exactly
+    why SemDeDup beats corpus-wide pairwise at scale. The broadcast
+    seed frame is K rows (~N/125); past broadcast range the assign
+    pass swaps for ann_ivf_flat's shuffled variant unchanged. The
+    cluster frame feeds both sides of the pairwise join plus the
+    final flag join, so it persists for the run and the result
+    materializes before release."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
@@ -1023,9 +1036,10 @@ def semdedup_clusters(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
+    k = max(_SEM_K_MIN, emb.count() // _SEM_TARGET)
     seeds = (
         emb.orderBy("vec_id")
-        .limit(_SEM_K)
+        .limit(k)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
     assign0 = emb.crossJoin(F.broadcast(seeds)).withColumn(

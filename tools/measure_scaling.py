@@ -51,9 +51,21 @@ def main() -> None:
     passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 2
     if "--sf1" in sys.argv:  # 10x point (build with make_scaled_sf.py --sf1)
         SF_DIRS[1.0] = "/tmp/scaled_sf/sf1"
+    if "--scales" in sys.argv:
+        # restrict to a comma-list of scale factors, e.g. --scales 0.1,1.0
+        # (with --sf1) for a cheap full-registry 10x-ratio sweep — the
+        # coarse net that catches a super-linear query the per-family
+        # exponent sampling missed
+        keep = {float(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")}
+        for sf in [s for s in SF_DIRS if s not in keep]:
+            del SF_DIRS[sf]
     queries = QUERIES
     if "--queries" in sys.argv:
         queries = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    if "--all" in sys.argv:
+        from acuvate_spark.queries import REGISTRY as _R
+
+        queries = sorted(_R)
     from acuvate_spark.queries import REGISTRY
     from acuvate_spark.session import get_spark
 
@@ -83,12 +95,12 @@ def main() -> None:
         rec = {
             "query": q,
             "t": {str(sf): round(t, 2) for sf, t in pts},
-            "ratio_0.2": round(times[q][0.2] / times[q][0.1], 2),
-            "ratio_0.5": round(times[q][0.5] / times[q][0.1], 2),
             "exponent": round(slope, 2),
         }
-        if 1.0 in times[q]:
-            rec["ratio_1"] = round(times[q][1.0] / times[q][0.1], 2)
+        base_sf = min(times[q])
+        for sf in sorted(times[q]):
+            if sf != base_sf:
+                rec[f"ratio_{sf:g}"] = round(times[q][sf] / times[q][base_sf], 2)
         out.append(rec)
         print(json.dumps(rec))
     spark.stop()
