@@ -41,6 +41,29 @@ def _money_sum(col, alias):
     )
 
 
+def _with_ansi_empty_grand_total(agg, row_exprs):
+    """Spark's Expand-based CUBE/ROLLUP emits ZERO rows on empty input;
+    ANSI (and the DuckDB oracles) emit the () grouping-set row — the
+    grand total aggregated over zero rows (count 0, sums NULL). Append
+    exactly that row when — and only when — the grouped result is
+    empty. The marker aggregates the GROUPED OUTPUT (grouping-set
+    cardinality, never input rows); since the grouped frame feeds two
+    consumers (the union and the marker) it is localCheckpoint-ed
+    first — materializing #groups rows — so the input is scanned once
+    (measured: neither ReuseExchange nor AQE dedupes the twin
+    aggregate subtrees here, and the double-consumer class is the
+    repo's recurring bug #1). ``row_exprs`` are the literal columns of
+    the grand-total row, already aliased and cast to the result
+    schema."""
+    agg = agg.localCheckpoint()
+    marker = (
+        agg.groupBy()
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == 0)
+    )
+    return agg.unionByName(marker.select(*row_exprs))
+
+
 # ---------------------------------------------------------------------------
 # Flagship: GetData paginated read (reference app.py:5029-5109, SURVEY §3.3)
 # ---------------------------------------------------------------------------
@@ -1073,9 +1096,12 @@ def rollup_sales(spark, sf_dir):
     subtotals, and the grand total via ROLLUP — the multi-resolution
     aggregate a warehouse serves from a single shuffle instead of
     three queries. grouping_id disambiguates subtotal rows from real
-    NULL groups (both engines use the same bitmask order)."""
+    NULL groups (both engines use the same bitmask order). On empty
+    input ANSI still emits the grand-total row (gid 3, count 0, sum
+    NULL) — appended via _with_ansi_empty_grand_total, where Spark's
+    Expand aggregate alone would return nothing."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    agg = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
@@ -1083,6 +1109,16 @@ def rollup_sales(spark, sf_dir):
             _money_sum(F.col("l_extendedprice"), "revenue"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
+    )
+    return _with_ansi_empty_grand_total(
+        agg,
+        [
+            F.lit(None).cast("string").alias("l_returnflag"),
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(3).cast("long").alias("gid"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(None).cast("double").alias("revenue"),
+        ],
     )
 
 
@@ -1157,13 +1193,15 @@ def cube_order_year(spark, sf_dir):
     one-dimensional margins and the grand total, from ONE shuffle.
     Completes the grouping-sets trio next to rollup_sales and
     pivot_order_status; grouping_id's bitmask disambiguates margin
-    rows from genuine NULL groups identically in both engines."""
+    rows from genuine NULL groups identically in both engines. On
+    empty input the ANSI grand-total row (gid 3, count 0, sum NULL)
+    is appended via _with_ansi_empty_grand_total."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
         F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
         "o_totalprice",
     )
-    return (
+    agg = (
         o.cube("o_orderstatus", "order_year")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
@@ -1171,6 +1209,16 @@ def cube_order_year(spark, sf_dir):
             _money_sum(F.col("o_totalprice"), "total"),
         )
         .select("o_orderstatus", "order_year", "gid", "n_orders", "total")
+    )
+    return _with_ansi_empty_grand_total(
+        agg,
+        [
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("long").alias("order_year"),
+            F.lit(3).cast("long").alias("gid"),
+            F.lit(0).cast("long").alias("n_orders"),
+            F.lit(None).cast("double").alias("total"),
+        ],
     )
 
 

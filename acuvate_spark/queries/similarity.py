@@ -499,9 +499,14 @@ def _kcenter_oracle() -> str:
         + _kcenter_dist_sql("e.embedding", "s.ce")
         + " AS mind FROM e CROSS JOIN (SELECT embedding AS ce FROM e WHERE vec_id = 0) s)"
     )
+    # every unrolled row is guarded on the seed existing: with no
+    # vec_id 0 (in particular an EMPTY corpus) the trajectory is
+    # undefined and both engines return zero rows instead of k
+    # literal/NULL rows (Spark twin: the early return in the plan)
+    guard = " WHERE EXISTS (SELECT 1 FROM e WHERE e.vec_id = 0)"
     selects = [
         "SELECT CAST(1 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS vec_id, "
-        "CAST(0 AS BIGINT) AS dist_micro"
+        "CAST(0 AS BIGINT) AS dist_micro" + guard
     ]
     for r in range(2, _KCENTER_K + 1):
         prev = f"d{r - 1}"
@@ -510,7 +515,7 @@ def _kcenter_oracle() -> str:
         )
         selects.append(
             f"SELECT CAST({r} AS BIGINT), (SELECT vec_id FROM c{r}), "
-            f"(SELECT mind FROM c{r})"
+            f"(SELECT mind FROM c{r})" + guard
         )
         if r < _KCENTER_K:
             parts.append(
@@ -560,7 +565,13 @@ def coreset_kcenter(spark, sf_dir):
             .cast("long")
         )
 
-    seed = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    seed_row = e.where(F.col("vec_id") == 0).select("embedding").first()
+    if seed_row is None:
+        # no seed point (empty corpus, or no vec_id 0): the greedy
+        # trajectory is undefined — return the empty selection, the
+        # same zero rows the EXISTS-guarded oracle produces
+        return spark.createDataFrame([], "sel_rank long, vec_id long, dist_micro long")
+    seed = seed_row[0]
     mind = e.select("vec_id", "embedding", dist_to(seed).alias("mind")).localCheckpoint()
     rows = [(1, 0, 0)]
     for r in range(2, _KCENTER_K + 1):
