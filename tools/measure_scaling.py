@@ -51,6 +51,8 @@ def main() -> None:
     passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 2
     if "--sf1" in sys.argv:  # 10x point (build with make_scaled_sf.py --sf1)
         SF_DIRS[1.0] = "/tmp/scaled_sf/sf1"
+    if "--sf2" in sys.argv:  # 20x point (build with make_scaled_sf.py --sf2)
+        SF_DIRS[2.0] = "/tmp/scaled_sf/sf2"
     if "--scales" in sys.argv:
         # restrict to a comma-list of scale factors, e.g. --scales 0.1,1.0
         # (with --sf1) for a cheap full-registry 10x-ratio sweep — the
