@@ -1,0 +1,194 @@
+"""Exact nearest-centroid assignment with two physical strategies —
+the broadcast cross (small K) and a two-level shuffled equi-join
+(large K) — producing IDENTICAL results.
+
+This is the assign pass shared by the IVF family (``ann_ivf_flat``,
+``ann_ivf_lloyd``) and SemDeDup (``semdedup_clusters``). Both need,
+for every corpus vector, its top-``n_best`` centroids under
+``(cosine_rounded(v, c, 4) DESC, centroid_id ASC)``.
+
+Why two strategies (VERDICT r08 item 1): the broadcast form ships the
+whole K-row centroid frame to every task and evaluates N x K cosines.
+For IVF's fixed K=16 that is definitionally right; for SemDeDup K
+derives from the corpus (K = N/125), so at real corpus scale
+(N ~ 1e9 -> K ~ 8e6 rows x 64 floats) the seed frame exceeds any
+broadcast budget and the N x K multiply is the measured super-linear
+term (9.5x at the 20x point). Past ``BROADCAST_MAX_K`` the assign
+swaps to the shuffled form below.
+
+Shuffled form — a coarse quantizer over the centroids themselves:
+
+1. pick S = ceil(sqrt(K)) "super-centroids" (the S smallest
+   centroid_ids — a deterministic subset of the centroids);
+2. assign every centroid to its nearest super (map-side argmax over a
+   1-row broadcast array of the S supers) and record the cell radius
+   r(T) = max distance of a member to its super (one K-row shuffle);
+3. per corpus vector, map-side over the same 1-row cell array:
+   compute cos(v, t) per super, derive the candidate cells, explode;
+4. exact cosine only inside candidate cells via a SHUFFLED equi-join
+   on the cell id — no K-row broadcast anywhere — then a per-vector
+   top-``n_best`` window.
+
+Exactness (not an approximation): on unit-normalized vectors
+``d(v, c)^2 = 2 - 2 cos(v, c)``, and the triangle inequality gives,
+for any centroid c in cell T, ``d(v, c) >= d(v, t) - r(T)``, hence
+
+    cos(v, c) <= 1 - max(0, d(v, t) - r(T))^2 / 2  =: ub(T).
+
+Each super IS a centroid, so the ``n_best``-th largest cos(v, t) is a
+lower bound ``lb`` on the true ``n_best``-th best centroid cosine. A
+cell with ``ub(T) < lb - SLACK`` cannot hold a top-``n_best`` centroid
+even after the 4-digit rounding (two values rounding equal differ by
+< 1e-4 raw; SLACK = 2.5e-4 also swallows float noise in ub), so
+pruning it never changes the rounded-and-tie-broken top-``n_best``.
+The supers' own cells always survive the filter (ub >= their own
+cos >= lb), so every vector keeps >= n_best candidates.
+
+Cost at scale: the 1-row array attaches are map-side; the only data
+shuffles are the K-row radius aggregate and the candidate equi-join
+(N x avg-candidate-cells rows) + the top-k window — all linear in N
+for a fixed data distribution. The K x S member-assign compare is
+K^1.5 total FLOPs, one-time and distributed — and it is evaluated
+TWICE (the member frame feeds both the radius aggregate and the
+probe join; recompute beats an eager checkpoint inside a lazy
+operator, and 2 x K^1.5 is still a vanishing fraction of the N-side
+work). A third tier repeats the same construction if K^1.5 ever
+dominates.
+
+Both strategies appear in plan form in ``tests/test_assign.py``: the
+broadcast path keeps its (allowlisted) BroadcastNestedLoopJoin over
+the K-row frame; the shuffled path's only nested loops are the 1-row
+array attaches, and the exact compare is a shuffled equi-join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors
+
+# Documented broadcast threshold: 64k centroids x 64 float32 + ids
+# ~ 20 MB serialized — comfortably inside executor broadcast budgets;
+# the next octave (128k x 64) is where task-heap pressure starts.
+# SemDeDup's K = N/125 crosses this at N ~ 8.2M corpus vectors.
+BROADCAST_MAX_K = 65_536
+
+# Rounded-compare slack: cosine_rounded uses 4 digits, so two raw
+# values rounding to >= the same bucket differ by < 1e-4; 2.5e-4 also
+# covers double-precision noise in the ub computation.
+_SLACK = 2.5e-4
+
+_MODE_CONF = "spark.acuvate.assign.mode"  # auto | broadcast | shuffled
+
+
+def _resolved_mode(df: DataFrame, k_hint: int) -> str:
+    mode = df.sparkSession.conf.get(_MODE_CONF, "auto")
+    if mode in ("broadcast", "shuffled"):
+        return mode
+    return "broadcast" if k_hint <= BROADCAST_MAX_K else "shuffled"
+
+
+def nearest_centroids(
+    vec_df: DataFrame, cent_df: DataFrame, *, k_hint: int, n_best: int = 1
+) -> DataFrame:
+    """Top-``n_best`` centroids per vector, ranked by
+    ``(cosine_rounded(embedding, ce, 4) DESC, centroid_id ASC)``.
+
+    ``vec_df``: (vec_id, embedding); ``cent_df``: (centroid_id, ce).
+    ``k_hint``: the caller's centroid count (drives the auto mode
+    switch; never affects results). Returns (vec_id, embedding,
+    centroid_id, ccos, rn) with rn in 1..n_best — identical rows from
+    either strategy.
+    """
+    if _resolved_mode(vec_df, k_hint) == "broadcast":
+        ranked = vec_df.crossJoin(F.broadcast(cent_df)).withColumn(
+            "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+        )
+    else:
+        ranked = _shuffled_candidates(vec_df, cent_df, k_hint=k_hint, n_best=n_best)
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_best)
+        .select("vec_id", "embedding", "centroid_id", "ccos", "rn")
+    )
+
+
+def _shuffled_candidates(
+    vec_df: DataFrame, cent_df: DataFrame, *, k_hint: int, n_best: int
+) -> DataFrame:
+    """Candidate (vector, centroid) pairs with exact ``ccos``,
+    guaranteed to contain the true top-``n_best`` per vector (proof in
+    the module docstring). The window in :func:`nearest_centroids`
+    does the final ranking."""
+    s_count = max(n_best, math.isqrt(max(k_hint, 1)) + 1)
+    supers = (
+        cent_df.orderBy("centroid_id")
+        .limit(s_count)
+        .select(F.col("centroid_id").alias("sid"), F.col("ce").alias("se"))
+    )
+
+    # centroid -> nearest super, map-side over a 1-row array of supers
+    supers_arr = supers.agg(F.collect_list(F.struct("sid", "se")).alias("_supers"))
+    best = F.array_max(
+        F.transform(
+            F.col("_supers"),
+            lambda s: F.struct(
+                vectors.cosine(F.col("ce"), s["se"]).alias("c"),
+                (-s["sid"]).alias("nsid"),
+            ),
+        )
+    )
+    members = (
+        cent_df.crossJoin(F.broadcast(supers_arr))
+        .withColumn("_b", best)
+        .select(
+            "centroid_id",
+            "ce",
+            (-F.col("_b.nsid")).alias("sid"),
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * F.col("_b.c"))).alias("_d"),
+        )
+    )
+    radii = members.groupBy("sid").agg(F.max("_d").alias("r"))
+    cells_arr = (
+        supers.join(radii, "sid")
+        .agg(F.collect_list(F.struct("sid", "se", "r")).alias("_cells"))
+    )
+
+    # vector -> candidate cells, map-side over the 1-row cell array
+    stats = F.transform(
+        F.col("_cells"),
+        lambda c: F.struct(
+            c["sid"].alias("sid"),
+            vectors.cosine(F.col("embedding"), c["se"]).alias("c"),
+            c["r"].alias("r"),
+        ),
+    )
+    neg_sorted = F.array_sort(F.transform(F.col("_stats"), lambda x: -x["c"]))
+    lb = F.when(
+        F.size(F.col("_stats")) >= n_best, -F.element_at(neg_sorted, n_best)
+    ).otherwise(F.lit(-2.0))
+
+    def _ub(x):
+        d = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * x["c"]))
+        gap = F.greatest(F.lit(0.0), d - x["r"])
+        return F.lit(1.0) - gap * gap / 2.0
+
+    cand = F.filter(F.col("_stats"), lambda x: _ub(x) >= F.col("_lb") - F.lit(_SLACK))
+    exploded = (
+        vec_df.crossJoin(F.broadcast(cells_arr))
+        .withColumn("_stats", stats)
+        .withColumn("_lb", lb)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.transform(cand, lambda x: x["sid"])).alias("sid"),
+        )
+    )
+    return exploded.join(members.select("sid", "centroid_id", "ce"), "sid").withColumn(
+        "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+    )

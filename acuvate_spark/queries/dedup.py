@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import textual, vectors
+from ..operators import assign
 from ..operators import dedup as dedup_ops
 from ..tables import load_table, repartition_for_compute
 from .registry import register
@@ -1023,12 +1024,16 @@ def semdedup_clusters(spark, sf_dir):
     each cluster mark every vector whose cosine to a lower-id member
     is >= tau as a duplicate of the smallest such member. Pairwise
     cost is scoped to a cluster, never the corpus — which is exactly
-    why SemDeDup beats corpus-wide pairwise at scale. The broadcast
-    seed frame is K rows (~N/125); past broadcast range the assign
-    pass swaps for ann_ivf_flat's shuffled variant unchanged. The
-    cluster frame feeds both sides of the pairwise join plus the
-    final flag join, so it persists for the run and the result
-    materializes before release."""
+    why SemDeDup beats corpus-wide pairwise at scale. The assign pass
+    is ``operators.assign.nearest_centroids``: K <= 64k broadcasts the
+    seed frame; past that (K = N/125 crosses it at N ~ 8.2M) it swaps
+    to the two-level shuffled equi-join with identical results — no
+    K-row broadcast and no N x K multiply at corpus scale. K derives
+    from ONE 1-row aggregate over the base table (count + clone
+    count), not a count of the materialized union. The cluster frame
+    feeds both sides of the pairwise join plus the final flag join, so
+    it persists for the run and the result materializes before
+    release."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
@@ -1036,21 +1041,18 @@ def semdedup_clusters(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
-    k = max(_SEM_K_MIN, emb.count() // _SEM_TARGET)
+    cnt = e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") % 50 == 0, 1)).alias("nc"),
+    ).first()
+    k = max(_SEM_K_MIN, (cnt["n"] + cnt["nc"]) // _SEM_TARGET)
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
-    assign0 = emb.crossJoin(F.broadcast(seeds)).withColumn(
-        "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id")
-    )
     cell = (
-        assign0.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
+        assign.nearest_centroids(emb, seeds, k_hint=k, n_best=1)
         .select("vec_id", "embedding", "centroid_id")
         .persist()
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors
+from ..operators import assign
 from ..tables import load_table, repartition_for_compute
 from .registry import register
 
@@ -194,14 +195,18 @@ FROM ranked WHERE rn <= 3
 def ann_ivf_flat(spark, sf_dir):
     """IVF-flat ANN: the corpus is inverted-file-partitioned by
     nearest centroid; a query probes only its nprobe nearest cells and
-    runs exact cosine inside them. The assign pass broadcasts the K
-    centroids over the corpus (map-side only), so at 100 TB the index
-    build is one scan and the probe is an equi-join on centroid_id —
-    candidates shrink ~K/nprobe-fold vs the full corpus. Centroids
-    here are deterministic seed vectors (the K smallest vec_ids) so
-    the oracle can replay training bit-for-bit; production IVF runs a
-    few Lloyd rounds through the identical assign pass (mean-agg per
-    cell) without changing the probe-side plan."""
+    runs exact cosine inside them. The assign pass is
+    ``operators.assign.nearest_centroids``: at K <= 64k it broadcasts
+    the K centroids over the corpus (map-side only); past that it
+    swaps to the two-level shuffled equi-join with identical results
+    (module docstring has the exactness proof), so the index build
+    stays one scan at ANY K and the probe is an equi-join on
+    centroid_id — candidates shrink ~K/nprobe-fold vs the full
+    corpus. Centroids here are deterministic seed vectors (the K
+    smallest vec_ids) so the oracle can replay training bit-for-bit;
+    production IVF runs a few Lloyd rounds through the identical
+    assign pass (mean-agg per cell) without changing the probe-side
+    plan."""
     e = repartition_for_compute(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
@@ -210,13 +215,10 @@ def ann_ivf_flat(spark, sf_dir):
         .limit(_IVF_K)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
-    ccos = vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
-    assign0 = e.crossJoin(F.broadcast(seeds)).withColumn("ccos", ccos)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
-    ranked_cells = assign0.withColumn("rn", F.row_number().over(w_assign))
+    ranked_cells = assign.nearest_centroids(e, seeds, k_hint=_IVF_K, n_best=_IVF_NPROBE)
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     probes = (
-        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC) & (F.col("rn") <= _IVF_NPROBE))
+        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
         .join(
             e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
@@ -323,8 +325,9 @@ def ann_ivf_lloyd(spark, sf_dir):
     aggregation is order-of-summation dependent and could never be
     oracle-checked bit-exactly, while integer sums are associative —
     the same portability rule pagerank_fixed uses. Per iteration at
-    100 TB: one broadcast join (K centroids over the corpus) + one
-    (cell, dim) partial-agg shuffle of 64 longs per vector — the
+    100 TB: one assign pass (``operators.assign.nearest_centroids`` —
+    broadcast at K <= 64k, the shuffled equi-join variant past it) +
+    one (cell, dim) partial-agg shuffle of 64 longs per vector — the
     corpus embedding column itself never shuffles; more Lloyd rounds
     repeat the identical plan with bounded lineage."""
     e = repartition_for_compute(
@@ -336,14 +339,8 @@ def ann_ivf_lloyd(spark, sf_dir):
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
 
-    def best_cell(frame, cent_frame):
-        ccos = vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
-        assign = frame.crossJoin(F.broadcast(cent_frame)).withColumn("ccos", ccos)
-        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
-        return assign.withColumn("rn", F.row_number().over(w))
-
-    cell0 = (
-        best_cell(e, seeds).where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
+    cell0 = assign.nearest_centroids(e, seeds, k_hint=_IVF_K, n_best=1).select(
+        "vec_id", "embedding", "centroid_id"
     )
     comp = cell0.select(
         "centroid_id",
@@ -371,10 +368,10 @@ def ann_ivf_lloyd(spark, sf_dir):
             lambda s: s.val,
         ).alias("ce")
     )
-    ranked1 = best_cell(e, cent)
+    ranked1 = assign.nearest_centroids(e, cent, k_hint=_IVF_K, n_best=_IVF_NPROBE)
     cell1 = ranked1.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
     probes = (
-        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC) & (F.col("rn") <= _IVF_NPROBE))
+        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
         .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
         .join(
             e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
