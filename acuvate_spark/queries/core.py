@@ -41,23 +41,24 @@ def _money_sum(col, alias):
     )
 
 
-def _with_ansi_empty_grand_total(agg, row_exprs):
+def _with_ansi_empty_grand_total(agg, src, row_exprs):
     """Spark's Expand-based CUBE/ROLLUP emits ZERO rows on empty input;
     ANSI (and the DuckDB oracles) emit the () grouping-set row — the
     grand total aggregated over zero rows (count 0, sums NULL). Append
-    exactly that row when — and only when — the grouped result is
-    empty. The marker aggregates the GROUPED OUTPUT (grouping-set
-    cardinality, never input rows); since the grouped frame feeds two
-    consumers (the union and the marker) it is localCheckpoint-ed
-    first — materializing #groups rows — so the input is scanned once
-    (measured: neither ReuseExchange nor AQE dedupes the twin
-    aggregate subtrees here, and the double-consumer class is the
-    repo's recurring bug #1). ``row_exprs`` are the literal columns of
-    the grand-total row, already aliased and cast to the result
-    schema."""
-    agg = agg.localCheckpoint()
+    exactly that row when — and only when — the INPUT is empty: the
+    marker is a 1-row global count over ``src`` (the cube's input
+    frame) filtered to ``count == 0``, so on non-empty input it
+    contributes nothing and on empty input it contributes exactly the
+    () row, whose aggregate values over zero rows are the
+    ``row_exprs`` literals. Guarding from the input side keeps the
+    grouped frame single-consumer — the r08 form localCheckpoint-ed
+    it to feed a grouped-output marker, which cost an eager
+    materialization job and a +20% pin on cube_order_year (VERDICT
+    r08 finding 2). The input scan is consumed twice, but the second
+    consumer is a column-pruned map-side-combined COUNT that reduces
+    to one row before the shuffle."""
     marker = (
-        agg.groupBy()
+        src.groupBy()
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") == 0)
     )
@@ -1112,6 +1113,7 @@ def rollup_sales(spark, sf_dir):
     )
     return _with_ansi_empty_grand_total(
         agg,
+        li,
         [
             F.lit(None).cast("string").alias("l_returnflag"),
             F.lit(None).cast("string").alias("l_linestatus"),
@@ -1212,6 +1214,7 @@ def cube_order_year(spark, sf_dir):
     )
     return _with_ansi_empty_grand_total(
         agg,
+        o,
         [
             F.lit(None).cast("string").alias("o_orderstatus"),
             F.lit(None).cast("long").alias("order_year"),

@@ -13,8 +13,10 @@ defects, all fixed and pinned here:
 * ``cube_order_year`` / ``rollup_sales``: Spark's Expand-based
   CUBE/ROLLUP emits ZERO rows on empty input where ANSI (and DuckDB)
   emit the () grouping-set grand-total row (count 0, sums NULL) —
-  appended via ``core._with_ansi_empty_grand_total`` over the
-  localCheckpoint-ed grouped output (single input scan).
+  appended via ``core._with_ansi_empty_grand_total``, an input-side
+  1-row count guard (r09 removed the r08 localCheckpoint form, which
+  cost an eager materialization job; the grouped frame is now
+  single-consumer and the guard is a column-pruned map-side count).
 
 The parametrized subset keeps suite time bounded; the full-registry
 sweep is the per-round audit tool run.
