@@ -158,11 +158,17 @@ def _warn_unmarked_base(path: str) -> None:
     served the base rows would otherwise vanish silently from the
     merged view — so surface it. Migration note: a pre-existing
     marker-less base must be seeded with a ``_SUCCESS`` file (after
-    verifying the write completed) before deltas are layered on it."""
+    verifying the write completed) before deltas are layered on it.
+    The check globs RECURSIVELY (ADVICE r08): the serving convention
+    is top-level-only, but a hive-partitioned marker-less base is the
+    same silent-loss shape and this warning is diagnostic-only, so it
+    need not mirror the serving glob exactly."""
     import glob as _glob
     import warnings
 
-    if not _has_success(path) and _glob.glob(os.path.join(path, "*.parquet")):
+    if not _has_success(path) and _glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
         warnings.warn(
             f"{path}: base part files present without _SUCCESS are not served "
             "(crash-invisibility contract) while committed deltas are; if this "
@@ -245,6 +251,7 @@ def promote_records(
     promote_id: str,
     staging_key_cols: list[str] | None = None,
     on_between: Callable[[int], None] | None = None,
+    bootstrap_ok: bool = False,
 ) -> None:
     """M6 WRITE SIDE — the reference's approve workflow
     (approve_tag_equipment app.py:5706-5888): approved staging rows
@@ -309,8 +316,18 @@ def promote_records(
         ).where(predicate)
         main_now = read_with_promotes(spark, main_path, key_cols, missing_ok=True)
         if main_now is None:
-            # brand-new register: the main key set is empty, so every
-            # staged key is missing — Adds validate, Edits reject
+            # brand-new register: explicit opt-in only (ADVICE r08) —
+            # otherwise a mistyped/misconfigured main_path would
+            # silently bootstrap a fresh register instead of failing
+            if not bootstrap_ok:
+                raise ValueError(
+                    f"{main_path}: no committed base and no committed "
+                    "promotes; pass bootstrap_ok=True to initialize a "
+                    "brand-new register (the guard exists so a mistyped "
+                    "main_path fails loudly instead of bootstrapping)"
+                )
+            # the main key set is empty, so every staged key is
+            # missing — Adds validate, Edits reject
             exists = staging.limit(0)
             missing = staging
         else:

@@ -642,7 +642,11 @@ def test_promote_seq_survives_empty_committed_deltas(spark, sf_dir, tmp_path):
 def test_promote_records_bootstraps_brand_new_main(spark, tmp_path):
     """ADVICE r07 (low): a first Add-only promote onto a register with
     NO committed base and NO deltas must treat the main key set as
-    empty (Adds validate, Edits reject) instead of raising."""
+    empty (Adds validate, Edits reject) instead of raising — but only
+    under an explicit ``bootstrap_ok=True`` opt-in (ADVICE r08: an
+    unconditional bootstrap would let a mistyped main_path silently
+    initialize a fresh register)."""
+    import pytest as _pytest
     from pyspark.sql import functions as F
 
     staging = str(tmp_path / "staging")
@@ -657,10 +661,17 @@ def test_promote_records_bootstraps_brand_new_main(spark, tmp_path):
          (3, 1, 30.0, "Edit", True)],  # Edit on empty main: invalid
         "s_suppkey long, submission_id int, s_acctbal double, action string, approved boolean",
     ).write.parquet(staging)
+    # without the opt-in, a missing main register fails loudly
+    with _pytest.raises(ValueError, match="bootstrap_ok"):
+        sinks.promote_records(
+            spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+            staging_key_cols=["s_suppkey", "submission_id"],
+            action_col="action", promote_id="pr-boot", **paths,
+        )
     sinks.promote_records(
         spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
         staging_key_cols=["s_suppkey", "submission_id"],
-        action_col="action", promote_id="pr-boot", **paths,
+        action_col="action", promote_id="pr-boot", bootstrap_ok=True, **paths,
     )
     got = {
         r["s_suppkey"]: r["s_acctbal"]
@@ -726,7 +737,7 @@ def test_unmarked_base_under_served_deltas_warns(spark, sf_dir, tmp_path):
     sinks.promote_records(
         spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
         staging_key_cols=["s_suppkey", "submission_id"],
-        action_col="action", promote_id="pr-1", **paths,
+        action_col="action", promote_id="pr-1", bootstrap_ok=True, **paths,
     )
     # retro-write an unmarked base under the same main path
     spark.createDataFrame(
@@ -744,3 +755,26 @@ def test_unmarked_base_under_served_deltas_warns(spark, sf_dir, tmp_path):
         clean = str(tmp_path / "clean")
         sup.write.parquet(clean)
         assert sinks.read_with_moves(spark, clean).count() == sup.count()
+
+
+def test_unmarked_partitioned_base_under_served_deltas_warns(spark, sf_dir, tmp_path):
+    """ADVICE r08 (low): the unmarked-base diagnostic must also see a
+    hive-partitioned (subdir) base — part files live below the top
+    level, so a top-level-only glob was blind to this shape."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", (F.col("s_suppkey") % 2).alias("p")
+    )
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tomb = str(tmp_path / "tomb")
+    sup.drop("p").write.parquet(src)
+    sup.limit(5).write.partitionBy("p").parquet(dst)  # hive-style base
+    os.remove(os.path.join(dst, "_SUCCESS"))
+    sinks.move_records(
+        spark, src, dst, tomb, F.col("s_suppkey") % 5 == 0, ["s_suppkey"], "mv-1"
+    )
+    with pytest.warns(UserWarning, match="without _SUCCESS"):
+        sinks.read_with_moves(spark, dst, moves_for=dst)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -50,7 +52,7 @@ def test_blob_ingest_checkpoint_and_dlq(spark, tmp_path):
     q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
     q.awaitTermination()
 
-    routed = spark.read.parquet(os.path.join(str(out_dir), "routed"))
+    routed = blob_ingest.routed_files(spark, str(out_dir))
     paths = {os.path.basename(r["path"]) for r in routed.collect()}
     assert paths == {"E17-A_A4010-0001.pdf", "E17-C_B5-0003.pdf"}
     pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
@@ -61,7 +63,7 @@ def test_blob_ingest_checkpoint_and_dlq(spark, tmp_path):
     _touch(str(input_dir / "E17-D_A6-0004.png"))
     q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
     q.awaitTermination()
-    routed = spark.read.parquet(os.path.join(str(out_dir), "routed"))
+    routed = blob_ingest.routed_files(spark, str(out_dir))
     assert routed.count() == 3  # 2 + 1, no reprocessing of succeeded files
     pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
     assert len(pend) == 1 and pend[0]["attempts"] == 2
@@ -72,9 +74,96 @@ def test_blob_ingest_checkpoint_and_dlq(spark, tmp_path):
         q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
         q.awaitTermination()
     assert blob_ingest.retry_pending(spark, str(out_dir)).count() == 0
-    dlq = spark.read.parquet(os.path.join(str(out_dir), "dlq")).collect()
+    dlq = blob_ingest.dead_letters(spark, str(out_dir)).collect()
     assert len(dlq) == 1 and "bad.corrupt.pdf" in dlq[0]["path"]
     assert dlq[0]["attempts"] == blob_ingest.MAX_RETRIES
+
+
+def test_retry_pass_kill_between_dlq_and_state_replays_exactly_once(spark, tmp_path):
+    """VERDICT r08 item 6: kill the retry pass BETWEEN its dlq commit
+    and its retry-state commit, replay, and assert the exhausted blob
+    is dead-lettered exactly once (the pre-r09 append dlq wrote it
+    twice on this seam) and nothing is lost."""
+    input_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    input_dir.mkdir()
+    _touch(str(input_dir / "bad.corrupt.pdf"))
+
+    # drive attempts to MAX_RETRIES - 1 (next failure dead-letters)
+    for _ in range(blob_ingest.MAX_RETRIES - 1):
+        q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
+        q.awaitTermination()
+    pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
+    assert len(pend) == 1 and pend[0]["attempts"] == blob_ingest.MAX_RETRIES - 1
+
+    class Boom(Exception):
+        pass
+
+    def crash(seam):
+        if seam == "dlq":
+            raise Boom()
+
+    with pytest.raises(Boom):
+        blob_ingest.start_blob_ingest(
+            spark, str(input_dir), str(ckpt), str(out_dir), on_between=crash
+        )
+    # dlq committed before the kill; the state still holds the blob
+    assert blob_ingest.dead_letters(spark, str(out_dir)).count() == 1
+    assert blob_ingest.retry_pending(spark, str(out_dir)).count() == 1
+
+    # replay: the pass recomputes from the same committed state and
+    # OVERWRITES the same dlq target — exactly one dead letter, the
+    # retry queue drains, nothing lost
+    q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
+    q.awaitTermination()
+    dlq = blob_ingest.dead_letters(spark, str(out_dir)).collect()
+    assert len(dlq) == 1 and "bad.corrupt.pdf" in dlq[0]["path"]
+    assert dlq[0]["attempts"] == blob_ingest.MAX_RETRIES
+    assert blob_ingest.retry_pending(spark, str(out_dir)).count() == 0
+    # and a further pass stays a no-op
+    q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
+    q.awaitTermination()
+    assert blob_ingest.dead_letters(spark, str(out_dir)).count() == 1
+
+
+def test_batch_kill_between_state_write_and_checkpoint_replays_exactly_once(
+    spark, tmp_path
+):
+    """VERDICT r08 item 6, second seam: kill a stream batch AFTER its
+    retry-state commit but BEFORE the source checkpoint commits. The
+    replayed batch must not reset the failure's attempt counter (the
+    r07 anti-join hardening) and must not duplicate routed rows (the
+    per-batch overwrite target)."""
+    input_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    input_dir.mkdir()
+    _touch(str(input_dir / "E17-A_A4010-0001.pdf"))
+    _touch(str(input_dir / "bad.corrupt.pdf"))
+
+    class Boom(Exception):
+        pass
+
+    def crash(seam):
+        if seam == "batch-state":
+            raise Boom()
+
+    q = blob_ingest.start_blob_ingest(
+        spark, str(input_dir), str(ckpt), str(out_dir), on_between=crash
+    )
+    with pytest.raises(Exception):  # surfaces as StreamingQueryException
+        q.awaitTermination()
+    pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
+    assert len(pend) == 1 and pend[0]["attempts"] == 1
+
+    # replay: checkpoint never committed, so the batch redelivers; the
+    # retry pass FIRST re-attempts the pending blob (attempts -> 2),
+    # then the replayed batch must neither reset it to 1 nor re-append
+    # the succeeded blob
+    q = blob_ingest.start_blob_ingest(spark, str(input_dir), str(ckpt), str(out_dir))
+    q.awaitTermination()
+    pend = blob_ingest.retry_pending(spark, str(out_dir)).collect()
+    assert len(pend) == 1 and pend[0]["attempts"] == 2
+    routed = blob_ingest.routed_files(spark, str(out_dir)).collect()
+    assert [os.path.basename(r["path"]) for r in routed] == ["E17-A_A4010-0001.pdf"]
+    assert blob_ingest.dead_letters(spark, str(out_dir)).count() == 0
 
 
 def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):

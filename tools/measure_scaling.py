@@ -87,18 +87,18 @@ def main() -> None:
     out = []
     for q in queries:
         pts = sorted(times[q].items())
-        xs = [math.log(sf) for sf, _ in pts]
-        ys = [math.log(t) for _, t in pts]
-        n = len(pts)
-        mx, my = sum(xs) / n, sum(ys) / n
-        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
-        rec = {
-            "query": q,
-            "t": {str(sf): round(t, 2) for sf, t in pts},
-            "exponent": round(slope, 2),
-        }
+        rec = {"query": q, "t": {str(sf): round(t, 2) for sf, t in pts}}
+        # a single-scale run has no fit (and must not ZeroDivisionError
+        # away the whole timed sweep — ADVICE r08): emit timings only
+        if len(pts) >= 2:
+            xs = [math.log(sf) for sf, _ in pts]
+            ys = [math.log(t) for _, t in pts]
+            n = len(pts)
+            mx, my = sum(xs) / n, sum(ys) / n
+            slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+                (x - mx) ** 2 for x in xs
+            )
+            rec["exponent"] = round(slope, 2)
         base_sf = min(times[q])
         for sf in sorted(times[q]):
             if sf != base_sf:
