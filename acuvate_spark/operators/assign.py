@@ -47,7 +47,9 @@ cos >= lb), so every vector keeps >= n_best candidates.
 Cost at scale: the 1-row array attaches are map-side; the only data
 shuffles are the K-row radius aggregate and the candidate equi-join
 (N x avg-candidate-cells rows) + the top-k window — all linear in N
-for a fixed data distribution. The K x S member-assign compare is
+for a fixed data distribution. The map-side FLOP count per vector is
+S = sqrt(K) super cosines (N*sqrt(K) total — the standard two-level
+IVF coarse-quantizer cost, vs the broadcast form's N*K). The K x S member-assign compare is
 K^1.5 total FLOPs, one-time and distributed — and it is evaluated
 TWICE (the member frame feeds both the radius aggregate and the
 probe join; recompute beats an eager checkpoint inside a lazy

@@ -33,6 +33,21 @@ def scaled(tmp_path_factory):
     return f"{out_root}/sft"
 
 
+def test_cli_plan_pins_sf1_and_sf2_harness_paths():
+    """Round protocol since r09: the per-round coarse net runs at BOTH
+    the 10x (``--sf1``) and 20x (``--sf2``) points. Pin the flag -> (sf
+    label, k) mapping so the harness path can't silently drift."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    import make_scaled_sf as m
+
+    assert m.plan([]) == [("0.2", 2), ("0.5", 5)]
+    assert ("1", 10) in m.plan(["--sf1"])
+    assert ("2", 20) in m.plan(["--sf2"])
+    assert m.plan(["--sf1", "--sf2"]) == [
+        ("0.2", 2), ("0.5", 5), ("1", 10), ("2", 20)
+    ]
+
+
 def test_row_counts_scale_exactly_and_dims_stay_fixed(scaled):
     con = duckdb.connect()
     for name in ["customer", "supplier", "part", "orders", "lineitem",

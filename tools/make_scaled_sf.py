@@ -129,12 +129,21 @@ def build(sf: str, k: int, src: str = SRC, out_root: str | None = None) -> None:
     print(f"wrote {out} (k={k})")
 
 
+def plan(argv: list[str]) -> list[tuple[str, int]]:
+    """CLI flag -> (sf label, k) build list. ``--sf1`` adds the k=10
+    point (the per-round sf1 smoke/parity scale); ``--sf2`` adds k=20
+    — the 20x coarse-net point that is round protocol since r09 (it
+    caught ann_cosine_topk at 35.8x where the 10x net could not).
+    Pinned in tests/test_scaling_tools.py so the harness path can't
+    silently drift."""
+    out = [("0.2", 2), ("0.5", 5)]
+    if "--sf1" in argv:
+        out.append(("1", 10))
+    if "--sf2" in argv:
+        out.append(("2", 20))
+    return out
+
+
 if __name__ == "__main__":
-    build("0.2", 2)
-    build("0.5", 5)
-    if "--sf1" in sys.argv:
-        build("1", 10)
-    if "--sf2" in sys.argv:
-        # k=20 (20x driver scale) — the stress point past the sf1
-        # smoke for hunting cliffs that only open beyond 10x
-        build("2", 20)
+    for sf, k in plan(sys.argv):
+        build(sf, k)
