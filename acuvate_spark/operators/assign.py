@@ -104,7 +104,9 @@ def nearest_centroids(
     ``k_hint``: the caller's centroid count (drives the auto mode
     switch; never affects results). Returns (vec_id, embedding,
     centroid_id, ccos, rn) with rn in 1..n_best — identical rows from
-    either strategy.
+    either strategy. Contract: embeddings and centroids have non-zero
+    norm (cosine is defined); a zero-norm row yields NULL cosines and
+    the two strategies would rank it differently.
     """
     if _resolved_mode(vec_df, k_hint) == "broadcast":
         ranked = vec_df.crossJoin(F.broadcast(cent_df)).withColumn(
