@@ -172,9 +172,11 @@ def _shuffled_candidates(
             c["r"].alias("r"),
         ),
     )
-    neg_sorted = F.array_sort(F.transform(F.col("_stats"), lambda x: -x["c"]))
+    cos_desc = F.sort_array(
+        F.transform(F.col("_stats"), lambda x: x["c"]), asc=False
+    )
     lb = F.when(
-        F.size(F.col("_stats")) >= n_best, -F.element_at(neg_sorted, n_best)
+        F.size(F.col("_stats")) >= n_best, F.element_at(cos_desc, n_best)
     ).otherwise(F.lit(-2.0))
 
     def _ub(x):

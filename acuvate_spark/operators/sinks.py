@@ -162,12 +162,21 @@ def _warn_unmarked_base(path: str) -> None:
     The check globs RECURSIVELY (ADVICE r08): the serving convention
     is top-level-only, but a hive-partitioned marker-less base is the
     same silent-loss shape and this warning is diagnostic-only, so it
-    need not mirror the serving glob exactly."""
+    need not mirror the serving glob exactly. The delta namespaces
+    (``promotes/``, ``moves/``) are EXCLUDED — their committed part
+    files live under the same root and are not base files, and
+    counting them would fire the warning on every legitimate
+    delta-only register (e.g. a bootstrapped main)."""
     import glob as _glob
     import warnings
 
-    if not _has_success(path) and _glob.glob(
-        os.path.join(path, "**", "*.parquet"), recursive=True
+    def _is_base_file(p: str) -> bool:
+        rel = os.path.relpath(p, path)
+        return not rel.startswith(("promotes" + os.sep, "moves" + os.sep))
+
+    if not _has_success(path) and any(
+        _is_base_file(p)
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     ):
         warnings.warn(
             f"{path}: base part files present without _SUCCESS are not served "

@@ -1052,14 +1052,15 @@ def semdedup_clusters(spark, sf_dir):
     feeds both sides of the pairwise join plus the final flag join, so
     it persists for the run and the result materializes before
     release."""
-    e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = repartition_for_compute(raw)
     clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
-    k = _sem_k(e)
+    # K from the PRE-repartition frame: the round-robin exchange buys
+    # nothing for a 1-row count and would shuffle the pruned corpus
+    k = _sem_k(raw)
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)

@@ -229,7 +229,11 @@ def _retry_pass(
         "failed", F.col("path").contains(fail_marker)
     )
     ok = attempt.where(~F.col("failed")).select("path", "route")
-    ok.write.mode("overwrite").parquet(os.path.join(routed_dir, f"r{n + 1:010d}"))
+    # gated like the dead write: a perpetually failing blob must not
+    # grow routed/ by one empty committed dir per pass (the decision
+    # is a pure function of committed state, so replays agree)
+    if ok.take(1):
+        ok.write.mode("overwrite").parquet(os.path.join(routed_dir, f"r{n + 1:010d}"))
     failures = attempt.where(F.col("failed")).select(
         "path", (F.col("attempts") + 1).alias("attempts")
     )

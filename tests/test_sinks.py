@@ -673,12 +673,18 @@ def test_promote_records_bootstraps_brand_new_main(spark, tmp_path):
         staging_key_cols=["s_suppkey", "submission_id"],
         action_col="action", promote_id="pr-boot", bootstrap_ok=True, **paths,
     )
-    got = {
-        r["s_suppkey"]: r["s_acctbal"]
-        for r in sinks.read_with_promotes(spark, main, ["s_suppkey"])
-        .select("s_suppkey", "s_acctbal")
-        .collect()
-    }
+    # a delta-only register's committed promote files must NOT trip
+    # the unmarked-base diagnostic (they live under main/promotes/)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        got = {
+            r["s_suppkey"]: r["s_acctbal"]
+            for r in sinks.read_with_promotes(spark, main, ["s_suppkey"])
+            .select("s_suppkey", "s_acctbal")
+            .collect()
+        }
     assert got == {1: 10.0, 2: 20.0}
     # the rejected Edit stays staged for resubmission
     left = {
