@@ -141,6 +141,9 @@ def plan(argv: list[str]) -> list[tuple[str, int]]:
         out.append(("1", 10))
     if "--sf2" in argv:
         out.append(("2", 20))
+    if "--sf5" in argv:
+        # k=50 — one octave past the 20x net, for the slowest families
+        out.append(("5", 50))
     return out
 
 
