@@ -445,6 +445,109 @@ _emb_rng = random.Random(13)
 _EMB_PLANES = [[round(_emb_rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(64)]
 _EMB_BANDS = 8
 _EMB_BITS = 8
+# Adaptive banding (r09 — the fixed-constant scale class, caught by the
+# 50x octave at 65.8x for 50x data): a FIXED 8-bit band key means a
+# fixed 256-bucket space per band, so bucket occupancy — and the
+# n^2/2^bits candidate term — grows linearly with the corpus. Past
+# _EMB_ADAPTIVE_MIN_N (beyond every built verification scale, so the
+# static oracle always replays the floor config) bits grows with
+# log2(n / target-occupancy) and bands grows to hold recall at the
+# 0.95-cosine design point.
+_EMB_BUCKET_TARGET = 400  # target rows per (band, bucket)
+_EMB_ADAPTIVE_MIN_N = 200_000  # floor config below this corpus size
+_EMB_SIZE_GATE_BYTES = 16 * 1024 * 1024  # skip the count job when the
+# embeddings input is far below _EMB_ADAPTIVE_MIN_N rows on disk
+_EMB_RECALL_MISS = 0.01  # adaptive bands sized for >= 99% recall
+
+
+def _emb_lsh_config(n: int) -> tuple[int, int, list[list[float]]]:
+    """(bits, bands, planes) for the banded hyperplane LSH at corpus
+    size ``n``. Floor: the committed 8x8 over the 64-plane pool — used
+    at every verification scale, so the static DuckDB oracle replays
+    the construction bit-for-bit. Beyond ``_EMB_ADAPTIVE_MIN_N``:
+    bits = ceil(log2(n / 400)) keeps per-band bucket occupancy
+    ~constant (the candidate join stays linear in n), and bands grows
+    to hold 1 - (1 - p^bits)^bands >= 0.99 at the design point
+    p = 1 - acos(0.95)/pi ~ 0.8994 (per-hyperplane agreement
+    probability of a cosine-0.95 pair). Planes are a deterministic
+    prefix of the seed-13 Gaussian stream (the floor's 64 planes ARE
+    the first 64), so any two runs at the same n agree exactly."""
+    if n < _EMB_ADAPTIVE_MIN_N:
+        return _EMB_BITS, _EMB_BANDS, _EMB_PLANES
+    import math
+
+    p = 1.0 - math.acos(0.95) / math.pi
+    bits = max(_EMB_BITS, math.ceil(math.log2(n / _EMB_BUCKET_TARGET)))
+    bands = max(
+        _EMB_BANDS,
+        math.ceil(math.log(_EMB_RECALL_MISS) / math.log(1.0 - p**bits)),
+    )
+    rng = random.Random(13)
+    planes = [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(bits * bands)
+    ]
+    return bits, bands, planes
+
+
+def _emb_corpus_n(raw, sf_dir: str) -> int:
+    """Corpus size for the config choice, paying a count job ONLY when
+    the on-disk embeddings input is big enough to possibly cross the
+    adaptive threshold — verification scales stay zero-extra-jobs."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        size = os.path.getsize(path)
+    else:
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    if size < _EMB_SIZE_GATE_BYTES:
+        return 0
+    cnt = _sem_k_agg(raw).first()
+    return int(cnt["n"] + cnt["nc"])
+
+
+def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):
+    """The banded-LSH near-dup pipeline at an explicit (bits, bands,
+    planes) config — split out so the recall test can drive the
+    ADAPTIVE config on fixture data, where exact all-pairs truth is
+    computable."""
+    sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), planes))
+    # materialize the tiny (vec_id, band, bkey) frame before the
+    # self-join: each signature is bits*bands dot products over the
+    # embedding, and without the checkpoint BOTH join sides recompute
+    # them (the same double-evaluation dedup_simhash's verify had)
+    bands_df = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("sig", i * bits + 1, bits).alias("bkey"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.band", "c.bkey").localCheckpoint(eager=False)
+    left = bands_df.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    right = bands_df.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    cand = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
+        .withColumn("cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4))
+    )
+    return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")
 
 
 @register(
@@ -488,50 +591,23 @@ def dedup_embedding_cosine(spark, sf_dir):
     order difference can't diverge the candidate sets — and both
     engines see the same candidates; tests/test_lsh_recall.py
     additionally pins recall against the exact all-pairs set, which
-    engine parity alone cannot. At 100 TB: band join cost tracks bucket collisions
-    (~n^2/2^bits per band, uniform case), never |n|^2; embeddings
-    re-join the candidate pairs by id, so full vectors cross the wire
-    only for verified candidates."""
-    e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
+    engine parity alone cannot. At 100 TB: the band key is ADAPTIVE
+    (``_emb_lsh_config``) — a fixed 8-bit key means a fixed 256-bucket
+    space whose occupancy (and the n^2/2^bits candidate term) grows
+    with the corpus, so past 200k vectors bits grows with
+    log2(n/400) to hold occupancy ~constant and bands grows to hold
+    >= 99% recall at the 0.95-cosine design point; every verification
+    scale stays on the floor 8x8 config the oracle renders.
+    Embeddings re-join the candidate pairs by id, so full vectors
+    cross the wire only for verified candidates."""
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = repartition_for_compute(raw)
     clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
     )
     emb = e.unionByName(clones)
-    sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), _EMB_PLANES))
-    # materialize the tiny (vec_id, band, bkey) frame before the
-    # self-join: each signature is 64 dot products over the embedding,
-    # and without the checkpoint BOTH join sides recompute them (the
-    # same double-evaluation dedup_simhash's verify stage had)
-    bands = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.substring("sig", i * _EMB_BITS + 1, _EMB_BITS).alias("bkey"),
-                    )
-                    for i in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("c"),
-    ).select("vec_id", "c.band", "c.bkey").localCheckpoint(eager=False)
-    left = bands.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
-    right = bands.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
-    cand = (
-        left.join(right, ["band", "bkey"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    pairs = (
-        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
-        .withColumn("cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4))
-    )
-    return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")
+    bits, bands, planes = _emb_lsh_config(_emb_corpus_n(raw, sf_dir))
+    return _emb_near_dup_pairs(emb, bits, bands, planes)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,71 @@ def test_embedding_lsh_recall_vs_exact_all_pairs(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} true pairs)"
 
 
+def test_emb_lsh_adaptive_config_math():
+    """The adaptive banding config (r09 — fixed 8-bit band keys made
+    the candidate term n^2/256, measured 65.8x at the 50x octave):
+    floor below the threshold; beyond it, bits tracks occupancy and
+    bands holds the recall bound; planes stay a deterministic prefix
+    of the floor's Gaussian stream."""
+    import math
+
+    from acuvate_spark.queries.dedup import (
+        _EMB_ADAPTIVE_MIN_N,
+        _EMB_BANDS,
+        _EMB_BITS,
+        _EMB_PLANES,
+        _emb_lsh_config,
+    )
+
+    assert _emb_lsh_config(0) == (_EMB_BITS, _EMB_BANDS, _EMB_PLANES)
+    assert _emb_lsh_config(_EMB_ADAPTIVE_MIN_N - 1) == (_EMB_BITS, _EMB_BANDS, _EMB_PLANES)
+
+    p = 1.0 - math.acos(0.95) / math.pi
+    for n in (300_000, 1_000_000, 100_000_000):
+        bits, bands, planes = _emb_lsh_config(n)
+        # occupancy: buckets-per-band covers n at <= ~400 rows each
+        assert n / 2**bits <= 400
+        assert 2 ** (bits - 1) < max(n / 400, 2**_EMB_BITS) or bits == _EMB_BITS
+        # recall bound at the design point
+        assert 1 - (1 - p**bits) ** bands >= 0.99
+        assert len(planes) == bits * bands
+        # deterministic prefix: the floor planes open the stream
+        assert planes[: len(_EMB_PLANES)] == _EMB_PLANES
+    # monotone: more corpus never shrinks the key
+    assert _emb_lsh_config(10_000_000)[0] >= _emb_lsh_config(1_000_000)[0]
+
+
+def test_emb_lsh_adaptive_config_recall_on_fixture(spark, sf_dir):
+    """Drive the ADAPTIVE config (as chosen for a 1M-vector corpus) on
+    the fixture corpus and check recall/precision against exact
+    all-pairs — the empirical check that growing (bits, bands)
+    preserves the pair set quality, which the config math alone only
+    promises at the design point."""
+    from acuvate_spark.queries.dedup import _emb_lsh_config, _emb_near_dup_pairs
+    from acuvate_spark.tables import load_table, repartition_for_compute
+    from pyspark.sql import functions as F
+
+    bits, bands, planes = _emb_lsh_config(1_000_000)
+    assert (bits, bands) != (8, 8)
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    emb = e.unionByName(clones)
+    got = {
+        (int(r.vec_a), int(r.vec_b))
+        for r in _emb_near_dup_pairs(emb, bits, bands, planes).collect()
+    }
+    exact = _exact_pairs(spark, sf_dir)
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    clones_pairs = {(a, b) for a, b in exact if b == a + 100000}
+    assert clones_pairs <= got, f"missed exact clones: {sorted(clones_pairs - got)[:5]}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"adaptive-config recall {recall:.3f} < 0.9"
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     """Same blind spot, MinHash path: the dedup_minhash_lsh oracle
     replays the identical md5 minhash + banding in DuckDB, so engine
