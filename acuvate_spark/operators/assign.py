@@ -112,6 +112,26 @@ def nearest_centroids(
         ranked = vec_df.crossJoin(F.broadcast(cent_df)).withColumn(
             "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
         )
+        if n_best == 1:
+            # argmax as a map-side-combined aggregate: the window form
+            # below shuffles all N x K crossed rows by vec_id; max_by
+            # with the tie-break encoded in the ordering struct
+            # (ccos DESC, centroid_id ASC — unique, so deterministic)
+            # partial-aggregates to ONE row per vector before the
+            # shuffle. Same rows as the window form by construction.
+            best = ranked.groupBy("vec_id").agg(
+                F.max_by(
+                    F.struct("centroid_id", "embedding", "ccos"),
+                    F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid")),
+                ).alias("_b")
+            )
+            return best.select(
+                "vec_id",
+                F.col("_b.embedding").alias("embedding"),
+                F.col("_b.centroid_id").alias("centroid_id"),
+                F.col("_b.ccos").alias("ccos"),
+                F.lit(1).alias("rn"),
+            )
     else:
         ranked = _shuffled_candidates(vec_df, cent_df, k_hint=k_hint, n_best=n_best)
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
