@@ -453,8 +453,21 @@ _EMB_BITS = 8
 # static oracle always replays the floor config) bits grows with
 # log2(n / target-occupancy) and bands grows to hold recall at the
 # 0.95-cosine design point.
-_EMB_BUCKET_TARGET = 400  # target rows per (band, bucket)
-_EMB_ADAPTIVE_MIN_N = 200_000  # floor config below this corpus size
+# Per-band candidate cost is buckets * C(occupancy, 2) ~ n * occupancy
+# / 2, so occupancy is THE knob: the adaptive branch re-buckets to
+# <= 32 rows per (band, bucket) — the measured-good point (at the 50x
+# dir, occupancy-32 banding ran 64 s where occupancy-203 banding ran
+# 539 s and the saturated floor 310+ s).
+_EMB_BUCKET_TARGET = 32
+# The threshold is derived from the FLOOR, not tuned: the floor
+# serves while its per-band bucket occupancy n / 2^8 stays under 256
+# rows, i.e. n < 2^16 = 65,536. Every oracle-verification scale (max
+# sf2 = 40,800) sits under it — the static DuckDB oracle always
+# replays the floor — while the 50x octave dir (102,000) sits past
+# it, so the adaptive path is exercised at a measurable scale. The
+# config therefore STEPS at the threshold (occupancy up to ~256 on
+# the floor -> <= 32 adaptive) by design.
+_EMB_ADAPTIVE_MIN_N = 2 ** (2 * _EMB_BITS)
 _EMB_SIZE_GATE_BYTES = 16 * 1024 * 1024  # skip the count job when the
 # embeddings input is far below _EMB_ADAPTIVE_MIN_N rows on disk
 _EMB_RECALL_MISS = 0.01  # adaptive bands sized for >= 99% recall

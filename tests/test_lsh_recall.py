@@ -79,9 +79,9 @@ def test_emb_lsh_adaptive_config_math():
     p = 1.0 - math.acos(0.95) / math.pi
     for n in (300_000, 1_000_000, 100_000_000):
         bits, bands, planes = _emb_lsh_config(n)
-        # occupancy: buckets-per-band covers n at <= ~400 rows each
-        assert n / 2**bits <= 400
-        assert 2 ** (bits - 1) < max(n / 400, 2**_EMB_BITS) or bits == _EMB_BITS
+        # occupancy: buckets-per-band covers n at <= 32 rows each
+        assert n / 2**bits <= 32
+        assert 2 ** (bits - 1) < max(n / 32, 2**_EMB_BITS) or bits == _EMB_BITS
         # recall bound at the design point
         assert 1 - (1 - p**bits) ** bands >= 0.99
         assert len(planes) == bits * bands
