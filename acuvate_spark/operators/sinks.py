@@ -172,7 +172,12 @@ def _warn_unmarked_base(path: str) -> None:
 
     def _is_base_file(p: str) -> bool:
         rel = os.path.relpath(p, path)
-        return not rel.startswith(("promotes" + os.sep, "moves" + os.sep))
+        parts = rel.split(os.sep)
+        # _temporary/ holds task files of a writer killed mid-write —
+        # _committed_files deliberately classifies that dir as "no part
+        # files at all", so counting them here would fire the warning
+        # on a crash shape the serving path correctly ignores
+        return parts[0] not in ("promotes", "moves") and "_temporary" not in parts
 
     if not _has_success(path) and any(
         _is_base_file(p)

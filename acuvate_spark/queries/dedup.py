@@ -478,7 +478,8 @@ def _emb_lsh_config(n: int) -> tuple[int, int, list[list[float]]]:
     size ``n``. Floor: the committed 8x8 over the 64-plane pool — used
     at every verification scale, so the static DuckDB oracle replays
     the construction bit-for-bit. Beyond ``_EMB_ADAPTIVE_MIN_N``:
-    bits = ceil(log2(n / 400)) keeps per-band bucket occupancy
+    bits = ceil(log2(n / _EMB_BUCKET_TARGET)) = ceil(log2(n / 32))
+    keeps per-band bucket occupancy
     ~constant (the candidate join stays linear in n), and bands grows
     to hold 1 - (1 - p^bits)^bands >= 0.99 at the design point
     p = 1 - acos(0.95)/pi ~ 0.8994 (per-hyperplane agreement
@@ -502,25 +503,44 @@ def _emb_lsh_config(n: int) -> tuple[int, int, list[list[float]]]:
     return bits, bands, planes
 
 
-def _emb_corpus_n(raw, sf_dir: str) -> int:
-    """Corpus size for the config choice, paying a count job ONLY when
-    the on-disk embeddings input is big enough to possibly cross the
-    adaptive threshold — verification scales stay zero-extra-jobs."""
-    import os
+def _input_bytes(spark, path: str) -> int | None:
+    """Total on-disk bytes under ``path`` via the ENGINE's Hadoop
+    FileSystem — the same listing machinery the scan itself uses, so
+    the size gate works on every store Spark can read (``file:``,
+    ``hdfs:``, ``s3a:``, ``abfs:``, ...), not just the driver-local
+    filesystem (ADVICE r09: the old ``os.path``/``os.walk`` sizing
+    silently yielded 0 on any non-local URI, pinning the floor LSH
+    config — and its n^2/2^bits candidate term — forever). Returns
+    ``None`` when the listing itself fails; callers MUST then fall
+    back to paying the count job rather than assuming "small"."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        return None
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.isfile(path):
-        size = os.path.getsize(path)
-    else:
-        size = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-        )
-    if size < _EMB_SIZE_GATE_BYTES:
+
+def _corpus_n_gated(raw, sf_dir: str, table: str, gate_bytes: int, count_fn) -> int:
+    """Corpus size for an adaptive-LSH config choice, paying a count
+    job ONLY when the on-disk input is big enough to possibly cross
+    the adaptive threshold — verification scales stay zero-extra-jobs.
+    An unlistable path (size unknown) pays the count job: the gate is
+    an optimization and must never silently pin the floor config."""
+    size = _input_bytes(raw.sparkSession, f"{sf_dir}/{table}.parquet")
+    if size is not None and size < gate_bytes:
         return 0
-    cnt = _sem_k_agg(raw).first()
-    return int(cnt["n"] + cnt["nc"])
+    return count_fn(raw)
+
+
+def _emb_corpus_n(raw, sf_dir: str) -> int:
+    """Embedding-corpus size (base + clones) for ``_emb_lsh_config``."""
+
+    def count(raw):
+        cnt = _sem_k_agg(raw).first()
+        return int(cnt["n"] + cnt["nc"])
+
+    return _corpus_n_gated(raw, sf_dir, "embeddings", _EMB_SIZE_GATE_BYTES, count)
 
 
 def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):
@@ -607,8 +627,8 @@ def dedup_embedding_cosine(spark, sf_dir):
     engine parity alone cannot. At 100 TB: the band key is ADAPTIVE
     (``_emb_lsh_config``) — a fixed 8-bit key means a fixed 256-bucket
     space whose occupancy (and the n^2/2^bits candidate term) grows
-    with the corpus, so past 200k vectors bits grows with
-    log2(n/400) to hold occupancy ~constant and bands grows to hold
+    with the corpus, so past n = 2^16 = 65,536 vectors bits grows with
+    log2(n/32) to hold occupancy <= 32 and bands grows to hold
     >= 99% recall at the 0.95-cosine design point; every verification
     scale stays on the floor 8x8 config the oracle renders.
     Embeddings re-join the candidate pairs by id, so full vectors

@@ -165,3 +165,73 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     # demand >= 0.85 so degenerate banding fails loudly
     recall = len(got & exact) / len(exact)
     assert recall >= 0.85, f"MinHash LSH recall {recall:.3f} < 0.85 ({len(exact)} true pairs)"
+
+
+# ---------------------------------------------------------------- size gate
+
+
+def test_input_bytes_engine_listing_matches_os(spark, sf_dir):
+    """The adaptive-config size gate sizes its input via the engine's
+    Hadoop FileSystem (ADVICE r09: os.walk returned 0 on any non-local
+    URI, silently pinning the floor LSH config). The listing must agree
+    with the local filesystem on a plain path AND resolve scheme-
+    qualified URIs os.path cannot (file:/... stands in for s3a://...
+    here — the same non-os-visible shape)."""
+    import os
+
+    from acuvate_spark.queries.dedup import _input_bytes
+
+    path = f"{sf_dir}/embeddings.parquet"
+    expected = (
+        os.path.getsize(path)
+        if os.path.isfile(path)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    )
+    assert _input_bytes(spark, path) == expected
+    assert _input_bytes(spark, "file:" + path) == expected
+    # unlistable input -> None, never 0 (0 means "known small")
+    assert _input_bytes(spark, f"{sf_dir}/no_such_table.parquet") is None
+
+
+def test_corpus_gate_pays_count_when_size_unknown(spark, sf_dir):
+    """An unlistable path must fall through to the count job — the
+    gate is an optimization, not a correctness gate, so 'size unknown'
+    can never be treated as 'small' (that would reinstate the fixed-
+    bucket-space cliff on exactly the object stores the adaptive
+    banding targets)."""
+    from acuvate_spark.queries.dedup import _corpus_n_gated
+    from acuvate_spark.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    calls = []
+
+    def count(df):
+        calls.append(1)
+        return 12345
+
+    # unknown size (bad path) -> count job runs
+    assert _corpus_n_gated(raw, sf_dir, "no_such_table", 1, count) == 12345
+    assert calls == [1]
+    # known-small size -> gate short-circuits, no count job
+    calls.clear()
+    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1 << 60, count) == 0
+    assert calls == []
+    # known-big size (gate below the file size) -> count job runs
+    calls.clear()
+    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1, count) == 12345
+    assert calls == [1]
+
+
+def test_emb_corpus_n_file_uri_gates_like_local(spark, sf_dir):
+    """End-to-end: the embedding gate returns the same decision for a
+    scheme-qualified URI as for the plain path (the r09 bug returned 0
+    for ANY non-os-visible path shape)."""
+    from acuvate_spark.queries.dedup import _emb_corpus_n
+    from acuvate_spark.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assert _emb_corpus_n(raw, "file:" + sf_dir) == _emb_corpus_n(raw, sf_dir)

@@ -784,3 +784,31 @@ def test_unmarked_partitioned_base_under_served_deltas_warns(spark, sf_dir, tmp_
     )
     with pytest.warns(UserWarning, match="without _SUCCESS"):
         sinks.read_with_moves(spark, dst, moves_for=dst)
+
+
+def test_temporary_only_base_does_not_warn(spark, sf_dir, tmp_path):
+    """ADVICE r09 (low): a base dir whose only part files sit under
+    ``_temporary/`` (a writer killed mid-write, before any task commit)
+    is the crash shape ``_committed_files`` classifies as "no part
+    files at all" — the unmarked-base diagnostic must not fire on it
+    when deltas are served."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tomb = str(tmp_path / "tomb")
+    sup.write.parquet(src)
+    # base dir holding ONLY an in-flight task file under _temporary/
+    tdir = os.path.join(dst, "_temporary", "0", "task_0")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+    sinks.move_records(
+        spark, src, dst, tomb, F.col("s_suppkey") % 5 == 0, ["s_suppkey"], "mv-1"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        sinks.read_with_moves(spark, dst, moves_for=dst)

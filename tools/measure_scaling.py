@@ -74,11 +74,14 @@ def main() -> None:
     from acuvate_spark.session import get_spark
 
     spark = get_spark("scaling-measure")
-    if "--conf" in sys.argv:
-        # extra runtime conf, e.g. spark.acuvate.assign.mode=shuffled
-        # to measure the swapped assign path at scale
-        for kv in sys.argv[sys.argv.index("--conf") + 1].split(","):
-            k, v = kv.split("=", 1)
+    # extra runtime conf, e.g. spark.acuvate.assign.mode=shuffled to
+    # measure the swapped assign path at scale. Repeatable (--conf a=1
+    # --conf b=2); each os-arg splits on its FIRST '=' only, so
+    # comma-valued confs (e.g. extraJavaOptions) pass through intact
+    # (ADVICE r09: the old comma-join split mis-parsed those).
+    for i, a in enumerate(sys.argv):
+        if a == "--conf":
+            k, v = sys.argv[i + 1].split("=", 1)
             spark.conf.set(k, v)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
     times: dict[str, dict[float, float]] = {q: {} for q in queries}
