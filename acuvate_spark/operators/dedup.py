@@ -19,6 +19,8 @@ computes identically, so all signatures stay oracle-checkable.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +98,69 @@ def band_keys(sig_df: DataFrame, key: str, n_hashes: int, band_size: int) -> Dat
 _SIMHASH_BITS = 64
 _SIMHASH_BANDS = 4
 _BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+
+# Adaptive block-combination LSH (r10 — the fixed-constant scale class
+# again, flagged by VERDICT r09: 4 bands x 16 bits is a FIXED
+# 65,536-bucket space per band, so per-band occupancy n/2^16 — and the
+# n^2/2^16 candidate term — grows linearly with the corpus; the 50x
+# octave measured 20.1x for 50x data, one-to-two octaves from the
+# cliff). The exact generalization is Manku et al.'s block-permutation
+# scheme (WWW'07, "Detecting Near-Duplicates for Web Crawling"): split
+# the 64 bits into b blocks and key one table per (b - k)-subset of
+# blocks. If two signatures differ in <= k bits, the errors touch at
+# most k blocks, so at least b - k blocks agree — and the table keyed
+# by exactly that subset collides. Recall stays EXACT (pigeonhole, no
+# probabilistic slack — unlike the hyperplane-LSH recall bound), while
+# the key space grows from one block (16 bits) to b - k blocks
+# (25..40 bits). The floor IS the b = 4 case: subsets of size 1 are
+# the four 16-bit bands. Table count is C(b, k): 4, 10, 20, 35, 56
+# for b = 4..8 — the explode factor the candidate-volume win pays for.
+_SIMHASH_OCC_TARGET = 2  # per-table bucket occupancy the key must hold
+# The floor serves while ITS occupancy n / 2^16 stays <= the target —
+# i.e. n < 2^17 = 131,072 (derived from the floor, not tuned). Every
+# oracle-verification scale (driver sf0.01 = 510 docs, sf1 parity =
+# 51,000, sf2 sweep = 102,000) sits below it, so the static DuckDB
+# oracle always replays the floor; the 50x octave dir (255,000) sits
+# past it, so the adaptive path is exercised at a measurable scale.
+_SIMHASH_ADAPTIVE_MIN_N = _SIMHASH_OCC_TARGET << 16
+_SIMHASH_MAX_BLOCKS = 8  # key = 5 x 8-bit blocks = 40 bits; enough to
+# hold occupancy <= 2 to n = 2^41 docs (~2 trillion)
+
+
+def simhash_lsh_config(
+    n: int, max_hamming: int = 3
+) -> tuple[list[tuple[int, int]], list[tuple[int, ...]]]:
+    """(blocks, combos) for the block-combination LSH at corpus size
+    ``n``: ``blocks`` is a list of (start_bit, width) partitioning the
+    64 signature bits; ``combos`` lists, per table, the block indices
+    whose concatenated values form that table's key. Floor (n below
+    ``_SIMHASH_ADAPTIVE_MIN_N``): 4 blocks of 16, one table per single
+    block — byte-identical to the committed banding the static oracle
+    renders. Beyond it: the smallest b <= 8 whose MINIMUM
+    (b - max_hamming)-subset key width reaches
+    ceil(log2(n / _SIMHASH_OCC_TARGET)), i.e. per-table bucket
+    occupancy stays <= the target under the uniform-signature model
+    (real text signatures are skewed; the target leaves that headroom
+    the same way the embedding config's occupancy knob does)."""
+    import math
+
+    need_bits = (
+        0 if n < _SIMHASH_ADAPTIVE_MIN_N
+        else math.ceil(math.log2(max(n, 2) / _SIMHASH_OCC_TARGET))
+    )
+    for b in range(max_hamming + 1, _SIMHASH_MAX_BLOCKS + 1):
+        w, r = divmod(_SIMHASH_BITS, b)
+        widths = [w + 1] * r + [w] * (b - r)
+        keep = b - max_hamming
+        min_key = sum(sorted(widths)[:keep])
+        if (n < _SIMHASH_ADAPTIVE_MIN_N and b == max_hamming + 1) or (
+            min_key >= need_bits
+        ) or b == _SIMHASH_MAX_BLOCKS:
+            starts = [sum(widths[:i]) for i in range(b)]
+            blocks = list(zip(starts, widths))
+            combos = list(itertools.combinations(range(b), keep))
+            return blocks, combos
+    raise AssertionError("unreachable")
 
 
 def _simhash_bit_sources() -> list[tuple[int, int]]:
@@ -212,52 +277,73 @@ def simhash_vote_sql(i: int) -> str:
     return f"sum(CASE WHEN substr(d{seed}, {pos}, 1) >= '8' THEN 1 ELSE -1 END)"
 
 
-def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs via 16-bit band equality (pigeonhole: hamming<=3
-    over 4 bands guarantees one identical band), verified by exact
-    hamming distance over the bit strings. The band equi-join is the
-    whole point: cost tracks band collisions, not n² pairs.
+def simhash_near_pairs(
+    sig_df: DataFrame, key: str, max_hamming: int = 3, corpus_n: int = 0
+) -> DataFrame:
+    """Candidate pairs via block-combination LSH (pigeonhole: hamming
+    <= k over b blocks guarantees b - k identical blocks, and one
+    table is keyed by exactly that subset), verified by exact hamming
+    distance. The band equi-join is the whole point: cost tracks key
+    collisions, not n² pairs. The (blocks, tables) layout comes from
+    ``simhash_lsh_config(corpus_n)``: the floor 4x16 single-block keys
+    below ``_SIMHASH_ADAPTIVE_MIN_N`` (what the static oracle renders,
+    and what callers get for the default ``corpus_n=0``), wider
+    multi-block keys past it so per-table bucket occupancy — and the
+    n * occupancy / 2 candidate term — stays bounded as the corpus
+    grows. Recall is exact in BOTH regimes, so the adaptive swap is
+    result-invariant (pinned by tests/test_lsh_recall.py).
 
     Two things keep the verify cheap at scale:
 
     * the signature frame is materialized (localCheckpoint) before the
-      self-join, so both join sides read the same 24-byte-per-doc
+      self-join, so both join sides read the same few-longs-per-doc
       table instead of each re-running the scan -> explode -> md5 ->
       vote pipeline upstream of it;
-    * each 16-bit band is decoded ONCE per doc into a long, and the
-      hamming distance is 4x ``bit_count(a XOR b)`` — Catalyst pushes
-      the hamming filter into the join condition, where it runs per
-      BAND COLLISION, so it must be a handful of integer ops, not the
-      64 per-character string compares the bit-string form costs
+    * each block is decoded ONCE per doc into a long; a table key is
+      the shift-concatenation of its blocks (<= 40 bits, one long —
+      never a string), and the hamming distance is
+      ``sum(bit_count(a XOR b))`` over the b block longs — Catalyst
+      pushes the hamming filter into the join condition, where it runs
+      per KEY COLLISION, so it must be a handful of integer ops, not
+      the 64 per-character string compares the bit-string form costs
       (that expression made the verify stage the registry's CPU
       outlier)."""
+    blocks, combos = simhash_lsh_config(corpus_n, max_hamming)
+    nb = len(blocks)
     sig_df = sig_df.localCheckpoint(eager=False)
-    band_longs = [
-        F.conv(F.substring(F.col("sig"), b * _BAND_BITS + 1, _BAND_BITS), 2, 10)
+    block_longs = [
+        F.conv(F.substring(F.col("sig"), start + 1, width), 2, 10)
         .cast("long")
-        .alias(f"b{b}")
-        for b in range(_SIMHASH_BANDS)
+        .alias(f"b{i}")
+        for i, (start, width) in enumerate(blocks)
     ]
+
+    def _key_val(combo: tuple[int, ...]) -> Column:
+        v = F.col(f"b{combo[0]}")
+        for i in combo[1:]:
+            v = F.shiftleft(v, blocks[i][1]).bitwiseOR(F.col(f"b{i}"))
+        return v
+
     banded = (
-        sig_df.select(key, *band_longs)
+        sig_df.select(key, *block_longs)
         .select(
             key,
-            *[f"b{b}" for b in range(_SIMHASH_BANDS)],
+            *[f"b{i}" for i in range(nb)],
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.col(f"b{b}").alias("band_val"),
+                            F.lit(t).alias("band_idx"),
+                            _key_val(combo).alias("band_val"),
                         )
-                        for b in range(_SIMHASH_BANDS)
+                        for t, combo in enumerate(combos)
                     ]
                 )
             ).alias("band"),
         )
         .select(
             key,
-            *[f"b{b}" for b in range(_SIMHASH_BANDS)],
+            *[f"b{i}" for i in range(nb)],
             F.col("band.band_idx").alias("band_idx"),
             F.col("band.band_val").alias("band_val"),
         )
@@ -266,7 +352,7 @@ def simhash_near_pairs(sig_df: DataFrame, key: str, max_hamming: int = 3) -> Dat
     b = banded.alias("b")
     hamming = sum(
         F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
-        for k in range(_SIMHASH_BANDS)
+        for k in range(nb)
     ).cast("long")
     return (
         a.join(
