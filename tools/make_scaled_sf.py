@@ -49,13 +49,25 @@ OUT = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "/tmp/sc
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+_UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]  # units mod 26
+
+
 def _charmap(r: int) -> tuple[str, str]:
-    """Replica r's bijective token rewrite: rotate a-z (and A-Z) by
-    5*r — identity for r=0."""
-    k = (5 * r) % 26
+    """Replica r's bijective token rewrite: the AFFINE permutation
+    i -> (a*i + b) mod 26 with a = _UNITS[r % 12], b = (5r + r//12)
+    mod 26 — identity for r=0. The pre-r10 rotation-only map (shift
+    5r) had PERIOD 26: replicas r and r+26 carried identical text, so
+    a k=50 dir planted ~k docs-worth of cross-replica exact-dup pairs
+    and a k=100 dir would plant ~k^2/26 per base doc — quadratic
+    generator structure exactly where the dedup octaves look for
+    engine-side quadratic growth. Affine maps are pairwise distinct
+    for r < 108 (same a -> b differs by 9m mod 26 != 0 for m <= 8),
+    covering every octave this tool can build."""
+    a = _UNITS[r % 12]
+    b = (5 * r + r // 12) % 26
+    perm = "".join(ALPHA[(a * i + b) % 26] for i in range(26))
     src = ALPHA + ALPHA.upper()
-    dst = ALPHA[k:] + ALPHA[:k] + (ALPHA[k:] + ALPHA[:k]).upper()
-    return src, dst
+    return src, perm + perm.upper()
 
 
 def build(sf: str, k: int, src: str = SRC, out_root: str | None = None) -> None:
@@ -120,12 +132,34 @@ def build(sf: str, k: int, src: str = SRC, out_root: str | None = None) -> None:
         FROM {t['documents']}"""
 
     write("documents", replicas(doc_sql))
-    write("embeddings", replicas(lambda r: f"""
+
+    def emb_sql(r: int) -> str:
+        # rotation alone has period 64 (replicas r and r+64 identical
+        # — same artifact class as the charmap fix above); compose a
+        # per-replica deterministic sign vector: signs apply per-dim
+        # to every vector of the replica, so within-replica norms and
+        # dot products are EXACTLY preserved while cross-replica
+        # vectors decorrelate. Identity for r=0.
+        import random as _random
+
+        signs = (
+            [1] * 64
+            if r == 0
+            else [_random.Random(9000 + r).choice((1, -1)) for _ in range(64)]
+        )
+        rot = (7 * r) % 64
+        rotated = f"list_concat(embedding[{rot + 1}:64], embedding[1:{rot}])"
+        flipped = (
+            f"list_transform(list_zip({rotated}, {list(signs)}::INT[]), "
+            "x -> x[1] * x[2])::FLOAT[]"
+        )
+        return f"""
         SELECT vec_id + {r * maxes['vec']} AS vec_id,
-               list_concat(embedding[{(7 * r) % 64 + 1}:64],
-                           embedding[1:{(7 * r) % 64}])::FLOAT[] AS embedding,
+               {flipped} AS embedding,
                label
-        FROM {t['embeddings']}"""))
+        FROM {t['embeddings']}"""
+
+    write("embeddings", replicas(emb_sql))
     print(f"wrote {out} (k={k})")
 
 
@@ -144,6 +178,10 @@ def plan(argv: list[str]) -> list[tuple[str, int]]:
     if "--sf5" in argv:
         # k=50 — one octave past the 20x net, for the slowest families
         out.append(("5", 50))
+    if "--sf10" in argv:
+        # k=100 — the r10 octave for the highest measured 50x ratios
+        # (hashed_text_classifier, repeated_ngram_spans, dedup_simhash)
+        out.append(("10", 100))
     return out
 
 

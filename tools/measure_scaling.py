@@ -55,6 +55,8 @@ def main() -> None:
         SF_DIRS[2.0] = "/tmp/scaled_sf/sf2"
     if "--sf5" in sys.argv:  # 50x point (build with make_scaled_sf.py --sf5)
         SF_DIRS[5.0] = "/tmp/scaled_sf/sf5"
+    if "--sf10" in sys.argv:  # 100x point (build with make_scaled_sf.py --sf10)
+        SF_DIRS[10.0] = "/tmp/scaled_sf/sf10"
     if "--scales" in sys.argv:
         # restrict to a comma-list of scale factors, e.g. --scales 0.1,1.0
         # (with --sf1) for a cheap full-registry 10x-ratio sweep — the
