@@ -461,6 +461,81 @@ def read_status(spark, status_path: str) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
+    """Fold every committed promote delta into the base — the
+    maintenance pass that bounds :func:`read_with_promotes` read
+    amplification (VERDICT r09 item 7: the merge-on-read view pays a
+    per-read winners window + anti-join that grows with the delta
+    chain; tools/promote_chain_bench.py measures the crossover and
+    SCALING.md records the recommended cadence). Returns the number of
+    delta versions folded (0 = nothing to do).
+
+    Single-maintainer contract (same as :func:`storage.compact_path`):
+    no concurrent promote while compacting. Crash-safe via staged
+    swap + recovery, ordered so every crash point either restores or
+    is idempotent:
+
+    1. materialize the merged view to a sibling ``.__compacting__``
+       dir (the write is the materialization — no base file moves
+       until the new base is fully committed on disk);
+    2. move the old top-level base files (part files + ``_SUCCESS``)
+       to a sibling ``.__pre_compact__`` backup;
+    3. move the new files into place (``_SUCCESS`` LAST, so a crash
+       mid-step leaves an invisible base and a restorable backup);
+    4. delete the folded delta dirs, then the backup and temp.
+
+    A crash between 3 and 4 serves base + already-folded deltas —
+    correct by idempotence (each delta winner equals its base row; the
+    anti-join removes the base copy and the union restores it). The
+    ``__seq`` counter restarts after compaction; serving stays correct
+    because ANY delta beats the base on its keys, so new promotes win
+    regardless of the old counter's high-water mark.
+
+    Recovery (run automatically on entry): a leftover backup with a
+    committed main means the swap finished — discard it; with an
+    uncommitted main it means the swap died mid-way — restore it; a
+    leftover temp is an incomplete rewrite — discard it."""
+    import glob as _glob
+    import shutil
+
+    root = main_path.rstrip("/")
+    tmp, backup = root + ".__compacting__", root + ".__pre_compact__"
+
+    # ---- recovery of a prior crashed compaction
+    if os.path.isdir(backup):
+        if _has_success(main_path):
+            shutil.rmtree(backup)
+        else:
+            for f in os.listdir(backup):
+                os.replace(os.path.join(backup, f), os.path.join(main_path, f))
+            shutil.rmtree(backup)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+    promotes_root = os.path.join(main_path, "promotes")
+    folded = sorted(
+        d for d in _glob.glob(os.path.join(promotes_root, "*")) if _has_success(d)
+    )
+    if not folded:
+        return 0
+    view = read_with_promotes(spark, main_path, key_cols)
+    view.write.mode("overwrite").parquet(tmp)
+
+    os.makedirs(backup)
+    for f in os.listdir(main_path):
+        p = os.path.join(main_path, f)
+        if os.path.isfile(p):
+            os.replace(p, os.path.join(backup, f))
+    new_files = sorted(os.listdir(tmp))
+    for f in [f for f in new_files if f != "_SUCCESS"] + ["_SUCCESS"]:
+        os.replace(os.path.join(tmp, f), os.path.join(main_path, f))
+    for d in folded:
+        shutil.rmtree(d)
+    shutil.rmtree(backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(folded)
+
+
 def append_ledger(entries: list[str], path: str) -> None:
     """S13 — processed-file ledger append (reference app.py:6921-6931);
     the streaming checkpoint replaces this for stream sources."""

@@ -122,3 +122,32 @@ def test_auto_mode_threshold(spark, sf_dir):
     )
     # past the documented threshold: shuffled shape
     assert _node_count(plan_big, "BroadcastNestedLoopJoin") == 3
+
+
+def test_shuffled_assign_on_skewed_corpus_matches_broadcast(spark, sf_dir):
+    """VERDICT r09 item 6 (skew audit): candidate cells inherit the
+    centroid distribution, so a lumpy corpus concentrates probes in
+    few cells. Correctness half of the audit: a corpus where ~80% of
+    vectors are one tight cluster (exact duplicates of a single
+    direction — the worst case, every probe hits ONE cell) must still
+    produce rows identical to the broadcast form. The throughput half
+    is measured by tools/assign_skew_check.py (SCALING.md)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dom = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.explode(F.sequence(F.lit(500_000), F.lit(502_000))).alias("vec_id"),
+            "embedding",
+        )
+    )
+    skewed = e.unionByName(dom)
+    cent = skewed.orderBy("vec_id").limit(50).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    with _mode(spark, "broadcast"):
+        b = _rows(assign.nearest_centroids(skewed, cent, k_hint=50, n_best=2))
+    with _mode(spark, "shuffled"):
+        s = _rows(assign.nearest_centroids(skewed, cent, k_hint=50, n_best=2))
+    assert len(b) > 0
+    assert b == s

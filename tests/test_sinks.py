@@ -812,3 +812,69 @@ def test_temporary_only_base_does_not_warn(spark, sf_dir, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error", UserWarning)
         sinks.read_with_moves(spark, dst, moves_for=dst)
+
+
+def test_compact_promotes_folds_chain_and_serving_is_unchanged(spark, sf_dir, tmp_path):
+    """VERDICT r09 item 7: compaction of a PROMOTED register. Build a
+    delta chain with real promote_records cycles, compact, and assert:
+    the merged view is row-identical before/after, the chain is gone,
+    a re-compact is a no-op, and a post-compaction promote still wins
+    over the folded base even though the __seq counter restarted."""
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    pred = F.col("approved")
+
+    def promote_cycle(i):
+        # re-seed staging: every even key proposes balance + i; after
+        # cycle 0 the % 8 == 0 keys exist in main, so action is Edit
+        staging = sup.where(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey",
+            F.lit(i).alias("submission_id"),
+            (F.col("s_acctbal") + float(i)).alias("s_acctbal"),
+            F.when((F.col("s_suppkey") % 8 == 0) & F.lit(i == 0), F.lit("Add"))
+            .otherwise(F.lit("Edit"))
+            .alias("action"),
+            F.lit(True).alias("approved"),
+        )
+        import shutil
+
+        shutil.rmtree(paths["staging_path"], ignore_errors=True)
+        staging.write.parquet(paths["staging_path"])
+        sinks.promote_records(
+            spark, predicate=pred, key_cols=["s_suppkey"],
+            staging_key_cols=["s_suppkey", "submission_id"],
+            action_col="action", promote_id=f"pr-{i}", **paths,
+        )
+
+    n_chain = 8
+    for i in range(n_chain):
+        promote_cycle(i)
+    promotes_root = os.path.join(paths["main_path"], "promotes")
+    assert len(os.listdir(promotes_root)) == n_chain
+
+    def view_rows():
+        return sorted(
+            (r["s_suppkey"], r["s_acctbal"])
+            for r in sinks.read_with_promotes(
+                spark, paths["main_path"], ["s_suppkey"]
+            ).collect()
+        )
+
+    before = view_rows()
+    assert sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"]) == n_chain
+    assert view_rows() == before
+    assert not os.path.isdir(promotes_root) or os.listdir(promotes_root) == []
+    assert os.path.isfile(os.path.join(paths["main_path"], "_SUCCESS"))
+    # idempotent: nothing left to fold
+    assert sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"]) == 0
+    assert view_rows() == before
+    # the __seq counter restarted; a fresh promote must still beat the
+    # folded base on its keys
+    promote_cycle(n_chain)
+    after = dict(view_rows())
+    for k, b in dict(before).items():
+        if k % 2 == 0:
+            assert after[k] == b + 1.0  # n_chain - (n_chain - 1)
+        else:
+            assert after[k] == b
