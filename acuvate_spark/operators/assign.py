@@ -13,8 +13,11 @@ For IVF's fixed K=16 that is definitionally right; for SemDeDup K
 derives from the corpus (K = N/125), so at real corpus scale
 (N ~ 1e9 -> K ~ 8e6 rows x 64 floats) the seed frame exceeds any
 broadcast budget and the N x K multiply is the measured super-linear
-term (9.5x at the 20x point). Past ``BROADCAST_MAX_K`` the assign
-swaps to the shuffled form below.
+term (9.5x at the 20x point; 162.8x at the r10 100x point). Past
+``AUTO_SHUFFLE_MIN_K`` (the measured wall-clock crossover — see the
+constant's comment) auto mode swaps to the shuffled form below;
+``BROADCAST_MAX_K`` remains the broadcast CAPACITY bound for callers
+forcing the mode.
 
 Shuffled form — a coarse quantizer over the centroids themselves:
 
@@ -73,11 +76,27 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors
 
-# Documented broadcast threshold: 64k centroids x 64 float32 + ids
-# ~ 20 MB serialized — comfortably inside executor broadcast budgets;
-# the next octave (128k x 64) is where task-heap pressure starts.
-# SemDeDup's K = N/125 crosses this at N ~ 8.2M corpus vectors.
+# Documented broadcast CAPACITY bound: 64k centroids x 64 float32 +
+# ids ~ 20 MB serialized — comfortably inside executor broadcast
+# budgets; the next octave (128k x 64) is where task-heap pressure
+# starts. Forcing mode=broadcast past this is the caller's risk.
 BROADCAST_MAX_K = 65_536
+
+# Auto-mode crossover (r10 — the 100x full sweep caught semdedup at
+# 162.8x for 100x data: K = N/125 was still far under the 64k
+# capacity bound, so auto kept the broadcast N x K cross whose row
+# volume is quadratic in the corpus). Measured on the semdedup
+# production path (min-of-2, quiet box): broadcast wins at K = 163
+# (7.6 s vs 8.8 s), shuffled wins at K = 326 (24.4 s vs 27.7 s) and
+# never loses above it — so auto swaps at the midpoint. Two regimes
+# above the crossover: on clusterable data (SemDeDup's premise) the
+# triangle-inequality pruning holds candidates near-constant and the
+# shuffled form is ~linear in N (tools/semdedup_geometry_check.py);
+# on isotropic-random data NO exact method beats N x K (all super
+# cosines ~ 0, radii ~ sqrt(2), nothing prunes — the curse of
+# dimensionality, measured: both modes within 0.1% at the 100x dir),
+# and the shuffled form degrades to broadcast's cost, never below it.
+AUTO_SHUFFLE_MIN_K = 240
 
 # Rounded-compare slack: cosine_rounded uses 4 digits, so two raw
 # values rounding to >= the same bucket differ by < 1e-4; 2.5e-4 also
@@ -91,7 +110,7 @@ def _resolved_mode(df: DataFrame, k_hint: int) -> str:
     mode = df.sparkSession.conf.get(_MODE_CONF, "auto")
     if mode in ("broadcast", "shuffled"):
         return mode
-    return "broadcast" if k_hint <= BROADCAST_MAX_K else "shuffled"
+    return "broadcast" if k_hint <= AUTO_SHUFFLE_MIN_K else "shuffled"
 
 
 def nearest_centroids(

@@ -1183,10 +1183,15 @@ def semdedup_clusters(spark, sf_dir):
     is >= tau as a duplicate of the smallest such member. Pairwise
     cost is scoped to a cluster, never the corpus — which is exactly
     why SemDeDup beats corpus-wide pairwise at scale. The assign pass
-    is ``operators.assign.nearest_centroids``: K <= 64k broadcasts the
-    seed frame; past that (K = N/125 crosses it at N ~ 8.2M) it swaps
-    to the two-level shuffled equi-join with identical results — no
-    K-row broadcast and no N x K multiply at corpus scale. K derives
+    is ``operators.assign.nearest_centroids``: small K broadcasts the
+    seed frame; past the measured crossover (AUTO_SHUFFLE_MIN_K = 240;
+    K = N/125 crosses it at N = 30k) it swaps to the two-level
+    shuffled equi-join with identical results — no K-row broadcast,
+    and the N x K multiply shrinks to the candidate cells the
+    triangle-inequality bound admits, ~constant per vector whenever
+    the corpus actually clusters (on isotropic-random vectors nothing
+    prunes and NO exact method beats N x K — the r10 100x octave
+    measured both modes within 0.1% there). K derives
     from ONE 1-row aggregate over the base table (count + clone
     count), not a count of the materialized union. The cluster frame
     feeds both sides of the pairwise join plus the final flag join, so

@@ -117,10 +117,15 @@ def test_auto_mode_threshold(spark, sf_dir):
     plan_small = _plan(assign.nearest_centroids(e, cent, k_hint=4))
     # k_hint <= threshold: broadcast shape (one K-row nested loop)
     assert _node_count(plan_small, "BroadcastNestedLoopJoin") == 1
-    plan_big = _plan(
-        assign.nearest_centroids(e, cent, k_hint=assign.BROADCAST_MAX_K + 1)
+    plan_mid = _plan(
+        assign.nearest_centroids(e, cent, k_hint=assign.AUTO_SHUFFLE_MIN_K)
     )
-    # past the documented threshold: shuffled shape
+    # at the crossover: still broadcast
+    assert _node_count(plan_mid, "BroadcastNestedLoopJoin") == 1
+    plan_big = _plan(
+        assign.nearest_centroids(e, cent, k_hint=assign.AUTO_SHUFFLE_MIN_K + 1)
+    )
+    # past the measured crossover (r10): shuffled shape
     assert _node_count(plan_big, "BroadcastNestedLoopJoin") == 3
 
 
