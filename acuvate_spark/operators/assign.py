@@ -128,8 +128,21 @@ def nearest_centroids(
     the two strategies would rank it differently.
     """
     if _resolved_mode(vec_df, k_hint) == "broadcast":
-        ranked = vec_df.crossJoin(F.broadcast(cent_df)).withColumn(
-            "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+        # Norms hoisted OUT of the cross (r10): cosine(a, b) folds
+        # dot + both norms per crossed row — 3x the arithmetic the
+        # pair needs, and codegen cannot hoist norm(a) across the
+        # join. Precomputing N + K norm columns leaves exactly one
+        # 64-element fold per pair. Bit-identical: the division sees
+        # the same doubles in the same order as the inline form.
+        vecs = vec_df.withColumn("__vn", vectors.norm(F.col("embedding")))
+        cents = F.broadcast(cent_df.withColumn("__cn", vectors.norm(F.col("ce"))))
+        ranked = vecs.crossJoin(cents).withColumn(
+            "ccos",
+            F.round(
+                vectors.dot(F.col("embedding"), F.col("ce"))
+                / (F.col("__vn") * F.col("__cn")),
+                4,
+            ),
         )
         if n_best == 1:
             # argmax as a map-side-combined aggregate: the window form
@@ -169,29 +182,38 @@ def _shuffled_candidates(
     the module docstring). The window in :func:`nearest_centroids`
     does the final ranking."""
     s_count = max(n_best, math.isqrt(max(k_hint, 1)) + 1)
+    # norms hoisted once per frame (r10 — see the broadcast branch):
+    # every cosine below is dot / (precomputed * precomputed),
+    # bit-identical to the inline form
+    cents = cent_df.withColumn("__cn", vectors.norm(F.col("ce")))
     supers = (
-        cent_df.orderBy("centroid_id")
+        cents.orderBy("centroid_id")
         .limit(s_count)
-        .select(F.col("centroid_id").alias("sid"), F.col("ce").alias("se"))
+        .select(
+            F.col("centroid_id").alias("sid"),
+            F.col("ce").alias("se"),
+            F.col("__cn").alias("sn"),
+        )
     )
 
     # centroid -> nearest super, map-side over a 1-row array of supers
-    supers_arr = supers.agg(F.collect_list(F.struct("sid", "se")).alias("_supers"))
+    supers_arr = supers.agg(F.collect_list(F.struct("sid", "se", "sn")).alias("_supers"))
     best = F.array_max(
         F.transform(
             F.col("_supers"),
             lambda s: F.struct(
-                vectors.cosine(F.col("ce"), s["se"]).alias("c"),
+                (vectors.dot(F.col("ce"), s["se"]) / (F.col("__cn") * s["sn"])).alias("c"),
                 (-s["sid"]).alias("nsid"),
             ),
         )
     )
     members = (
-        cent_df.crossJoin(F.broadcast(supers_arr))
+        cents.crossJoin(F.broadcast(supers_arr))
         .withColumn("_b", best)
         .select(
             "centroid_id",
             "ce",
+            "__cn",
             (-F.col("_b.nsid")).alias("sid"),
             F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - 2.0 * F.col("_b.c"))).alias("_d"),
         )
@@ -199,7 +221,7 @@ def _shuffled_candidates(
     radii = members.groupBy("sid").agg(F.max("_d").alias("r"))
     cells_arr = (
         supers.join(radii, "sid")
-        .agg(F.collect_list(F.struct("sid", "se", "r")).alias("_cells"))
+        .agg(F.collect_list(F.struct("sid", "se", "sn", "r")).alias("_cells"))
     )
 
     # vector -> candidate cells, map-side over the 1-row cell array
@@ -207,7 +229,7 @@ def _shuffled_candidates(
         F.col("_cells"),
         lambda c: F.struct(
             c["sid"].alias("sid"),
-            vectors.cosine(F.col("embedding"), c["se"]).alias("c"),
+            (vectors.dot(F.col("embedding"), c["se"]) / (F.col("__vn") * c["sn"])).alias("c"),
             c["r"].alias("r"),
         ),
     )
@@ -225,15 +247,26 @@ def _shuffled_candidates(
 
     cand = F.filter(F.col("_stats"), lambda x: _ub(x) >= F.col("_lb") - F.lit(_SLACK))
     exploded = (
-        vec_df.crossJoin(F.broadcast(cells_arr))
+        vec_df.withColumn("__vn", vectors.norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cells_arr))
         .withColumn("_stats", stats)
         .withColumn("_lb", lb)
         .select(
             "vec_id",
             "embedding",
+            "__vn",
             F.explode(F.transform(cand, lambda x: x["sid"])).alias("sid"),
         )
     )
-    return exploded.join(members.select("sid", "centroid_id", "ce"), "sid").withColumn(
-        "ccos", vectors.cosine_rounded(F.col("embedding"), F.col("ce"), 4)
+    return (
+        exploded.join(members.select("sid", "centroid_id", "ce", "__cn"), "sid")
+        .withColumn(
+            "ccos",
+            F.round(
+                vectors.dot(F.col("embedding"), F.col("ce"))
+                / (F.col("__vn") * F.col("__cn")),
+                4,
+            ),
+        )
+        .drop("__vn", "__cn")
     )

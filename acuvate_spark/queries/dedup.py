@@ -606,10 +606,32 @@ def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # verify with norms hoisted once per side (r10; bit-identical —
+    # the division sees the same doubles as the inline cosine)
+    embn = emb.withColumn("__n", vectors.norm(F.col("embedding")))
     pairs = (
-        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
-        .withColumn("cos_sim", vectors.cosine_rounded(F.col("ea"), F.col("eb"), 4))
+        cand.join(
+            embn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("ea"),
+                F.col("__n").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("eb"),
+                F.col("__n").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                vectors.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ),
+        )
     )
     return pairs.where(F.col("cos_sim") >= 0.95).select("vec_a", "vec_b", "cos_sim")
 
@@ -1211,19 +1233,28 @@ def semdedup_clusters(spark, sf_dir):
         .limit(k)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
     )
+    # per-vector norm computed ONCE before the within-cluster pairwise
+    # join (r10): the inline cosine folds dot + both norms per PAIR —
+    # 3x the arithmetic — and codegen cannot hoist a norm across the
+    # join. dot/(n_a * n_b) over precomputed norms is bit-identical.
     cell = (
         assign.nearest_centroids(emb, seeds, k_hint=k, n_best=1)
         .select("vec_id", "embedding", "centroid_id")
+        .withColumn("__n", vectors.norm(F.col("embedding")))
         .persist()
     )
     a = cell.select(
         F.col("centroid_id").alias("ca"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    pair_cos = F.round(
+        vectors.dot(F.col("ea"), F.col("embedding")) / (F.col("na") * F.col("__n")), 4
     )
     dup = (
         cell.join(a, (F.col("ca") == F.col("centroid_id")) & (F.col("va") < F.col("vec_id")))
-        .where(vectors.cosine_rounded(F.col("ea"), F.col("embedding"), 4) >= _SEM_TAU)
+        .where(pair_cos >= _SEM_TAU)
         .groupBy("vec_id")
         .agg(F.min("va").alias("dup_of"))
     )
