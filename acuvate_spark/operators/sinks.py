@@ -266,6 +266,7 @@ def promote_records(
     staging_key_cols: list[str] | None = None,
     on_between: Callable[[int], None] | None = None,
     bootstrap_ok: bool = False,
+    auto_compact: int | None = None,
 ) -> None:
     """M6 WRITE SIDE — the reference's approve workflow
     (approve_tag_equipment app.py:5706-5888): approved staging rows
@@ -314,7 +315,15 @@ def promote_records(
     has exactly this per-request row identity.
 
     ``on_between(i)`` is the chaos seam: called after commit i
-    (1-2), letting tests kill the job between any two commits."""
+    (1-2), letting tests kill the job between any two commits.
+
+    ``auto_compact=N`` folds the delta chain via
+    :func:`compact_promotes` once it reaches N committed versions
+    (VERDICT r10 item 6: the cadence was documentation-only before).
+    The fold runs AFTER the promote's three commits — compaction is a
+    maintenance pass over committed state, so a crash between the last
+    commit and the fold loses nothing (the next promote or read just
+    sees a longer chain; compaction replay is itself crash-safe)."""
     from pyspark.sql import functions as F
 
     staging_key_cols = staging_key_cols or key_cols
@@ -322,6 +331,8 @@ def promote_records(
     status = os.path.join(status_path, promote_id)
     staging_tomb = os.path.join(staging_tomb_path, promote_id)
     if _has_success(staging_tomb):
+        if auto_compact is not None and _promote_chain_len(main_path) >= auto_compact:
+            compact_promotes(spark, main_path, key_cols)
         return  # fully committed: replay is a true no-op
     if not _has_success(delta):
         staging = read_with_moves(
@@ -369,6 +380,8 @@ def promote_records(
     committed.select(*staging_key_cols).distinct().write.mode("overwrite").parquet(
         staging_tomb
     )
+    if auto_compact is not None and _promote_chain_len(main_path) >= auto_compact:
+        compact_promotes(spark, main_path, key_cols)
 
 
 def _next_promote_seq(spark, main_path: str) -> int:
@@ -386,8 +399,45 @@ def _next_promote_seq(spark, main_path: str) -> int:
     return 1 if row[0] is None else int(row[0]) + 1
 
 
+# merge-on-read pays ~linearly for the delta chain (winners window +
+# anti-join per read; tools/promote_chain_bench.py measured 9.3x at
+# chain 50, ~3x at 10) — SCALING.md's recommended fold point
+COMPACT_CADENCE = 10
+
+
+def _promote_chain_len(main_path: str) -> int:
+    """Number of COMMITTED promote delta versions under ``main_path``
+    (the merge-on-read chain length the cadence is measured in)."""
+    import glob as _glob
+
+    return sum(
+        1
+        for d in _glob.glob(os.path.join(main_path, "promotes", "*"))
+        if _has_success(d)
+    )
+
+
+def _warn_long_chain(main_path: str, chain: int) -> None:
+    import warnings
+
+    if chain > COMPACT_CADENCE:
+        warnings.warn(
+            f"{main_path}: {chain} committed promote deltas exceed the "
+            f"compaction cadence ({COMPACT_CADENCE}); every merged read "
+            "pays the chain (measured 9.3x at 50) — run compact_promotes "
+            "(python -m acuvate_spark compact) or pass auto_compact= to "
+            "promote_records",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def read_with_promotes(
-    spark, main_path: str, key_cols: list[str], missing_ok: bool = False
+    spark,
+    main_path: str,
+    key_cols: list[str],
+    missing_ok: bool = False,
+    _warn_chain: bool = True,
 ) -> DataFrame | None:
     """Merge-on-read main view over :func:`promote_records` state:
     committed base rows overridden by the HIGHEST-``__seq`` committed
@@ -408,12 +458,20 @@ def read_with_promotes(
     same-key rows, the winner is still DETERMINISTIC — ties on
     ``__seq`` break on the remaining columns' values — but which
     submission that is carries no meaning, so collapse multi-pending
-    keys before promoting."""
+    keys before promoting.
+
+    Reads past :data:`COMPACT_CADENCE` committed deltas emit a
+    UserWarning naming the remedy (VERDICT r10 item 6: nothing
+    surfaced the measured read tax before; ``_warn_chain=False`` is
+    for the compaction pass itself, whose read exists to RETIRE the
+    chain)."""
     import glob as _glob
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if _warn_chain:
+        _warn_long_chain(main_path, _promote_chain_len(main_path))
     base = None
     if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
         base = spark.read.parquet(main_path)
@@ -478,8 +536,15 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     1. materialize the merged view to a sibling ``.__compacting__``
        dir (the write is the materialization — no base file moves
        until the new base is fully committed on disk);
-    2. move the old top-level base files (part files + ``_SUCCESS``)
-       to a sibling ``.__pre_compact__`` backup;
+    2. move the old top-level base files to a sibling
+       ``.__pre_compact__`` backup — ``_SUCCESS`` FIRST, so every
+       crash point past the first move leaves main UNCOMMITTED and
+       recovery takes the restore branch (moving the marker last
+       would let a crash mid-step leave a committed main with a
+       partial file set, which recovery would mistake for a finished
+       swap and delete the backup: silent row loss) — then write a
+       ``__BACKUP_COMPLETE__`` sentinel marking the backup as the
+       complete old file set;
     3. move the new files into place (``_SUCCESS`` LAST, so a crash
        mid-step leaves an invisible base and a restorable backup);
     4. delete the folded delta dirs, then the backup and temp.
@@ -492,21 +557,41 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     regardless of the old counter's high-water mark.
 
     Recovery (run automatically on entry): a leftover backup with a
-    committed main means the swap finished — discard it; with an
-    uncommitted main it means the swap died mid-way — restore it; a
-    leftover temp is an incomplete rewrite — discard it."""
+    committed main means the swap finished (with the marker moved
+    first, main can only be committed again once step 3 completed) —
+    discard it. With an uncommitted main the swap died mid-way: if the
+    backup carries the sentinel, step 2 finished and main's top-level
+    files (if any) are PARTIALLY-MOVED NEW files — delete them before
+    restoring, or the restored base would serve old rows plus the
+    differently-named compacted files' rows (every unpromoted key
+    duplicated, and baked in by the next compaction); without the
+    sentinel the crash was mid-step-2, main still holds the complement
+    of the old set and no new file, so restoring the backup on top is
+    the exact union. A leftover temp is an incomplete rewrite —
+    discard it."""
     import glob as _glob
     import shutil
 
     root = main_path.rstrip("/")
     tmp, backup = root + ".__compacting__", root + ".__pre_compact__"
+    sentinel = "__BACKUP_COMPLETE__"
 
     # ---- recovery of a prior crashed compaction
     if os.path.isdir(backup):
         if _has_success(main_path):
             shutil.rmtree(backup)
         else:
+            if os.path.exists(os.path.join(backup, sentinel)):
+                # crashed mid-step-3: any top-level file in main is a
+                # partially-moved NEW file (the complete old set is in
+                # the backup) — clear them so the restore is exact
+                for f in os.listdir(main_path):
+                    p = os.path.join(main_path, f)
+                    if os.path.isfile(p):
+                        os.remove(p)
             for f in os.listdir(backup):
+                if f == sentinel:
+                    continue
                 os.replace(os.path.join(backup, f), os.path.join(main_path, f))
             shutil.rmtree(backup)
     if os.path.isdir(tmp):
@@ -518,14 +603,17 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     )
     if not folded:
         return 0
-    view = read_with_promotes(spark, main_path, key_cols)
+    view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
     view.write.mode("overwrite").parquet(tmp)
 
     os.makedirs(backup)
-    for f in os.listdir(main_path):
-        p = os.path.join(main_path, f)
-        if os.path.isfile(p):
-            os.replace(p, os.path.join(backup, f))
+    olds = [
+        f for f in os.listdir(main_path) if os.path.isfile(os.path.join(main_path, f))
+    ]
+    for f in sorted(olds, key=lambda f: (f != "_SUCCESS", f)):  # marker first
+        os.replace(os.path.join(main_path, f), os.path.join(backup, f))
+    with open(os.path.join(backup, sentinel), "w"):
+        pass
     new_files = sorted(os.listdir(tmp))
     for f in [f for f in new_files if f != "_SUCCESS"] + ["_SUCCESS"]:
         os.replace(os.path.join(tmp, f), os.path.join(main_path, f))

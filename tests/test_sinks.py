@@ -814,6 +814,200 @@ def test_temporary_only_base_does_not_warn(spark, sf_dir, tmp_path):
         sinks.read_with_moves(spark, dst, moves_for=dst)
 
 
+def test_long_promote_chain_warns_and_cli_compact_folds_it(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 6: the measured chain read-tax must be
+    SURFACED, not just documented. A 15-delta chain (past the
+    COMPACT_CADENCE=10 fold point) makes read_with_promotes warn with
+    the remedy; the `python -m acuvate_spark compact` maintenance
+    subcommand folds it; serving is row-identical and the warning is
+    gone afterward."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    main = str(tmp_path / "main")
+    sup.write.parquet(main)
+    # synthesize the committed chain directly (15 promote_records
+    # cycles would test the same read path 10x slower): each delta is
+    # one committed dir carrying __seq, exactly what promote_records
+    # writes
+    n_chain = 15
+    for i in range(1, n_chain + 1):
+        spark.createDataFrame(
+            [(2, float(i), i)], "s_suppkey long, s_acctbal double, __seq int"
+        ).write.parquet(os.path.join(main, "promotes", f"pr-{i:02d}"))
+
+    with pytest.warns(UserWarning, match="compaction cadence"):
+        got = sinks.read_with_promotes(spark, main, ["s_suppkey"])
+    rows_before = sorted(
+        (r["s_suppkey"], r["s_acctbal"]) for r in got.collect()
+    )
+    assert dict(rows_before)[2] == float(n_chain)  # highest __seq wins
+
+    # the CLI maintenance subcommand (session shared with the fixture)
+    from acuvate_spark.__main__ import main as cli_main
+
+    class _NoStop:
+        def __init__(self, s):
+            self._s = s
+
+        def __getattr__(self, a):
+            return getattr(self._s, a)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        "acuvate_spark.session.get_spark", lambda name: _NoStop(spark)
+    )
+    assert cli_main(["compact", main, "--keys", "s_suppkey"]) == 0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        after = sinks.read_with_promotes(spark, main, ["s_suppkey"])
+        assert (
+            sorted((r["s_suppkey"], r["s_acctbal"]) for r in after.collect())
+            == rows_before
+        )
+    assert sinks._promote_chain_len(main) == 0
+
+
+def test_promote_records_auto_compact_folds_at_threshold(spark, sf_dir, tmp_path):
+    """VERDICT r10 item 6 (write-side hook): promote_records with
+    auto_compact=N folds the chain once it reaches N committed
+    versions, after its own three commits; serving is row-identical to
+    the merged view the chain would have produced."""
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+
+    def promote_cycle(i, **kw):
+        import shutil
+
+        staging = sup.where(F.col("s_suppkey") % 2 == 0).select(
+            "s_suppkey",
+            F.lit(i).alias("submission_id"),
+            (F.col("s_acctbal") + float(i)).alias("s_acctbal"),
+            F.when((F.col("s_suppkey") % 8 == 0) & F.lit(i == 0), F.lit("Add"))
+            .otherwise(F.lit("Edit"))
+            .alias("action"),
+            F.lit(True).alias("approved"),
+        )
+        shutil.rmtree(paths["staging_path"], ignore_errors=True)
+        staging.write.parquet(paths["staging_path"])
+        sinks.promote_records(
+            spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+            staging_key_cols=["s_suppkey", "submission_id"],
+            action_col="action", promote_id=f"pr-{i}", **kw, **paths,
+        )
+
+    promote_cycle(0, auto_compact=2)
+    assert sinks._promote_chain_len(paths["main_path"]) == 1  # below threshold
+    promote_cycle(1, auto_compact=2)
+    assert sinks._promote_chain_len(paths["main_path"]) == 0  # folded
+    assert os.path.isfile(os.path.join(paths["main_path"], "_SUCCESS"))
+    view = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(
+            spark, paths["main_path"], ["s_suppkey"]
+        ).collect()
+    }
+    # membership: base keys (% 4 != 0) plus the cycle-0 Adds (% 8 == 0);
+    # k % 4 == 0 with k % 8 != 0 is Edit-on-missing, rejected both cycles
+    for k, b in ((r["s_suppkey"], r["s_acctbal"]) for r in sup.collect()):
+        if k % 4 != 0 or k % 8 == 0:
+            assert view[k] == (b + 1.0 if k % 2 == 0 else b)
+        else:
+            assert k not in view
+
+
+def test_compact_promotes_crash_at_every_move_point_recovers(spark, sf_dir, tmp_path):
+    """ADVICE r10 (both high items): the compaction swap must survive a
+    crash at EVERY file-move point. Sweep k = 1.. injecting a failure at
+    the k-th os.replace inside compact_promotes — that covers every
+    mid-step-2 crash (including right after _SUCCESS moved to the
+    backup: the old arbitrary-order code could leave a committed main
+    with a partial file set, which recovery mistook for a finished swap
+    and rmtree'd the backup = silent row loss) and every mid-step-3
+    crash (partially-moved NEW part files: the old restore branch left
+    them beside the restored old set = duplicated rows, baked in by the
+    next compaction). After each crash, re-entry must recover to a
+    row-identical served view with exactly one committed file set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        staging_key_cols=["s_suppkey", "submission_id"],
+        action_col="action", promote_id="pr-0", **paths,
+    )
+    main0 = paths["main_path"]
+
+    def view_rows(main):
+        return sorted(
+            (r["s_suppkey"], r["s_acctbal"])
+            for r in sinks.read_with_promotes(spark, main, ["s_suppkey"]).collect()
+        )
+
+    before = view_rows(main0)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_replace = os.replace
+    sentinel = "__BACKUP_COMPLETE__"
+    saw_partial_backup = saw_partial_swap_in = False
+    k = 1
+    while True:
+        main_k = str(tmp_path / f"main_crash_{k}")
+        shutil.copytree(main0, main_k)
+        calls = {"n": 0}
+
+        def exploding(src, dst, *, _k=k, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise Boom(f"killed at replace #{_k}")
+            return real_replace(src, dst)
+
+        os.replace = exploding
+        try:
+            try:
+                sinks.compact_promotes(spark, main_k, ["s_suppkey"])
+                crashed = False
+            except Boom:
+                crashed = True
+        finally:
+            os.replace = real_replace
+        if not crashed:
+            break  # k exceeded the swap's total move count: clean run
+        backup = main_k.rstrip("/") + ".__pre_compact__"
+        if os.path.isdir(backup):
+            if os.path.exists(os.path.join(backup, sentinel)):
+                saw_partial_swap_in = True  # crashed mid-step-3
+            elif any(f != sentinel for f in os.listdir(backup)):
+                saw_partial_backup = True  # crashed mid-step-2
+                # the r10 fix's invariant: once ANYTHING moved to the
+                # backup, main must read as uncommitted (marker first),
+                # so recovery can never mistake this for a finished swap
+                assert not os.path.isfile(os.path.join(main_k, "_SUCCESS"))
+        # re-entry recovers, then folds the chain for real
+        assert sinks.compact_promotes(spark, main_k, ["s_suppkey"]) == 1
+        assert view_rows(main_k) == before
+        assert os.path.isfile(os.path.join(main_k, "_SUCCESS"))
+        assert not os.path.isdir(backup)
+        assert not os.path.isdir(main_k.rstrip("/") + ".__compacting__")
+        k += 1
+    assert saw_partial_backup and saw_partial_swap_in
+    assert k >= 4  # the sweep really exercised multiple distinct move points
+    assert view_rows(main0) == before  # the pristine register was never touched
+
+
 def test_compact_promotes_folds_chain_and_serving_is_unchanged(spark, sf_dir, tmp_path):
     """VERDICT r09 item 7: compaction of a PROMOTED register. Build a
     delta chain with real promote_records cycles, compact, and assert:
