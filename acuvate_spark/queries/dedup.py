@@ -531,27 +531,78 @@ def _input_bytes(spark, path: str) -> int | None:
         return None
 
 
-def _corpus_n_gated(raw, sf_dir: str, table: str, gate_bytes: int, count_fn) -> int:
+def _footer_rows(spark, path: str) -> int | None:
+    """EXACT row count summed over parquet footers (VERDICT r10 item 1:
+    the byte gate infers rows at an assumed bytes/row, so a short-doc
+    or highly-compressible corpus — and dedup corpora are repetitive by
+    premise — could cross the adaptive threshold while staying under
+    the byte gate, silently pinning the floor banding with its
+    n²/2^bits candidate term). Metadata-only, driver-side, no Spark
+    job and no data pages — the same footer source
+    ``operators.storage.scan_stats`` manifests from. Local filesystem
+    paths only (``file:`` URIs included); remote URIs and any
+    read/listing failure return ``None`` so callers fall back to the
+    storage-agnostic byte gate, then the count job."""
+    import glob as _glob
+    import os
+
+    p = path[len("file:") :] if path.startswith("file:") else path
+    if "://" in p:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(p):
+            files = [p]
+        else:
+            files = [
+                f
+                for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                if os.path.isfile(f)
+            ]
+        if not files:
+            return None
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _corpus_n_gated(
+    raw, sf_dir: str, table: str, gate_bytes: int, count_fn, threshold_rows: int
+) -> int:
     """Corpus size for an adaptive-LSH config choice, paying a count
-    job ONLY when the on-disk input is big enough to possibly cross
-    the adaptive threshold — verification scales stay zero-extra-jobs.
-    An unlistable path (size unknown) pays the count job: the gate is
-    an optimization and must never silently pin the floor config."""
-    size = _input_bytes(raw.sparkSession, f"{sf_dir}/{table}.parquet")
+    job ONLY when the input could possibly cross the adaptive
+    threshold — verification scales stay zero-extra-jobs. Two probes,
+    most-exact first: parquet-footer row counts (local paths; the
+    corpus is base rows + predicate clones ≤ 2x base rows, so
+    2·rows < threshold PROVES the floor config is right), then the
+    on-disk byte gate (remote stores — heuristic, so its constant is
+    sized with a safety margin BELOW the threshold's byte equivalent).
+    Unknown on both probes (unlistable path) pays the count job: the
+    gate is an optimization and must never silently pin the floor
+    config."""
+    path = f"{sf_dir}/{table}.parquet"
+    rows = _footer_rows(raw.sparkSession, path)
+    if rows is not None:
+        return 0 if 2 * rows < threshold_rows else count_fn(raw)
+    size = _input_bytes(raw.sparkSession, path)
     if size is not None and size < gate_bytes:
         return 0
     return count_fn(raw)
 
 
-_DOC_SIZE_GATE_BYTES = 16 * 1024 * 1024  # ~115 B/row on this corpus ->
-# the gate opens near 146k rows, just past the 131,072 adaptive
-# threshold; sf2 (102k docs, 11.5 MB) skips the count job, the 50x
-# octave dir (255k docs, 28.7 MB) pays it and goes adaptive
+# Remote-store fallback only (local paths take the exact footer-row
+# probe): sized from the threshold at the corpus' measured ~115 B/row
+# with the margin under 1 the gate contract requires — 12 MiB ≈ 109k
+# rows, safely below the 131,072 adaptive threshold (ADVICE r10: the
+# old 16 MiB ≈ 146k opened PAST it, so 131k–146k corpora skipped the
+# count job while already over the threshold).
+_DOC_SIZE_GATE_BYTES = 12 * 1024 * 1024
 
 
 def _doc_corpus_n(spark, sf_dir: str) -> int:
     """Document-corpus size (base + clones) for ``simhash_lsh_config``
-    — same storage-agnostic byte gate as the embedding config."""
+    — same footer-rows-then-bytes gate as the embedding config."""
     raw = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def count(raw):
@@ -561,7 +612,14 @@ def _doc_corpus_n(spark, sf_dir: str) -> int:
         ).first()
         return int(cnt["n"] + cnt["nc"])
 
-    return _corpus_n_gated(raw, sf_dir, "documents", _DOC_SIZE_GATE_BYTES, count)
+    return _corpus_n_gated(
+        raw,
+        sf_dir,
+        "documents",
+        _DOC_SIZE_GATE_BYTES,
+        count,
+        dedup_ops._SIMHASH_ADAPTIVE_MIN_N,
+    )
 
 
 def _emb_corpus_n(raw, sf_dir: str) -> int:
@@ -571,7 +629,9 @@ def _emb_corpus_n(raw, sf_dir: str) -> int:
         cnt = _sem_k_agg(raw).first()
         return int(cnt["n"] + cnt["nc"])
 
-    return _corpus_n_gated(raw, sf_dir, "embeddings", _EMB_SIZE_GATE_BYTES, count)
+    return _corpus_n_gated(
+        raw, sf_dir, "embeddings", _EMB_SIZE_GATE_BYTES, count, _EMB_ADAPTIVE_MIN_N
+    )
 
 
 def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):

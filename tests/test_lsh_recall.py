@@ -197,12 +197,16 @@ def test_input_bytes_engine_listing_matches_os(spark, sf_dir):
     assert _input_bytes(spark, f"{sf_dir}/no_such_table.parquet") is None
 
 
-def test_corpus_gate_pays_count_when_size_unknown(spark, sf_dir):
+def test_corpus_gate_pays_count_when_size_unknown(spark, sf_dir, tmp_path):
     """An unlistable path must fall through to the count job — the
     gate is an optimization, not a correctness gate, so 'size unknown'
     can never be treated as 'small' (that would reinstate the fixed-
     bucket-space cliff on exactly the object stores the adaptive
-    banding targets)."""
+    banding targets). Probe order (VERDICT r10 item 1): exact footer
+    row counts decide when readable; the byte heuristic only gates
+    footer-unreadable (remote/non-parquet) inputs."""
+    import os
+
     from acuvate_spark.queries.dedup import _corpus_n_gated
     from acuvate_spark.tables import load_table
 
@@ -213,17 +217,70 @@ def test_corpus_gate_pays_count_when_size_unknown(spark, sf_dir):
         calls.append(1)
         return 12345
 
-    # unknown size (bad path) -> count job runs
-    assert _corpus_n_gated(raw, sf_dir, "no_such_table", 1, count) == 12345
+    # unknown on both probes (bad path) -> count job runs
+    assert _corpus_n_gated(raw, sf_dir, "no_such_table", 1, count, 1) == 12345
     assert calls == [1]
-    # known-small size -> gate short-circuits, no count job
+    # footer rows provably below the threshold -> gate short-circuits,
+    # no count job — even with a byte gate that would say "big"
     calls.clear()
-    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1 << 60, count) == 0
+    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1, count, 1 << 60) == 0
     assert calls == []
-    # known-big size (gate below the file size) -> count job runs
+    # footer rows past the threshold -> count job runs even though the
+    # byte gate alone would have said "small" (the r10 silent-floor fix)
     calls.clear()
-    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1, count) == 12345
+    assert _corpus_n_gated(raw, sf_dir, "embeddings", 1 << 60, count, 1) == 12345
     assert calls == [1]
+    # footer-unreadable but listable (no parquet footers under the
+    # path) -> the storage-agnostic byte gate decides, both directions
+    fake = tmp_path / "fake.parquet"
+    fake.mkdir()
+    (fake / "blob.bin").write_bytes(b"x" * 1024)
+    calls.clear()
+    assert _corpus_n_gated(raw, str(tmp_path), "fake", 1 << 60, count, 1) == 0
+    assert calls == []
+    assert _corpus_n_gated(raw, str(tmp_path), "fake", 1, count, 1) == 12345
+    assert calls == [1]
+
+
+def test_short_doc_corpus_crosses_threshold_under_byte_gate(spark, tmp_path):
+    """VERDICT r10 item 1 / the last silent-floor path: a corpus of
+    SHORT rows can cross the n = 131,072 adaptive threshold while its
+    on-disk bytes stay under any plausible byte gate (the old 16 MiB
+    gate assumed ~115 B/row). The footer-row probe must catch it: the
+    gate pays the count job and returns the true corpus size, engaging
+    the adaptive banding the byte heuristic would have silently
+    skipped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.operators.dedup import (
+        _SIMHASH_ADAPTIVE_MIN_N,
+        simhash_lsh_config,
+    )
+    from acuvate_spark.queries.dedup import (
+        _DOC_SIZE_GATE_BYTES,
+        _doc_corpus_n,
+        _footer_rows,
+        _input_bytes,
+    )
+
+    n = _SIMHASH_ADAPTIVE_MIN_N  # 131,072 rows, each a handful of bytes
+    spark.range(n).select(F.col("id").alias("doc_id")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    # the scenario's premise: past the threshold yet under the byte gate
+    size = _input_bytes(spark, f"{tmp_path}/documents.parquet")
+    assert size is not None and size < _DOC_SIZE_GATE_BYTES
+    assert _footer_rows(spark, f"{tmp_path}/documents.parquet") == n
+
+    got = _doc_corpus_n(spark, str(tmp_path))
+    expected = n + len([i for i in range(n) if i % 50 == 0])
+    assert got == expected  # exact corpus, NOT the gate's 0
+    assert got >= _SIMHASH_ADAPTIVE_MIN_N
+    # and the config the corpus size drives is the adaptive one
+    floor = simhash_lsh_config(0)
+    assert simhash_lsh_config(got) != floor
 
 
 def test_emb_corpus_n_file_uri_gates_like_local(spark, sf_dir):
