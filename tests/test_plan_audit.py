@@ -56,8 +56,14 @@ ALLOWED_UNBOUNDED = {
     # 1-row (n_docs, sum_dl) stats frame broadcast over the
     # |probes|-bounded tf frame
     "bm25_probe_ranking",
-    # K=16 seed centroids broadcast over the corpus (same assign pass
-    # as ann_ivf_flat)
+    # K = max(16, N/125) seed centroids: the assign auto mode
+    # (operators/assign.py AUTO_SHUFFLE_MIN_K) only plans the
+    # broadcast BNL at K <= 240 — the measured wall-clock crossover —
+    # and swaps to the shuffled equi-join form above it, so the BNL
+    # this allowlists is bounded by ROUTING, not by a fixed K (at
+    # fixture scales K stays well under the crossover, hence the BNL
+    # plans here; test_semdedup_large_k_plans_no_bnl pins the other
+    # side)
     "semdedup_clusters",
     # |sources| x K sketch frame (20 x 64 here) joined against itself
     # under source_a < source_b — corpus-size-independent by design
@@ -110,3 +116,65 @@ def test_no_unbounded_join_in_plan(name, spark, sf_dir, monkeypatch):
             "Re-key it to an equi-join (grid cell / LSH band / block key) or "
             "add it to ALLOWED_UNBOUNDED with a documented bound."
         )
+
+
+def test_semdedup_large_k_plans_no_bnl(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r10 item 2: the semdedup_clusters allowlist entry is
+    bounded by ROUTING (assign auto mode swaps broadcast -> shuffled at
+    the measured K = AUTO_SHUFFLE_MIN_K crossover), not by a fixed K —
+    so pin the other side end-to-end: against a corpus whose DERIVED
+    K = (n + nc) // 125 exceeds the crossover, the full query must plan
+    the shuffled assign (only the three 1-row array-attach
+    BroadcastNestedLoopJoins; the exact compare a shuffled equi-join),
+    never the K-row broadcast cross the allowlist permits at fixture
+    scales."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.operators.assign import AUTO_SHUFFLE_MIN_K
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base_n = raw.count()
+    # K = (n + n/50) // 125 > crossover  =>  n > crossover * 125 / 1.02
+    need = int(AUTO_SHUFFLE_MIN_K * 125 / 1.02) + 125
+    reps = math.ceil(need / base_n)
+    big = (
+        raw.crossJoin(spark.range(reps).select(F.col("id").alias("__r")))
+        .select(
+            (F.col("vec_id") + F.col("__r") * 10_000_000).alias("vec_id"),
+            *[c for c in raw.columns if c != "vec_id"],
+        )
+        .limit(need)
+    )
+    big.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    # stub localCheckpoint so the assign stage is visible in the plan
+    # (same trick as the registry-wide audit above)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    import re
+
+    def bnl_count(plan):
+        return len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+
+    df = REGISTRY["semdedup_clusters"].fn(spark, str(tmp_path))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # without the checkpoint the cell subtree is inlined 3x (both sides
+    # of the dup self-join + the final left join), so the shuffled
+    # assign's 3 one-row attaches appear 9x; the broadcast form would
+    # show 3 (one K-row cross per inlining) — assert that contrast by
+    # forcing the mode, so the pin can't pass on the wrong shape
+    assert bnl_count(plan) == 9, f"expected 3 attaches x 3 inlinings, saw {bnl_count(plan)}"
+    assert plan.count("collect_list") >= 2  # supers + cells 1-row aggs
+    assert any(
+        m in plan for m in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    spark.conf.set("spark.acuvate.assign.mode", "broadcast")
+    try:
+        forced = _plan(REGISTRY["semdedup_clusters"].fn(spark, str(tmp_path)))
+    finally:
+        spark.conf.unset("spark.acuvate.assign.mode")
+    assert bnl_count(forced) == 3  # the K-row cross, once per inlining

@@ -83,6 +83,8 @@ def main() -> None:
     # (ADVICE r09: the old comma-join split mis-parsed those).
     for i, a in enumerate(sys.argv):
         if a == "--conf":
+            if i + 1 >= len(sys.argv) or "=" not in sys.argv[i + 1]:
+                sys.exit("usage: --conf key=value (repeatable)")
             k, v = sys.argv[i + 1].split("=", 1)
             spark.conf.set(k, v)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
