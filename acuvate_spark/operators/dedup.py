@@ -378,3 +378,113 @@ def simhash_hamming_sql(sa: str, sb: str) -> str:
         for i in range(_SIMHASH_BITS)
     )
     return f"CAST({terms} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket candidate generation for banded hyperplane LSH
+# ---------------------------------------------------------------------------
+
+# A bucket past this size takes the blocked-BLAS prune path instead of
+# the pair-expanding band self-join. Uniform corpora never get near it
+# (the adaptive config holds per-bucket occupancy at ~32, the floor at
+# <= 256), so at every oracle-verification scale the threshold is dead
+# code; it exists for CONCENTRATED corpora — boilerplate/template
+# embeddings packed into one cone — where a single bucket's population
+# is a corpus share and the m^2/2 candidate expansion dominates the
+# whole query (measured: tools/lsh_skew_check.py, SCALING.md r11).
+HOT_BUCKET_MIN = 1024
+# Block edge for the within-bucket blocked matmul: bounds every
+# kernel invocation at ~(2 * block * dim) input floats and
+# (block x block) score floats regardless of bucket size, and spreads
+# one hot bucket over nb*(nb+1)/2 independent tasks.
+HOT_BLOCK_ROWS = 2048
+
+
+def hot_bucket_cosine_candidates(
+    bands_df: DataFrame,
+    hot_keys: DataFrame,
+    emb: DataFrame,
+    prune_bound: float,
+    block_rows: int = HOT_BLOCK_ROWS,
+) -> DataFrame:
+    """Candidate pairs from OVERSIZED LSH buckets via bucket-local
+    blocked BLAS, pre-pruned at ``prune_bound``.
+
+    Why not the band self-join: a bucket of m rows expands to m^2/2
+    candidate rows, each then carrying two full embedding arrays
+    through the verify joins — for a template-heavy corpus whose hot
+    cone sits just under the verify threshold, that is tens of
+    millions of near-miss rows of pure wasted shuffle (and more LSH
+    bits cannot help: a cone at cosine ~0.89 survives each extra
+    hyperplane at ~0.85, nearly the 0.90 of a true 0.95 pair, so the
+    band count needed to hold 99% recall cancels the split — measured,
+    SCALING.md r11). Here each vector ships once per BLOCK PAIR
+    (nb ~ m/block copies), the m x m cosine matrix is computed inside
+    Arrow-batched numpy (built-in column ops cannot express a matmul
+    without materializing the pair rows — exactly the cost being
+    removed), and only entries >= ``prune_bound`` come back.
+
+    Result-identical by construction: callers pass a ``prune_bound``
+    strictly below their exact verify threshold minus any possible
+    float64 summation-order difference (~1e-12 relative; e.g. 0.9499
+    for a 0.95-on-4-decimals verify), and every emitted pair still
+    flows through the caller's exact declarative verify expression —
+    the numpy scores only PRUNE, they are never returned. Zero-norm
+    vectors produce NaN scores, which fail the >= prune and match the
+    exact path's NULL-cosine drop.
+
+    ``bands_df`` is (vec_id, band, bkey); ``hot_keys`` is the
+    (band, bkey, __bc) frame of oversized buckets (tiny — broadcast);
+    ``emb`` is (vec_id, embedding).
+    """
+    import numpy as np  # local: keep module import light
+    import pandas as pd
+
+    hot_rows = bands_df.join(F.broadcast(hot_keys), ["band", "bkey"]).join(
+        emb, "vec_id"
+    )
+    nb = F.greatest(F.lit(1), F.ceil(F.col("__bc") / F.lit(block_rows))).cast("int")
+    blk = F.pmod(F.xxhash64("vec_id"), nb).cast("int")
+    hot_rows = hot_rows.withColumn("__nb", nb).withColumn("__blk", blk)
+    # Replicate each row to every block-pair group it belongs to:
+    # block b meets block o in group (min(b,o), max(b,o)) — each row
+    # lands in exactly nb groups, each unordered block pair in exactly
+    # one group, so no pair is ever enumerated twice across groups.
+    grouped = hot_rows.withColumn(
+        "__other", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+    ).select(
+        "band",
+        "bkey",
+        F.least("__blk", "__other").alias("__gi"),
+        F.greatest("__blk", "__other").alias("__gj"),
+        "__blk",
+        "vec_id",
+        "embedding",
+    )
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, _, gi, gj = key
+        a = pdf[pdf["__blk"] == gi]
+        b = a if gi == gj else pdf[pdf["__blk"] == gj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        xa = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        xb = xa if gi == gj else np.vstack(b["embedding"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(xa, axis=1)
+        nbn = na if gi == gj else np.linalg.norm(xb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = (xa @ xb.T) / np.outer(na, nbn)
+        ia, ib = np.nonzero(scores >= prune_bound)  # NaN compares False
+        va = a["vec_id"].to_numpy()[ia]
+        vb = b["vec_id"].to_numpy()[ib]
+        if gi == gj:
+            keep = va < vb  # symmetric matrix: keep one orientation, drop self
+            lo, hi = va[keep], vb[keep]
+        else:
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    return grouped.groupBy("band", "bkey", "__gi", "__gj").applyInPandas(
+        kernel, schema="vec_a long, vec_b long"
+    )

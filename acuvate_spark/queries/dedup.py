@@ -267,6 +267,24 @@ def dedup_minhash_lsh(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    # EXACT set-size filter BEFORE the shingle verify join: Jaccard is
+    # bounded above by min(|A|,|B|)/max(|A|,|B|), so J >= 0.7 forces
+    # 10*min(na,nb) >= 7*max(na,nb) — integer arithmetic, provably
+    # result-preserving (the final J >= 0.7 predicate subsumes it). On
+    # uniform corpora this is ~free: the count attach merely moves here
+    # from the post-verify join it replaced. On template-heavy corpora
+    # a hot band emits candidates quadratic in bucket size and most are
+    # length-mismatched boilerplate — pruning them before their
+    # shingles are ever joined keeps the verify step proportional to
+    # the SURVIVING candidates (measured: tools/lsh_skew_check.py,
+    # SCALING.md r11).
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cand = (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.lit(10) * F.least("na", "nb") >= F.lit(7) * F.greatest("na", "nb"))
         # candidates are collision-bounded and tiny next to the corpus;
         # materializing them once stops the band pipeline running twice
         # (the broadcast id-set below is a second consumer)
@@ -289,17 +307,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     common = (
         cand.join(sa, F.col("doc_a") == F.col("da"))
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
+        # na/nb ride the (tiny) candidate rows through the verify join,
+        # so no post-verify count joins are needed
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    result = (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .where(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    result = common.where(jac >= 0.7).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
     return _materialize_and_release(result, sh)
 
@@ -634,11 +649,32 @@ def _emb_corpus_n(raw, sf_dir: str) -> int:
     )
 
 
-def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):
+def _emb_near_dup_pairs(
+    emb,
+    bits: int,
+    bands: int,
+    planes: list[list[float]],
+    hot_bucket_min: int = dedup_ops.HOT_BUCKET_MIN,
+):
     """The banded-LSH near-dup pipeline at an explicit (bits, bands,
     planes) config — split out so the recall test can drive the
     ADAPTIVE config on fixture data, where exact all-pairs truth is
-    computable."""
+    computable.
+
+    Buckets past ``hot_bucket_min`` rows are routed to
+    ``dedup_ops.hot_bucket_cosine_candidates`` (blocked-BLAS prune at
+    0.9499, strictly below the 0.95-on-4-decimals verify minus any
+    float64 summation-order difference) instead of the pair-expanding
+    band self-join; every surviving candidate still flows through the
+    SAME exact verify expression below, so the split is
+    result-invariant — pinned by ``tests/test_lsh_recall.py`` both
+    ways (forced-hot vs forced-cold pair sets identical). Uniform
+    corpora never reach the threshold (adaptive occupancy ~32, floor
+    <= 256), so every oracle-verification scale plans the pure
+    declarative shape; concentrated corpora — template/boilerplate
+    embeddings packed into one cone — are the case it exists for
+    (measured 6.2x -> ~1x at the 20x template fixture,
+    tools/lsh_skew_check.py, SCALING.md r11)."""
     sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), planes))
     # materialize the tiny (vec_id, band, bkey) frame before the
     # self-join: each signature is bits*bands dot products over the
@@ -658,12 +694,32 @@ def _emb_near_dup_pairs(emb, bits: int, bands: int, planes: list[list[float]]):
             )
         ).alias("c"),
     ).select("vec_id", "c.band", "c.bkey").localCheckpoint(eager=False)
-    left = bands_df.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
-    right = bands_df.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
+    # Oversized buckets (concentrated corpora only — see docstring)
+    # take the blocked-BLAS path; the band self-join runs on the rest.
+    # The bucket-size frame is tiny (one row per occupied bucket) and
+    # eagerly materialized so the hot/cold split doesn't re-run the
+    # banding; hot_keys is empty on every uniform corpus, making the
+    # anti-join a broadcast no-op.
+    hot_keys = (
+        bands_df.groupBy("band", "bkey")
+        .agg(F.count("*").alias("__bc"))
+        .where(F.col("__bc") > hot_bucket_min)
+        .localCheckpoint(eager=True)
+    )
+    cold = bands_df.join(
+        F.broadcast(hot_keys.select("band", "bkey")), ["band", "bkey"], "left_anti"
+    )
+    left = cold.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+    right = cold.select(F.col("vec_id").alias("vec_b"), "band", "bkey")
     cand = (
         left.join(right, ["band", "bkey"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
+        .unionByName(
+            dedup_ops.hot_bucket_cosine_candidates(
+                bands_df, hot_keys, emb.select("vec_id", "embedding"), 0.9499
+            )
+        )
         .distinct()
     )
     # verify with norms hoisted once per side (r10; bit-identical —

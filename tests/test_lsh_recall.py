@@ -393,3 +393,81 @@ def test_doc_corpus_n_gate(spark, sf_dir):
 
     assert _doc_corpus_n(spark, sf_dir) == 0
     assert _doc_corpus_n(spark, "file:" + sf_dir) == 0
+
+
+def test_emb_hot_bucket_path_is_result_invariant(spark, sf_dir):
+    """The hot-bucket blocked-BLAS candidate path must be invisible in
+    the RESULT: forcing every bucket hot (threshold 0) and forcing
+    every bucket cold (threshold n) must produce the identical pair
+    set on the same corpus — the r11 pin that the 0.9499 prune bound
+    sits strictly under the exact verify's keep bound, and that the
+    block-pair decomposition enumerates every unordered pair exactly
+    once (a lost block pair would silently drop recall only on the
+    concentrated corpora the path exists for)."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.queries.dedup import (
+        _EMB_BANDS,
+        _EMB_BITS,
+        _EMB_PLANES,
+        _emb_near_dup_pairs,
+    )
+    from acuvate_spark.tables import load_table, repartition_for_compute
+
+    e = repartition_for_compute(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    emb = e.unionByName(clones)
+
+    def pairs(hot_min):
+        return {
+            (int(r.vec_a), int(r.vec_b), float(r.cos_sim))
+            for r in _emb_near_dup_pairs(
+                emb, _EMB_BITS, _EMB_BANDS, _EMB_PLANES, hot_bucket_min=hot_min
+            ).collect()
+        }
+
+    all_hot = pairs(0)
+    all_cold = pairs(10**9)
+    assert all_hot == all_cold, (
+        f"hot-only {len(all_hot)} pairs != cold-only {len(all_cold)}; "
+        f"diff={sorted(all_hot ^ all_cold)[:5]}"
+    )
+    assert all_cold, "fixture produced no pairs — the invariance check is vacuous"
+
+
+def test_emb_hot_bucket_path_blocks_cover_all_pairs(spark):
+    """Block decomposition unit check at a size that forces MULTIPLE
+    blocks in one bucket: 60 vectors in a tight cone (every pair
+    verifies), block_rows=16 -> 4 blocks, 10 block-pair groups. Every
+    C(60,2) pair must come back exactly once."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.operators.dedup import hot_bucket_cosine_candidates
+
+    n = 60
+    base = [1.0] + [0.0] * 63
+    rows = [
+        (i, [1.0] + [0.0001 * ((i * 7 + j) % 5)] + [0.0] * 62)
+        for i in range(n)
+        for j in (0,)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bands_df = emb.select("vec_id", F.lit(0).alias("band"), F.lit("k").alias("bkey"))
+    hot_keys = spark.createDataFrame(
+        [(0, "k", n)], "band int, bkey string, __bc long"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in hot_bucket_cosine_candidates(
+            bands_df, hot_keys, emb, 0.9499, block_rows=16
+        ).collect()
+    }
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got == want, (
+        f"{len(want - got)} missing, {len(got - want)} extra; "
+        f"missing sample {sorted(want - got)[:5]}"
+    )
