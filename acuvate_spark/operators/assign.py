@@ -1,6 +1,8 @@
-"""Exact nearest-centroid assignment with two physical strategies —
-the broadcast cross (small K) and a two-level shuffled equi-join
-(large K) — producing IDENTICAL results.
+"""Exact nearest-centroid assignment with three physical strategies —
+the broadcast cross (small K), a cogrouped blocked-matmul candidate
+kernel (mid K — the r11 addition, see ``_blas_candidates``), and a
+two-level shuffled equi-join (K past the broadcast capacity) —
+producing IDENTICAL results.
 
 This is the assign pass shared by the IVF family (``ann_ivf_flat``,
 ``ann_ivf_lloyd``) and SemDeDup (``semdedup_clusters``). Both need,
@@ -15,9 +17,9 @@ derives from the corpus (K = N/125), so at real corpus scale
 broadcast budget and the N x K multiply is the measured super-linear
 term (9.5x at the 20x point; 162.8x at the r10 100x point). Past
 ``AUTO_SHUFFLE_MIN_K`` (the measured wall-clock crossover — see the
-constant's comment) auto mode swaps to the shuffled form below;
-``BROADCAST_MAX_K`` remains the broadcast CAPACITY bound for callers
-forcing the mode.
+constant's comment) auto mode swaps to the blas kernel, and past
+``BROADCAST_MAX_K`` (the capacity bound: the K-row frame no longer
+fits a task, matmul included) to the shuffled form below.
 
 Shuffled form — a coarse quantizer over the centroids themselves:
 
@@ -60,10 +62,14 @@ operator, and 2 x K^1.5 is still a vanishing fraction of the N-side
 work). A third tier repeats the same construction if K^1.5 ever
 dominates.
 
-Both strategies appear in plan form in ``tests/test_assign.py``: the
-broadcast path keeps its (allowlisted) BroadcastNestedLoopJoin over
-the K-row frame; the shuffled path's only nested loops are the 1-row
-array attaches, and the exact compare is a shuffled equi-join.
+All three strategies appear in plan form in ``tests/test_assign.py``:
+the broadcast path keeps its (allowlisted) BroadcastNestedLoopJoin
+over the K-row frame; the blas path is the cogrouped kernel plus a
+hash equi-join for the exact ccos (zero nested loops); the shuffled
+path's only nested loops are the 1-row array attaches, and the exact
+compare is a shuffled equi-join. Result identity across all three is
+pinned per (k, n_best), on skewed corpora, end-to-end on the three
+consumer queries, and across blas block counts.
 """
 
 from __future__ import annotations
@@ -103,14 +109,44 @@ AUTO_SHUFFLE_MIN_K = 240
 # covers double-precision noise in the ub computation.
 _SLACK = 2.5e-4
 
-_MODE_CONF = "spark.acuvate.assign.mode"  # auto | broadcast | shuffled
+# Candidate margin for the blas mode (r11): the final ranking is
+# (round(cos, 4) DESC, centroid_id ASC), and rounding permutes raw
+# order only within a 1e-4-wide band — any centroid whose raw cosine
+# sits more than 1e-4 below the raw n_best-th maximum is rounded-
+# ranked strictly below >= n_best others (proof: s_i < s_nth - 1e-4
+# implies round4(s_i) <= round4(s_nth) - 1e-4). 1.5e-4 adds headroom
+# for the float64 summation-order difference between numpy's blocked
+# matmul and Spark's sequential aggregate fold (~1e-13 relative) and
+# the binary representation of the 1e-4 grid step. A wider margin can
+# only ADD candidates (a few extra exact evaluations); it can never
+# change the result.
+_BLAS_MARGIN = 1.5e-4
+# Probe-side block fan-out: centroids replicate once per block
+# (K x blasBlocks rows total), each (block, all-centroids) cogroup is
+# one Arrow batch. Sized so a local[32] 100x-octave corpus block
+# (~200k/64 rows x 260 B) stays a few MB; a cluster deployment sets
+# the conf to ~N/2048 so per-group Arrow memory stays flat.
+_BLAS_BLOCKS_CONF = "spark.acuvate.assign.blasBlocks"
+
+_MODE_CONF = "spark.acuvate.assign.mode"  # auto | broadcast | shuffled | blas
 
 
 def _resolved_mode(df: DataFrame, k_hint: int) -> str:
     mode = df.sparkSession.conf.get(_MODE_CONF, "auto")
-    if mode in ("broadcast", "shuffled"):
+    if mode in ("broadcast", "shuffled", "blas"):
         return mode
-    return "broadcast" if k_hint <= AUTO_SHUFFLE_MIN_K else "shuffled"
+    if k_hint <= AUTO_SHUFFLE_MIN_K:
+        return "broadcast"
+    # Past the broadcast crossover but under the broadcast CAPACITY
+    # bound, the dense N x K compare is executor-local BLAS FLOPs
+    # (r11): cheaper than EITHER pair-row form — the broadcast cross
+    # ships no data but materializes N x K codegen rows; the shuffled
+    # form's pruning only pays off when the corpus clusters AND its
+    # candidate join still materializes >= N rows. Past 64k centroids
+    # the K-side no longer fits a task, and the two-level coarse
+    # quantizer (shuffled) is the only shape that keeps K out of
+    # every task.
+    return "blas" if k_hint <= BROADCAST_MAX_K else "shuffled"
 
 
 def nearest_centroids(
@@ -164,6 +200,8 @@ def nearest_centroids(
                 F.col("_b.ccos").alias("ccos"),
                 F.lit(1).alias("rn"),
             )
+    elif _resolved_mode(vec_df, k_hint) == "blas":
+        ranked = _blas_candidates(vec_df, cent_df, n_best=n_best)
     else:
         ranked = _shuffled_candidates(vec_df, cent_df, k_hint=k_hint, n_best=n_best)
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
@@ -269,4 +307,112 @@ def _shuffled_candidates(
             ),
         )
         .drop("__vn", "__cn")
+    )
+
+
+def _blas_candidates(vec_df: DataFrame, cent_df: DataFrame, *, n_best: int) -> DataFrame:
+    """Candidate (vector, centroid) pairs via a cogrouped blocked
+    matmul, guaranteed to contain the true top-``n_best`` per vector
+    under the (round4 DESC, centroid_id ASC) ranking; exact ``ccos``
+    is then computed DECLARATIVELY on the ~n_best surviving rows, so
+    the window in :func:`nearest_centroids` ranks the same doubles as
+    the other two modes and the result is identical.
+
+    Why Python here: the broadcast mode's N x K cross materializes one
+    codegen row per (vector, centroid) — at the 100x octave that is
+    ~350M rows through a max_by aggregate, the measured 127x term in
+    semdedup_clusters' sweep entry. The same arithmetic as a blocked
+    ``X @ C.T`` is executor-local BLAS (~1 GFLOP per 2048-row block at
+    K=1664) with ZERO pair rows materialized; built-in column ops
+    cannot express a matmul without the pair rows — exactly the cost
+    being removed — so this is an Arrow-batched kernel by necessity,
+    like ``operators.dedup.hot_bucket_cosine_candidates`` (r11).
+
+    Mechanics: probes hash into ``blasBlocks`` blocks; centroids
+    replicate once per block (K x blocks rows — small next to N);
+    each (block) cogroup sees (probe block, ALL centroids), chunks
+    the matmul to bound memory, and emits every centroid within
+    ``_BLAS_MARGIN`` of the probe's n_best-th-largest score (a proven
+    superset of the rounded-and-tie-broken top-``n_best`` — see the
+    margin constant). The kernel emits only (vec_id, embedding,
+    centroid_id); scores never leave the kernel, so numpy arithmetic
+    can only ADD candidates, never decide the result. Zero-norm
+    vectors are out of contract exactly as in the other modes (NaN
+    scores emit no candidates)."""
+    import numpy as np  # local: keep module import light
+    import pandas as pd
+
+    spark = vec_df.sparkSession
+    try:
+        nblocks = int(spark.conf.get(_BLAS_BLOCKS_CONF, ""))
+    except ValueError:
+        nblocks = max(64, spark.sparkContext.defaultParallelism * 2)
+    probes = vec_df.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int").alias("__blk"),
+    )
+    cents = cent_df.select(
+        "centroid_id",
+        "ce",
+        F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("__blk"),
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "embedding": pd.Series(dtype="object"),
+                "centroid_id": pd.Series(dtype="int64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        c = np.vstack(right["ce"].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(c, axis=1)
+        cid = right["centroid_id"].to_numpy()
+        k = len(right)
+        nth = min(n_best, k)
+        chunk = max(1, (1 << 22) // k)  # chunk x K <= 4M doubles
+        out = []
+        for lo in range(0, len(left), chunk):
+            part = left.iloc[lo : lo + chunk]
+            x = np.vstack(part["embedding"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (x @ c.T) / np.outer(xn, cn)
+            kth = np.partition(s, k - nth, axis=1)[:, k - nth]
+            ii, jj = np.nonzero(s >= (kth - _BLAS_MARGIN)[:, None])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": part["vec_id"].to_numpy()[ii],
+                        "embedding": part["embedding"].to_numpy()[ii],
+                        "centroid_id": cid[jj],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    cand = (
+        probes.groupby("__blk")
+        .cogroup(cents.groupby("__blk"))
+        .applyInPandas(kernel, schema="vec_id long, embedding array<float>, centroid_id long")
+    )
+    # exact ccos, same hoisted-norm expression as the other modes —
+    # the candidate set is ~n_best rows per vector, the centroid side
+    # is K <= BROADCAST_MAX_K rows
+    cents_n = F.broadcast(cent_df.withColumn("__cn", vectors.norm(F.col("ce"))))
+    return (
+        cand.withColumn("__vn", vectors.norm(F.col("embedding")))
+        .join(cents_n, "centroid_id")
+        .withColumn(
+            "ccos",
+            F.round(
+                vectors.dot(F.col("embedding"), F.col("ce"))
+                / (F.col("__vn") * F.col("__cn")),
+                4,
+            ),
+        )
+        .drop("__vn", "__cn", "ce")
     )

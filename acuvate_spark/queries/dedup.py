@@ -1323,13 +1323,16 @@ def semdedup_clusters(spark, sf_dir):
     why SemDeDup beats corpus-wide pairwise at scale. The assign pass
     is ``operators.assign.nearest_centroids``: small K broadcasts the
     seed frame; past the measured crossover (AUTO_SHUFFLE_MIN_K = 240;
-    K = N/125 crosses it at N = 30k) it swaps to the two-level
-    shuffled equi-join with identical results — no K-row broadcast,
-    and the N x K multiply shrinks to the candidate cells the
-    triangle-inequality bound admits, ~constant per vector whenever
-    the corpus actually clusters (on isotropic-random vectors nothing
-    prunes and NO exact method beats N x K — the r10 100x octave
-    measured both modes within 0.1% there). K derives
+    K = N/125 crosses it at N = 30k) auto routes to the cogrouped
+    blocked-matmul kernel (r11) with identical results — the N x K
+    compare becomes executor-local BLAS FLOPs instead of materialized
+    pair rows, which is how SemDeDup's own paper pays the isotropic
+    floor (the r10 100x octave measured BOTH pair-row modes within
+    0.1% of each other at 160-437 s there; the kernel runs the same
+    dir in 14.9 s — SCALING.md r11); past the 64k broadcast capacity
+    the two-level shuffled equi-join keeps K out of every task, with
+    triangle-inequality pruning ~constant per vector whenever the
+    corpus actually clusters. K derives
     from ONE 1-row aggregate over the base table (count + clone
     count), not a count of the materialized union. The cluster frame
     feeds both sides of the pairwise join plus the final flag join, so

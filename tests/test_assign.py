@@ -42,22 +42,23 @@ def _rows(df):
 @pytest.mark.parametrize("k,n_best", [(16, 1), (16, 2), (50, 3), (3, 2)])
 def test_shuffled_assign_identical_to_broadcast(spark, sf_dir, k, n_best):
     e, cent = _frames(spark, sf_dir, k)
-    with _mode(spark, "broadcast"):
-        b = _rows(assign.nearest_centroids(e, cent, k_hint=k, n_best=n_best))
-    with _mode(spark, "shuffled"):
-        s = _rows(assign.nearest_centroids(e, cent, k_hint=k, n_best=n_best))
-    assert len(b) > 0
-    assert b == s
+    got = {}
+    for mode in ("broadcast", "shuffled", "blas"):
+        with _mode(spark, mode):
+            got[mode] = _rows(assign.nearest_centroids(e, cent, k_hint=k, n_best=n_best))
+    assert len(got["broadcast"]) > 0
+    assert got["broadcast"] == got["shuffled"] == got["blas"]
 
 
 def test_shuffled_assign_empty_centroids_matches_broadcast(spark, sf_dir):
     e, cent = _frames(spark, sf_dir, 5)
     empty_cent = cent.limit(0)
-    with _mode(spark, "shuffled"):
-        assert assign.nearest_centroids(e, empty_cent, k_hint=0).count() == 0
     empty_vec = e.limit(0)
-    with _mode(spark, "shuffled"):
-        assert assign.nearest_centroids(empty_vec, cent, k_hint=5).count() == 0
+    for mode in ("shuffled", "blas"):
+        with _mode(spark, mode):
+            assert assign.nearest_centroids(e, empty_cent, k_hint=0).count() == 0
+        with _mode(spark, mode):
+            assert assign.nearest_centroids(empty_vec, cent, k_hint=5).count() == 0
 
 
 @pytest.mark.parametrize("name", ["semdedup_clusters", "ann_ivf_flat", "ann_ivf_lloyd"])
@@ -65,12 +66,12 @@ def test_swapped_queries_identical_on_fixture(spark, sf_dir, name):
     """End-to-end: the three assign-pass consumers return identical
     result sets under either strategy (the VERDICT's done-condition
     for the swap)."""
-    with _mode(spark, "broadcast"):
-        b = _rows(REGISTRY[name].fn(spark, sf_dir))
-    with _mode(spark, "shuffled"):
-        s = _rows(REGISTRY[name].fn(spark, sf_dir))
-    assert len(b) > 0
-    assert b == s
+    got = {}
+    for mode in ("broadcast", "shuffled", "blas"):
+        with _mode(spark, mode):
+            got[mode] = _rows(REGISTRY[name].fn(spark, sf_dir))
+    assert len(got["broadcast"]) > 0
+    assert got["broadcast"] == got["shuffled"] == got["blas"]
 
 
 def _plan(df) -> str:
@@ -125,8 +126,18 @@ def test_auto_mode_threshold(spark, sf_dir):
     plan_big = _plan(
         assign.nearest_centroids(e, cent, k_hint=assign.AUTO_SHUFFLE_MIN_K + 1)
     )
-    # past the measured crossover (r10): shuffled shape
-    assert _node_count(plan_big, "BroadcastNestedLoopJoin") == 3
+    # past the measured crossover (r11): the cogrouped-matmul shape —
+    # no nested loop anywhere, candidates come out of the kernel and
+    # meet the K-row frame on a hash equi-join for the exact ccos
+    assert _node_count(plan_big, "BroadcastNestedLoopJoin") == 0
+    assert "FlatMapCoGroupsInPandas" in plan_big
+    plan_huge = _plan(
+        assign.nearest_centroids(e, cent, k_hint=assign.BROADCAST_MAX_K + 1)
+    )
+    # past the broadcast CAPACITY bound: the two-level shuffled shape
+    # (K no longer fits a task, matmul included)
+    assert _node_count(plan_huge, "BroadcastNestedLoopJoin") == 3
+    assert "FlatMapCoGroupsInPandas" not in plan_huge
 
 
 def test_shuffled_assign_on_skewed_corpus_matches_broadcast(spark, sf_dir):
@@ -150,9 +161,45 @@ def test_shuffled_assign_on_skewed_corpus_matches_broadcast(spark, sf_dir):
     cent = skewed.orderBy("vec_id").limit(50).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
+    got = {}
+    for mode in ("broadcast", "shuffled", "blas"):
+        with _mode(spark, mode):
+            got[mode] = _rows(assign.nearest_centroids(skewed, cent, k_hint=50, n_best=2))
+    assert len(got["broadcast"]) > 0
+    assert got["broadcast"] == got["shuffled"] == got["blas"]
+
+
+def test_blas_assign_block_count_invariant(spark, sf_dir):
+    """The blasBlocks fan-out is a memory lever, never a result lever:
+    1 block (everything in one cogroup) and 7 blocks (multi-block with
+    uneven hash populations) must produce identical rows, and both
+    must match broadcast. Pins the margin logic across block
+    boundaries — a per-block n_best-th-max computed on a SUBSET of
+    centroids would silently drop candidates, which this would catch
+    because every block sees ALL centroids by construction."""
+    e, cent = _frames(spark, sf_dir, 50)
     with _mode(spark, "broadcast"):
-        b = _rows(assign.nearest_centroids(skewed, cent, k_hint=50, n_best=2))
-    with _mode(spark, "shuffled"):
-        s = _rows(assign.nearest_centroids(skewed, cent, k_hint=50, n_best=2))
-    assert len(b) > 0
-    assert b == s
+        want = _rows(assign.nearest_centroids(e, cent, k_hint=50, n_best=2))
+    got = {}
+    for nb in (1, 7):
+        spark.conf.set(assign._BLAS_BLOCKS_CONF, str(nb))
+        try:
+            with _mode(spark, "blas"):
+                got[nb] = _rows(assign.nearest_centroids(e, cent, k_hint=50, n_best=2))
+        finally:
+            spark.conf.unset(assign._BLAS_BLOCKS_CONF)
+    assert got[1] == got[7] == want
+
+
+def test_blas_plan_shape(spark, sf_dir):
+    """blas mode plan pin: the kernel node is present, the exact-ccos
+    join on the K-row centroid frame is a broadcast HASH join (K is
+    under the capacity bound by routing), and no nested loop or
+    cartesian appears anywhere."""
+    e, cent = _frames(spark, sf_dir, 16)
+    with _mode(spark, "blas"):
+        plan = _plan(assign.nearest_centroids(e, cent, k_hint=16))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert _node_count(plan, "BroadcastNestedLoopJoin") == 0
+    assert "BroadcastHashJoin" in plan

@@ -59,11 +59,12 @@ ALLOWED_UNBOUNDED = {
     # K = max(16, N/125) seed centroids: the assign auto mode
     # (operators/assign.py AUTO_SHUFFLE_MIN_K) only plans the
     # broadcast BNL at K <= 240 — the measured wall-clock crossover —
-    # and swaps to the shuffled equi-join form above it, so the BNL
-    # this allowlists is bounded by ROUTING, not by a fixed K (at
-    # fixture scales K stays well under the crossover, hence the BNL
-    # plans here; test_semdedup_large_k_plans_no_bnl pins the other
-    # side)
+    # and swaps to the cogrouped-matmul (blas) form above it (the
+    # two-level shuffled form past the 64k broadcast capacity), so
+    # the BNL this allowlists is bounded by ROUTING, not by a fixed K
+    # (at fixture scales K stays well under the crossover, hence the
+    # BNL plans here; test_semdedup_large_k_plans_no_bnl pins the
+    # other side)
     "semdedup_clusters",
     # |sources| x K sketch frame (20 x 64 here) joined against itself
     # under source_a < source_b — corpus-size-independent by design
@@ -120,14 +121,14 @@ def test_no_unbounded_join_in_plan(name, spark, sf_dir, monkeypatch):
 
 def test_semdedup_large_k_plans_no_bnl(spark, sf_dir, tmp_path, monkeypatch):
     """VERDICT r10 item 2: the semdedup_clusters allowlist entry is
-    bounded by ROUTING (assign auto mode swaps broadcast -> shuffled at
-    the measured K = AUTO_SHUFFLE_MIN_K crossover), not by a fixed K —
-    so pin the other side end-to-end: against a corpus whose DERIVED
-    K = (n + nc) // 125 exceeds the crossover, the full query must plan
-    the shuffled assign (only the three 1-row array-attach
-    BroadcastNestedLoopJoins; the exact compare a shuffled equi-join),
-    never the K-row broadcast cross the allowlist permits at fixture
-    scales."""
+    bounded by ROUTING (assign auto mode leaves the broadcast cross at
+    the measured K = AUTO_SHUFFLE_MIN_K crossover — since r11 for the
+    cogrouped-matmul blas form, the shuffled form past the 64k
+    broadcast capacity), not by a fixed K — so pin the other side
+    end-to-end: against a corpus whose DERIVED K = (n + nc) // 125
+    exceeds the crossover, the full query must plan the blas assign
+    (kernel node present, ZERO BroadcastNestedLoopJoins), never the
+    K-row broadcast cross the allowlist permits at fixture scales."""
     import math
 
     from pyspark.sql import functions as F
@@ -162,16 +163,14 @@ def test_semdedup_large_k_plans_no_bnl(spark, sf_dir, tmp_path, monkeypatch):
     df = REGISTRY["semdedup_clusters"].fn(spark, str(tmp_path))
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # without the checkpoint the cell subtree is inlined 3x (both sides
-    # of the dup self-join + the final left join), so the shuffled
-    # assign's 3 one-row attaches appear 9x; the broadcast form would
-    # show 3 (one K-row cross per inlining) — assert that contrast by
-    # forcing the mode, so the pin can't pass on the wrong shape
-    assert bnl_count(plan) == 9, f"expected 3 attaches x 3 inlinings, saw {bnl_count(plan)}"
-    assert plan.count("collect_list") >= 2  # supers + cells 1-row aggs
-    assert any(
-        m in plan for m in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    )
+    # auto routes K > crossover (and <= 64k capacity) to the blas
+    # assign: the cogrouped kernel appears, and NO nested loop does —
+    # assert the contrast by forcing broadcast (the K-row cross, once
+    # per inlining of the cell subtree: both sides of the dup
+    # self-join + the final left join = 3), so the pin can't pass on
+    # the wrong shape
+    assert bnl_count(plan) == 0, f"expected no BNL in blas shape, saw {bnl_count(plan)}"
+    assert "FlatMapCoGroupsInPandas" in plan
     spark.conf.set("spark.acuvate.assign.mode", "broadcast")
     try:
         forced = _plan(REGISTRY["semdedup_clusters"].fn(spark, str(tmp_path)))
