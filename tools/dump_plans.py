@@ -38,8 +38,10 @@ COMMENTARY = {
     ),
     "dedup_minhash_lsh": (
         "Shingle explode -> two hash-aggregate passes for signatures -> band "
-        "equi-join for candidates -> shingle equi-join only over candidates. "
-        "No all-pairs stage anywhere in the plan."
+        "equi-join for candidates -> exact set-size filter (r11: J <= min/max "
+        "prunes length-mismatched hot-band pairs before their shingles ship) "
+        "-> shingle equi-join only over surviving candidates. No all-pairs "
+        "stage anywhere in the plan."
     ),
     "scanner_tag_etl": (
         "End-to-end §3.1: one Arrow-batched mapInPandas OCR stage (pages -> "
