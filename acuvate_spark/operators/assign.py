@@ -128,6 +128,11 @@ _BLAS_MARGIN = 1.5e-4
 # the conf to ~N/2048 so per-group Arrow memory stays flat.
 _BLAS_BLOCKS_CONF = "spark.acuvate.assign.blasBlocks"
 
+# Probe-chunk budget inside one blas cogroup: chunk x K score doubles
+# per matmul (32 MB at the default). Module-level so the multi-chunk
+# loop is testable at fixture scale (tests/test_assign.py shrinks it).
+_BLAS_CHUNK_DOUBLES = 1 << 22
+
 _MODE_CONF = "spark.acuvate.assign.mode"  # auto | broadcast | shuffled | blas
 
 
@@ -373,7 +378,7 @@ def _blas_candidates(vec_df: DataFrame, cent_df: DataFrame, *, n_best: int) -> D
         cid = right["centroid_id"].to_numpy()
         k = len(right)
         nth = min(n_best, k)
-        chunk = max(1, (1 << 22) // k)  # chunk x K <= 4M doubles
+        chunk = max(1, _BLAS_CHUNK_DOUBLES // k)
         out = []
         for lo in range(0, len(left), chunk):
             part = left.iloc[lo : lo + chunk]

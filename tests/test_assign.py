@@ -203,3 +203,18 @@ def test_blas_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert _node_count(plan, "BroadcastNestedLoopJoin") == 0
     assert "BroadcastHashJoin" in plan
+
+
+def test_blas_multi_chunk_matches_broadcast(spark, sf_dir, monkeypatch):
+    """Force the WITHIN-group chunk loop to run many probe chunks
+    (chunk budget shrunk to 64 score-doubles -> 1-row chunks at
+    K=50): an off-by-one in the chunk slicing would silently drop
+    probes, which the equivalence tests can't see because at their
+    scales every group is a single chunk."""
+    monkeypatch.setattr(assign, "_BLAS_CHUNK_DOUBLES", 64)
+    e, cent = _frames(spark, sf_dir, 50)
+    with _mode(spark, "broadcast"):
+        want = _rows(assign.nearest_centroids(e, cent, k_hint=50, n_best=2))
+    with _mode(spark, "blas"):
+        got = _rows(assign.nearest_centroids(e, cent, k_hint=50, n_best=2))
+    assert got == want
