@@ -385,14 +385,21 @@ def simhash_hamming_sql(sa: str, sb: str) -> str:
 # ---------------------------------------------------------------------------
 
 # A bucket past this size takes the blocked-BLAS prune path instead of
-# the pair-expanding band self-join. Uniform corpora never get near it
-# (the adaptive config holds per-bucket occupancy at ~32, the floor at
-# <= 256), so at every oracle-verification scale the threshold is dead
-# code; it exists for CONCENTRATED corpora — boilerplate/template
-# embeddings packed into one cone — where a single bucket's population
-# is a corpus share and the m^2/2 candidate expansion dominates the
-# whole query (measured: tools/lsh_skew_check.py, SCALING.md r11).
-HOT_BUCKET_MIN = 1024
+# the pair-expanding band self-join. The routing is COST-based, not an
+# anomaly escape hatch: a bucket of m rows expands to m^2/2 candidate
+# rows (distinct + two array-carrying joins each), while the BLAS path
+# ships each row once and pays the m^2 compares as local FLOPs — the
+# expansion loses from m ~ tens upward. Measured at the 20x dir
+# (SCALING.md r11): thresholds 1024 / 256 / 128 / 64 / 32 / 16 ran
+# 28.2 / 20.1 / 11.9 / 8.3 / 6.2 / 6.2 s on the uniform corpus
+# (identical 800 rows throughout) — the knee sits at the adaptive
+# config's own ~32 occupancy target, so that is the default. Small
+# corpora (driver-gate sf0.01, bench sf0.1: mean occupancy 4-8) stay
+# fully declarative; results are mode-invariant by the margin proof
+# regardless of where the threshold lands (forced-hot == forced-cold
+# pinned in tests/test_lsh_recall.py), so the constant is purely a
+# physical-plan lever.
+HOT_BUCKET_MIN = 32
 # Block edge for the within-bucket blocked matmul: bounds every
 # kernel invocation at ~(2 * block * dim) input floats and
 # (block x block) score floats regardless of bucket size, and spreads

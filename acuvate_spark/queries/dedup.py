@@ -668,13 +668,14 @@ def _emb_near_dup_pairs(
     band self-join; every surviving candidate still flows through the
     SAME exact verify expression below, so the split is
     result-invariant — pinned by ``tests/test_lsh_recall.py`` both
-    ways (forced-hot vs forced-cold pair sets identical). Uniform
-    corpora never reach the threshold (adaptive occupancy ~32, floor
-    <= 256), so every oracle-verification scale plans the pure
-    declarative shape; concentrated corpora — template/boilerplate
-    embeddings packed into one cone — are the case it exists for
-    (measured 6.2x -> ~1x at the 20x template fixture,
-    tools/lsh_skew_check.py, SCALING.md r11)."""
+    ways (forced-hot vs forced-cold pair sets identical). The routing
+    is a cost knee, not an anomaly gate (see ``HOT_BUCKET_MIN``):
+    driver-gate and bench corpora (occupancy 4-8) stay fully
+    declarative, mid-scale dense buckets take the kernel (20x dir:
+    28.2 -> 6.2 s uniform), and concentrated corpora — boilerplate
+    embeddings packed into one cone, the case the r11 skew audit
+    caught at 6.18x — collapse to ~1.02x of uniform
+    (tools/lsh_skew_check.py, SCALING.md r11)."""
     sig = emb.withColumn("sig", vectors.hyperplane_signature(F.col("embedding"), planes))
     # materialize the tiny (vec_id, band, bkey) frame before the
     # self-join: each signature is bits*bands dot products over the
