@@ -168,7 +168,8 @@ def nearest_centroids(
     norm (cosine is defined); a zero-norm row yields NULL cosines and
     the two strategies would rank it differently.
     """
-    if _resolved_mode(vec_df, k_hint) == "broadcast":
+    mode = _resolved_mode(vec_df, k_hint)
+    if mode == "broadcast":
         # Norms hoisted OUT of the cross (r10): cosine(a, b) folds
         # dot + both norms per crossed row — 3x the arithmetic the
         # pair needs, and codegen cannot hoist norm(a) across the
@@ -205,7 +206,7 @@ def nearest_centroids(
                 F.col("_b.ccos").alias("ccos"),
                 F.lit(1).alias("rn"),
             )
-    elif _resolved_mode(vec_df, k_hint) == "blas":
+    elif mode == "blas":
         ranked = _blas_candidates(vec_df, cent_df, n_best=n_best)
     else:
         ranked = _shuffled_candidates(vec_df, cent_df, k_hint=k_hint, n_best=n_best)
@@ -341,9 +342,11 @@ def _blas_candidates(vec_df: DataFrame, cent_df: DataFrame, *, n_best: int) -> D
     superset of the rounded-and-tie-broken top-``n_best`` — see the
     margin constant). The kernel emits only (vec_id, embedding,
     centroid_id); scores never leave the kernel, so numpy arithmetic
-    can only ADD candidates, never decide the result. Zero-norm
-    vectors are out of contract exactly as in the other modes (NaN
-    scores emit no candidates)."""
+    can only ADD candidates, never decide the result. Zero-norm rows
+    are out of contract in every mode; here a zero-norm PROBE emits no
+    candidates (its NaN scores mask to -inf and the finiteness guard
+    drops them) and a zero-norm CENTROID is simply never a candidate —
+    it cannot poison the block's kth threshold."""
     import numpy as np  # local: keep module import light
     import pandas as pd
 
@@ -352,6 +355,8 @@ def _blas_candidates(vec_df: DataFrame, cent_df: DataFrame, *, n_best: int) -> D
         nblocks = int(spark.conf.get(_BLAS_BLOCKS_CONF, ""))
     except ValueError:
         nblocks = max(64, spark.sparkContext.defaultParallelism * 2)
+    if nblocks < 1:
+        raise ValueError(f"{_BLAS_BLOCKS_CONF} must be >= 1, got {nblocks}")
     probes = vec_df.select(
         "vec_id",
         "embedding",
@@ -386,8 +391,17 @@ def _blas_candidates(vec_df: DataFrame, cent_df: DataFrame, *, n_best: int) -> D
             xn = np.linalg.norm(x, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = (x @ c.T) / np.outer(xn, cn)
+            # A zero-norm CENTROID scores NaN against every probe; left
+            # unmasked, np.partition propagates that NaN into kth and
+            # the >= comparison goes all-False — the whole block would
+            # silently emit zero candidates. Mask to -inf so the bad
+            # centroid is merely never a candidate. The trailing
+            # s > -inf keeps the zero-norm PROBE contract intact (all
+            # its scores mask to -inf, kth becomes -inf, and without
+            # the finiteness guard every centroid would qualify).
+            s = np.where(np.isnan(s), -np.inf, s)
             kth = np.partition(s, k - nth, axis=1)[:, k - nth]
-            ii, jj = np.nonzero(s >= (kth - _BLAS_MARGIN)[:, None])
+            ii, jj = np.nonzero((s >= (kth - _BLAS_MARGIN)[:, None]) & (s > -np.inf))
             out.append(
                 pd.DataFrame(
                     {

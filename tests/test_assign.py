@@ -205,6 +205,55 @@ def test_blas_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_blas_zero_norm_centroid_never_poisons_block(spark, sf_dir):
+    """ADVICE r11: a zero-norm centroid scores NaN against every
+    probe; before the mask, np.partition propagated that NaN into the
+    per-probe kth threshold and the WHOLE assignment silently returned
+    0 rows. Pin: with one zero-norm centroid appended, blas returns
+    exactly the rows it returns without it — the bad centroid is never
+    a candidate and never perturbs anyone's threshold."""
+    e, cent = _frames(spark, sf_dir, 16)
+    bad = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "centroid_id long, ce array<float>"
+    )
+    with _mode(spark, "blas"):
+        want = _rows(assign.nearest_centroids(e, cent, k_hint=16, n_best=2))
+        got = _rows(
+            assign.nearest_centroids(e, cent.unionByName(bad), k_hint=17, n_best=2)
+        )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_blas_zero_norm_probe_emits_no_candidates(spark, sf_dir):
+    """The zero-norm-probe contract (NaN scores emit no candidates)
+    must survive the NaN mask: masking to -inf without the finiteness
+    guard would make EVERY centroid a candidate for the bad probe."""
+    e, cent = _frames(spark, sf_dir, 16)
+    bad = spark.createDataFrame(
+        [(888_888, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _mode(spark, "blas"):
+        out = assign.nearest_centroids(
+            e.unionByName(bad), cent, k_hint=16, n_best=1
+        )
+        assert out.where(F.col("vec_id") == 888_888).count() == 0
+
+
+def test_blas_block_conf_validated(spark, sf_dir):
+    """ADVICE r11: blasBlocks=0 used to surface as an opaque
+    REMAINDER_BY_ZERO from pmod deep in the plan; now it raises at the
+    conf, naming the key."""
+    e, cent = _frames(spark, sf_dir, 5)
+    spark.conf.set(assign._BLAS_BLOCKS_CONF, "0")
+    try:
+        with _mode(spark, "blas"):
+            with pytest.raises(ValueError, match=assign._BLAS_BLOCKS_CONF):
+                assign.nearest_centroids(e, cent, k_hint=5)
+    finally:
+        spark.conf.unset(assign._BLAS_BLOCKS_CONF)
+
+
 def test_blas_multi_chunk_matches_broadcast(spark, sf_dir, monkeypatch):
     """Force the WITHIN-group chunk loop to run many probe chunks
     (chunk budget shrunk to 64 score-doubles -> 1-row chunks at
