@@ -18,8 +18,17 @@ ALL = sorted(REGISTRY)
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
+    # Cache-leak guard (VERDICT r11 'what's wrong' #1, registry-wide):
+    # no query may leave a persisted DataFrame behind after it returns.
+    # The CacheManager tracks exactly the .persist() entries and not
+    # localCheckpoint blocks, so the materialize_and_release epilogue's
+    # eager checkpoint doesn't trip it. clearCache first: a leak from
+    # an EARLIER test must not be pinned on this query.
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     sdf = spec.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
+    assert cache_mgr.isEmpty(), f"{name} left persisted frames cached after returning"
     if spec.oracle is None:
         # rows-only: must execute and have at least one column
         assert len(spark_pdf.columns) > 0
