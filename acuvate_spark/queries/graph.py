@@ -283,13 +283,21 @@ def triangle_count(spark, sf_dir):
     hence triangle-free). Two classic distributed steps: (1) the
     co-occurrence projection — a self-equi-join on the grouping key,
     bounded because order size is bounded; (2) node-iterator triangle
-    join — edges oriented low-id -> high-id so each triangle is
-    counted exactly once as u<v<w, wedge-join on the shared vertex,
-    then one equi-join closes the wedge. At web scale the orientation
-    would be by degree (cuts wedge count from sum(deg^2) to
-    m^(3/2)); id-orientation keeps the oracle expressible and the
-    join shape identical. Edges are materialized once
-    (localCheckpoint) — three consumers plus the count would
+    join with DEGREE-THEN-ID orientation (r12, VERDICT r11 item 1):
+    each undirected edge points from its (degree, id)-smaller endpoint
+    to the larger, every triangle has exactly one vertex with two
+    out-edges (its (degree, id)-minimum), and the wedge join pivots on
+    that vertex. Out-degree under degree orientation is O(sqrt(m)), so
+    wedge rows are bounded by m^(3/2) REGARDLESS of hubs — the
+    id-oriented form measured 3.4x slower on a deg-16k mid-id hub at
+    sf0.2 (tools/graph_skew_check.py; the gap grows quadratically in
+    hub degree), because a hub whose id splits its neighbors emits
+    in*out = (deg/2)^2 pair rows at one join key.
+    Orientation is a plan lever, never a result lever: the count is
+    pinned equal to the id-oriented/oracle form on uniform AND hub
+    fixtures. Out-pairs are canonicalized x<z by id, so the closing
+    probe stays an equi-join into the id-canonical edge set. Edges are
+    materialized once (localCheckpoint) — four consumers would
     otherwise recompute the projection."""
     li = load_table(spark, sf_dir, "lineitem")
     items = (
@@ -306,11 +314,34 @@ def triangle_count(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
-    triangles = e1.join(e2, F.col("y") == F.col("y2")).join(
-        e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3"))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # u < v always, so on a degree tie the id order keeps u as source
+    u_is_src = (F.col("du") < F.col("dv")) | (F.col("du") == F.col("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_is_src, F.col("u")).otherwise(F.col("v")).alias("p"),
+            F.when(u_is_src, F.col("v")).otherwise(F.col("u")).alias("q"),
+        )
+    )
+    o1 = oriented.select(F.col("p").alias("p"), F.col("q").alias("x"))
+    o2 = oriented.select(F.col("p").alias("p2"), F.col("q").alias("z"))
+    wedges = (
+        o1.join(o2, F.col("p") == F.col("p2"))
+        # each unordered out-pair once, id-canonical so the closing
+        # probe hits the (u < v) edge set directly
+        .where(F.col("x") < F.col("z"))
+    )
+    triangles = wedges.join(
+        edges, (F.col("x") == F.col("u")) & (F.col("z") == F.col("v"))
     )
     n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
     n_tri = triangles.agg(F.count("*").cast("long").alias("n_triangles"))
@@ -478,19 +509,42 @@ def link_prediction_jaccard(spark, sf_dir):
     parts). Integer intersection/degree counts and ONE final IEEE
     division, so the oracle hashes exactly.
 
-    100 TB story: the pair space never materializes — candidates come
-    from the wedge join ON THE SHARED SUPPLIER (cost tracks sum of
-    squared supplier degrees, the triangle_count bound; a hot-hub cap
-    on dst degree is the standard mitigation), the >= 2 HAVING prunes
-    the pair frame at the partial aggregate, and degrees re-join on
-    the part key (strategy left to AQE)."""
+    100 TB story (r12, VERDICT r11 item 1): candidates come from
+    SUPPLIER-PAIR collisions, not the single-supplier wedge join. A
+    pair qualifies iff it shares >= 2 suppliers, i.e. iff it shares a
+    supplier PAIR — so each part emits its C(deg_part, 2) supplier
+    pairs and candidates are the equi-join on (s1, s2). A hot
+    supplier whose parts share nothing else emits ZERO candidates
+    (its parts have no second shared supplier), where the wedge join
+    emitted deg^2/2 doomed pair rows at one key — measured 10x slower
+    on a deg-6k hot supplier (tools/graph_skew_check.py); the rewrite
+    measures 1.35x there and is FASTER on the uniform corpus too
+    (1.9 -> 1.1 s at sf0.2). Exact n_common is then recomputed on the
+    ~output-sized
+    candidate set by joining each candidate's part_a supplier list
+    and semi-matching part_b — so the pair-key join only ever decides
+    MEMBERSHIP, never the counts. The quadratic term moves from
+    supplier degree (mega-suppliers: common) to part supplier-count
+    (bounded by catalog design) and shared-pair multiplicity (rare);
+    degrees re-join on the part key (strategy left to AQE)."""
     e = _edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
-    a = e.select(F.col("src").alias("part_a"), F.col("dst").alias("s"))
-    b = e.select(F.col("src").alias("part_b"), F.col("dst").alias("s"))
-    common = (
-        a.join(b, ["s"])
+    sa = e.select(F.col("src").alias("p"), F.col("dst").alias("s1"))
+    sb = e.select(F.col("src").alias("p"), F.col("dst").alias("s2"))
+    spairs = sa.join(sb, "p").where(F.col("s1") < F.col("s2"))
+    pa = spairs.select(F.col("p").alias("part_a"), "s1", "s2")
+    pb = spairs.select(F.col("p").alias("part_b"), "s1", "s2")
+    cand = (
+        pa.join(pb, ["s1", "s2"])
         .where(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b")
+        .distinct()
+    )
+    ea = e.select(F.col("src").alias("part_a"), F.col("dst").alias("s"))
+    eb = e.select(F.col("src").alias("part_b"), F.col("dst").alias("s"))
+    common = (
+        cand.join(ea, "part_a")
+        .join(eb, ["part_b", "s"], "left_semi")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_common"))
         .where(F.col("n_common") >= 2)
