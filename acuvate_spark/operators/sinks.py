@@ -17,11 +17,89 @@
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import time
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame
+
+
+# ---------------------------------------------------------------------------
+# Writer lease — the mutation layer's concurrency CONTRACT made explicit
+# (VERDICT r11 item 5). The register formats here (promote deltas,
+# staged-swap compaction) are SINGLE-WRITER by design, matching the
+# reference's request-scoped approval semantics: the chaos tests sweep
+# every single-writer crash point, but two concurrent promote_records
+# on one register (or a compaction racing a promote) can interleave
+# their os.replace sequences arbitrarily — no marker ordering protects
+# against that. The lease below makes an accidental second writer fail
+# LOUDLY instead of corrupting silently. It is best-effort local
+# mutual exclusion (O_CREAT|O_EXCL on the shared filesystem), not a
+# fenced distributed lock: a cluster deployment of concurrent writers
+# belongs on a transactional table format (Delta/Iceberg) or an
+# external coordinator, as README.md documents.
+# ---------------------------------------------------------------------------
+
+# A holder that died without releasing must not brick the register:
+# leases older than this are presumed crashed and are stolen. Sized
+# far above any single promote/compaction (seconds) and far below
+# operator-intervention timescales.
+LEASE_TTL_S = 900
+
+_HELD_LEASES: set[str] = set()  # in-process re-entrancy (promote -> auto compact)
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer touched a single-writer register."""
+
+
+@contextlib.contextmanager
+def register_lease(main_path: str, purpose: str):
+    """Best-effort single-writer lease on a register: an atomic
+    ``<root>.__lease__`` create (O_EXCL). A live lease (younger than
+    :data:`LEASE_TTL_S`) raises :class:`ConcurrentWriterError` naming
+    the holder; a stale one is stolen. Re-entrant within the process,
+    so a promote's auto-compaction runs under the promote's lease."""
+    root = main_path.rstrip("/")
+    lease = root + ".__lease__"
+    if lease in _HELD_LEASES:
+        yield
+        return
+    parent = os.path.dirname(root)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    for _ in range(3):  # steal/retry is bounded: never spin forever
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                fh.write(f"pid={os.getpid()} purpose={purpose}")
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lease)
+                holder = open(lease).read()
+            except OSError:
+                continue  # holder released between the create and the stat
+            if age < LEASE_TTL_S:
+                raise ConcurrentWriterError(
+                    f"{root}: another writer holds the register lease "
+                    f"({holder}, {age:.0f}s old); registers are "
+                    "single-writer — serialize promotes/compactions, or "
+                    f"remove {lease} if the holder is known dead"
+                ) from None
+            with contextlib.suppress(OSError):
+                os.remove(lease)  # stale: crashed holder, steal
+    else:
+        raise ConcurrentWriterError(f"{root}: could not acquire register lease")
+    _HELD_LEASES.add(lease)
+    try:
+        yield
+    finally:
+        _HELD_LEASES.discard(lease)
+        with contextlib.suppress(OSError):
+            os.remove(lease)
 
 
 def append_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
@@ -305,7 +383,11 @@ def promote_records(
     ``read_with_moves(staging, tomb_path=staging_tombs, ...)``.
     Single sequential writer assumed (the reference's request-scoped
     approval semantics) — the ``__seq`` counter is derived from
-    committed state, not caller-supplied ordering.
+    committed state, not caller-supplied ordering. Enforced
+    best-effort by :func:`register_lease` (r12): a second concurrent
+    promote on the same register raises :class:`ConcurrentWriterError`
+    instead of racing ``_next_promote_seq`` to a duplicate ``__seq``
+    (two same-seq deltas would make last-writer-wins ambiguous).
 
     ``staging_key_cols`` is the staging ROW identity (defaults to
     ``key_cols``): staging tombstones must key on the submission, not
@@ -326,62 +408,63 @@ def promote_records(
     sees a longer chain; compaction replay is itself crash-safe)."""
     from pyspark.sql import functions as F
 
-    staging_key_cols = staging_key_cols or key_cols
-    delta = os.path.join(main_path, "promotes", promote_id)
-    status = os.path.join(status_path, promote_id)
-    staging_tomb = os.path.join(staging_tomb_path, promote_id)
-    if _has_success(staging_tomb):
+    with register_lease(main_path, "promote"):
+        staging_key_cols = staging_key_cols or key_cols
+        delta = os.path.join(main_path, "promotes", promote_id)
+        status = os.path.join(status_path, promote_id)
+        staging_tomb = os.path.join(staging_tomb_path, promote_id)
+        if _has_success(staging_tomb):
+            if auto_compact is not None and _promote_chain_len(main_path) >= auto_compact:
+                compact_promotes(spark, main_path, key_cols)
+            return  # fully committed: replay is a true no-op
+        if not _has_success(delta):
+            staging = read_with_moves(
+                spark, staging_path, moves_for=staging_path,
+                tomb_path=staging_tomb_path, key_cols=staging_key_cols,
+            ).where(predicate)
+            main_now = read_with_promotes(spark, main_path, key_cols, missing_ok=True)
+            if main_now is None:
+                # brand-new register: explicit opt-in only (ADVICE r08) —
+                # otherwise a mistyped/misconfigured main_path would
+                # silently bootstrap a fresh register instead of failing
+                if not bootstrap_ok:
+                    raise ValueError(
+                        f"{main_path}: no committed base and no committed "
+                        "promotes; pass bootstrap_ok=True to initialize a "
+                        "brand-new register (the guard exists so a mistyped "
+                        "main_path fails loudly instead of bootstrapping)"
+                    )
+                # the main key set is empty, so every staged key is
+                # missing — Adds validate, Edits reject
+                exists = staging.limit(0)
+                missing = staging
+            else:
+                main_keys = main_now.select(*key_cols).distinct()
+                exists = staging.join(main_keys, key_cols, "left_semi")
+                missing = staging.join(main_keys, key_cols, "left_anti")
+            valid = exists.where(F.col(action_col) == "Edit").unionByName(
+                missing.where(F.col(action_col) == "Add")
+            )
+            seq = _next_promote_seq(spark, main_path)
+            valid.withColumn("__seq", F.lit(seq)).write.mode("overwrite").parquet(delta)
+        if on_between is not None:
+            on_between(1)
+        committed = spark.read.parquet(delta)
+        if not _has_success(status):
+            committed.select(
+                *key_cols,
+                F.col(action_col).alias("action"),
+                F.when(F.col(action_col) == "Edit", F.lit("edited"))
+                .otherwise(F.lit("added"))
+                .alias("disposition"),
+            ).write.mode("overwrite").parquet(status)
+        if on_between is not None:
+            on_between(2)
+        committed.select(*staging_key_cols).distinct().write.mode("overwrite").parquet(
+            staging_tomb
+        )
         if auto_compact is not None and _promote_chain_len(main_path) >= auto_compact:
             compact_promotes(spark, main_path, key_cols)
-        return  # fully committed: replay is a true no-op
-    if not _has_success(delta):
-        staging = read_with_moves(
-            spark, staging_path, moves_for=staging_path,
-            tomb_path=staging_tomb_path, key_cols=staging_key_cols,
-        ).where(predicate)
-        main_now = read_with_promotes(spark, main_path, key_cols, missing_ok=True)
-        if main_now is None:
-            # brand-new register: explicit opt-in only (ADVICE r08) —
-            # otherwise a mistyped/misconfigured main_path would
-            # silently bootstrap a fresh register instead of failing
-            if not bootstrap_ok:
-                raise ValueError(
-                    f"{main_path}: no committed base and no committed "
-                    "promotes; pass bootstrap_ok=True to initialize a "
-                    "brand-new register (the guard exists so a mistyped "
-                    "main_path fails loudly instead of bootstrapping)"
-                )
-            # the main key set is empty, so every staged key is
-            # missing — Adds validate, Edits reject
-            exists = staging.limit(0)
-            missing = staging
-        else:
-            main_keys = main_now.select(*key_cols).distinct()
-            exists = staging.join(main_keys, key_cols, "left_semi")
-            missing = staging.join(main_keys, key_cols, "left_anti")
-        valid = exists.where(F.col(action_col) == "Edit").unionByName(
-            missing.where(F.col(action_col) == "Add")
-        )
-        seq = _next_promote_seq(spark, main_path)
-        valid.withColumn("__seq", F.lit(seq)).write.mode("overwrite").parquet(delta)
-    if on_between is not None:
-        on_between(1)
-    committed = spark.read.parquet(delta)
-    if not _has_success(status):
-        committed.select(
-            *key_cols,
-            F.col(action_col).alias("action"),
-            F.when(F.col(action_col) == "Edit", F.lit("edited"))
-            .otherwise(F.lit("added"))
-            .alias("disposition"),
-        ).write.mode("overwrite").parquet(status)
-    if on_between is not None:
-        on_between(2)
-    committed.select(*staging_key_cols).distinct().write.mode("overwrite").parquet(
-        staging_tomb
-    )
-    if auto_compact is not None and _promote_chain_len(main_path) >= auto_compact:
-        compact_promotes(spark, main_path, key_cols)
 
 
 def _next_promote_seq(spark, main_path: str) -> int:
@@ -529,9 +612,11 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     delta versions folded (0 = nothing to do).
 
     Single-maintainer contract (same as :func:`storage.compact_path`):
-    no concurrent promote while compacting. Crash-safe via staged
-    swap + recovery, ordered so every crash point either restores or
-    is idempotent:
+    no concurrent promote while compacting — enforced best-effort by
+    :func:`register_lease` (r12; a live concurrent writer raises
+    :class:`ConcurrentWriterError` instead of interleaving the staged
+    swap). Crash-safe via staged swap + recovery, ordered so every
+    crash point either restores or is idempotent:
 
     1. materialize the merged view to a sibling ``.__compacting__``
        dir (the write is the materialization — no base file moves
@@ -572,56 +657,57 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     import glob as _glob
     import shutil
 
-    root = main_path.rstrip("/")
-    tmp, backup = root + ".__compacting__", root + ".__pre_compact__"
-    sentinel = "__BACKUP_COMPLETE__"
+    with register_lease(main_path, "compact"):
+        root = main_path.rstrip("/")
+        tmp, backup = root + ".__compacting__", root + ".__pre_compact__"
+        sentinel = "__BACKUP_COMPLETE__"
 
-    # ---- recovery of a prior crashed compaction
-    if os.path.isdir(backup):
-        if _has_success(main_path):
-            shutil.rmtree(backup)
-        else:
-            if os.path.exists(os.path.join(backup, sentinel)):
-                # crashed mid-step-3: any top-level file in main is a
-                # partially-moved NEW file (the complete old set is in
-                # the backup) — clear them so the restore is exact
-                for f in os.listdir(main_path):
-                    p = os.path.join(main_path, f)
-                    if os.path.isfile(p):
-                        os.remove(p)
-            for f in os.listdir(backup):
-                if f == sentinel:
-                    continue
-                os.replace(os.path.join(backup, f), os.path.join(main_path, f))
-            shutil.rmtree(backup)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+        # ---- recovery of a prior crashed compaction
+        if os.path.isdir(backup):
+            if _has_success(main_path):
+                shutil.rmtree(backup)
+            else:
+                if os.path.exists(os.path.join(backup, sentinel)):
+                    # crashed mid-step-3: any top-level file in main is a
+                    # partially-moved NEW file (the complete old set is in
+                    # the backup) — clear them so the restore is exact
+                    for f in os.listdir(main_path):
+                        p = os.path.join(main_path, f)
+                        if os.path.isfile(p):
+                            os.remove(p)
+                for f in os.listdir(backup):
+                    if f == sentinel:
+                        continue
+                    os.replace(os.path.join(backup, f), os.path.join(main_path, f))
+                shutil.rmtree(backup)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
 
-    promotes_root = os.path.join(main_path, "promotes")
-    folded = sorted(
-        d for d in _glob.glob(os.path.join(promotes_root, "*")) if _has_success(d)
-    )
-    if not folded:
-        return 0
-    view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
-    view.write.mode("overwrite").parquet(tmp)
+        promotes_root = os.path.join(main_path, "promotes")
+        folded = sorted(
+            d for d in _glob.glob(os.path.join(promotes_root, "*")) if _has_success(d)
+        )
+        if not folded:
+            return 0
+        view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
+        view.write.mode("overwrite").parquet(tmp)
 
-    os.makedirs(backup)
-    olds = [
-        f for f in os.listdir(main_path) if os.path.isfile(os.path.join(main_path, f))
-    ]
-    for f in sorted(olds, key=lambda f: (f != "_SUCCESS", f)):  # marker first
-        os.replace(os.path.join(main_path, f), os.path.join(backup, f))
-    with open(os.path.join(backup, sentinel), "w"):
-        pass
-    new_files = sorted(os.listdir(tmp))
-    for f in [f for f in new_files if f != "_SUCCESS"] + ["_SUCCESS"]:
-        os.replace(os.path.join(tmp, f), os.path.join(main_path, f))
-    for d in folded:
-        shutil.rmtree(d)
-    shutil.rmtree(backup)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return len(folded)
+        os.makedirs(backup)
+        olds = [
+            f for f in os.listdir(main_path) if os.path.isfile(os.path.join(main_path, f))
+        ]
+        for f in sorted(olds, key=lambda f: (f != "_SUCCESS", f)):  # marker first
+            os.replace(os.path.join(main_path, f), os.path.join(backup, f))
+        with open(os.path.join(backup, sentinel), "w"):
+            pass
+        new_files = sorted(os.listdir(tmp))
+        for f in [f for f in new_files if f != "_SUCCESS"] + ["_SUCCESS"]:
+            os.replace(os.path.join(tmp, f), os.path.join(main_path, f))
+        for d in folded:
+            shutil.rmtree(d)
+        shutil.rmtree(backup)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(folded)
 
 
 def append_ledger(entries: list[str], path: str) -> None:

@@ -1072,3 +1072,105 @@ def test_compact_promotes_folds_chain_and_serving_is_unchanged(spark, sf_dir, tm
             assert after[k] == b + 1.0  # n_chain - (n_chain - 1)
         else:
             assert after[k] == b
+
+
+# ---------------------------------------------------------------------------
+# Writer-lease contract (VERDICT r11 item 5): registers are
+# single-writer; a live concurrent writer fails LOUDLY, a crashed
+# holder's stale lease never bricks the register, and the promote ->
+# auto-compact path is re-entrant under one lease.
+# ---------------------------------------------------------------------------
+
+
+def test_promote_blocked_by_live_lease_leaves_register_untouched(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    _, paths = _promote_setup(spark, sf_dir, tmp_path)
+    lease = paths["main_path"].rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:
+        fh.write("pid=99999 purpose=promote")  # fresh mtime: a live writer
+    with pytest.raises(sinks.ConcurrentWriterError, match="single-writer"):
+        sinks.promote_records(
+            spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+            action_col="action", promote_id="p1",
+            staging_key_cols=["s_suppkey", "submission_id"], **paths,
+        )
+    # no partial effect anywhere: no delta, no status, no tombstone
+    assert not os.path.exists(os.path.join(paths["main_path"], "promotes"))
+    assert not os.path.exists(paths["status_path"])
+    assert not os.path.exists(paths["staging_tomb_path"])
+    os.remove(lease)
+    assert os.path.exists(lease) is False
+
+
+def test_stale_lease_is_stolen_and_promote_proceeds(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    lease = paths["main_path"].rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:
+        fh.write("pid=99999 purpose=promote")
+    old = os.path.getmtime(lease) - sinks.LEASE_TTL_S - 60
+    os.utime(lease, (old, old))  # a holder that died without releasing
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        action_col="action", promote_id="p1",
+        staging_key_cols=["s_suppkey", "submission_id"], **paths,
+    )
+    want_main, _ = _promote_expected(sup.collect())
+    got = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(
+            spark, paths["main_path"], ["s_suppkey"]
+        ).collect()
+    }
+    assert got == want_main
+    assert not os.path.exists(lease)  # released after the steal
+
+
+def test_compact_blocked_by_live_lease(spark, sf_dir, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    _, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        action_col="action", promote_id="p1",
+        staging_key_cols=["s_suppkey", "submission_id"], **paths,
+    )
+    lease = paths["main_path"].rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:
+        fh.write("pid=99999 purpose=promote")
+    with pytest.raises(sinks.ConcurrentWriterError):
+        sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"])
+    os.remove(lease)
+    # with the lease gone the same compact folds the chain
+    assert sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"]) == 1
+
+
+def test_auto_compact_runs_under_promotes_lease(spark, sf_dir, tmp_path):
+    """Re-entrancy: auto_compact=1 triggers compact_promotes INSIDE the
+    promote's lease — a non-re-entrant lease would deadlock/raise
+    here. The lease must also be gone afterwards."""
+    from pyspark.sql import functions as F
+
+    sup, paths = _promote_setup(spark, sf_dir, tmp_path)
+    sinks.promote_records(
+        spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
+        action_col="action", promote_id="p1",
+        staging_key_cols=["s_suppkey", "submission_id"],
+        auto_compact=1, **paths,
+    )
+    assert not os.path.exists(paths["main_path"].rstrip("/") + ".__lease__")
+    # chain was folded by the in-lease compaction
+    import glob
+    assert glob.glob(os.path.join(paths["main_path"], "promotes", "*")) == []
+    want_main, _ = _promote_expected(sup.collect())
+    got = {
+        r["s_suppkey"]: r["s_acctbal"]
+        for r in sinks.read_with_promotes(
+            spark, paths["main_path"], ["s_suppkey"]
+        ).collect()
+    }
+    assert got == want_main
