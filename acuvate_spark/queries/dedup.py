@@ -582,32 +582,68 @@ def _footer_rows(spark, path: str) -> int | None:
         return None
 
 
+def _sampled_bytes_per_row(spark, path: str) -> float | None:
+    """Remote-store calibration (VERDICT r11 item 6): when footers are
+    not directly readable (remote URI) but the filesystem LISTS,
+    derive bytes/row from ONE file — its length from the listing, its
+    row count from a one-file ``count()`` job (parquet count-star is
+    served from footer metadata by the scan, so the job moves no data
+    pages). ``None`` when nothing lists or every listed file is
+    empty; callers then fall back to the assumed-~115 B/row gate."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().endswith(".parquet"):
+                continue
+            if st.getLen() <= 0:
+                continue
+            rows = spark.read.parquet(st.getPath().toString()).count()
+            if rows > 0:
+                return st.getLen() / rows
+        return None
+    except Exception:
+        return None
+
+
 def _corpus_n_gated(
     raw, sf_dir: str, table: str, gate_bytes: int, count_fn, threshold_rows: int
 ) -> int:
     """Corpus size for an adaptive-LSH config choice, paying a count
     job ONLY when the input could possibly cross the adaptive
-    threshold — verification scales stay zero-extra-jobs. Two probes,
-    most-exact first: parquet-footer row counts (local paths; the
-    corpus is base rows + predicate clones ≤ 2x base rows, so
-    2·rows < threshold PROVES the floor config is right), then the
-    on-disk byte gate (remote stores — heuristic, so its constant is
-    sized with a safety margin BELOW the threshold's byte equivalent).
-    Unknown on both probes (unlistable path) pays the count job: the
-    gate is an optimization and must never silently pin the floor
-    config."""
+    threshold — verification scales stay zero-extra-jobs. Three
+    probes, most-exact first: parquet-footer row counts (local paths;
+    the corpus is base rows + predicate clones ≤ 2x base rows, so
+    2·rows < threshold PROVES the floor config is right); a ONE-FILE
+    sampled bytes/row when the store lists but footers don't read
+    (r12 — total bytes / sampled bytes-per-row estimates rows, taken
+    with a 25% sampling margin so a short-row corpus can't sneak past
+    an assumed-row-width constant); and last the fixed byte gate
+    (sized at the corpus' measured ~115 B/row with margin). Unknown on
+    every probe (unlistable path) pays the count job: the gate is an
+    optimization and must never silently pin the floor config."""
     path = f"{sf_dir}/{table}.parquet"
     rows = _footer_rows(raw.sparkSession, path)
     if rows is not None:
         return 0 if 2 * rows < threshold_rows else count_fn(raw)
     size = _input_bytes(raw.sparkSession, path)
-    if size is not None and size < gate_bytes:
+    if size is None:
+        return count_fn(raw)
+    bpr = _sampled_bytes_per_row(raw.sparkSession, path)
+    if bpr is not None:
+        # the footer branch's 2x-clones shape, times 1.25 for the
+        # sampling error of a single file
+        return 0 if 2.5 * (size / bpr) < threshold_rows else count_fn(raw)
+    if size < gate_bytes:
         return 0
     return count_fn(raw)
 
 
-# Remote-store fallback only (local paths take the exact footer-row
-# probe): sized from the threshold at the corpus' measured ~115 B/row
+# LAST-RESORT fallback only (local paths take the exact footer-row
+# probe; a store that lists takes the one-file sampled bytes/row —
+# r12): sized from the threshold at the corpus' measured ~115 B/row
 # with the margin under 1 the gate contract requires — 12 MiB ≈ 109k
 # rows, safely below the 131,072 adaptive threshold (ADVICE r10: the
 # old 16 MiB ≈ 146k opened PAST it, so 131k–146k corpora skipped the

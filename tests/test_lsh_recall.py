@@ -471,3 +471,42 @@ def test_emb_hot_bucket_path_blocks_cover_all_pairs(spark):
         f"{len(want - got)} missing, {len(got - want)} extra; "
         f"missing sample {sorted(want - got)[:5]}"
     )
+
+
+def test_remote_gate_calibrates_bytes_per_row_from_one_file(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 6: when footers don't read (remote URI) but
+    the store lists, the gate derives bytes/row from ONE sampled file
+    instead of assuming ~115 B/row — so a SHORT-row corpus whose bytes
+    sit under the fixed gate still pays the count job, while a corpus
+    the sample proves small still skips it. The fixed constant stays
+    as last resort (pinned above on a no-parquet dir)."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.queries import dedup as qd
+
+    n = 3000
+    spark.range(n).select(F.col("id").alias("doc_id")).repartition(2).write.parquet(
+        str(tmp_path / "tiny.parquet")
+    )
+    # simulate a footer-unreadable store: listing and per-file reads
+    # work, direct pyarrow footer access doesn't
+    monkeypatch.setattr(qd, "_footer_rows", lambda spark, path: None)
+    bpr = qd._sampled_bytes_per_row(spark, f"{tmp_path}/tiny.parquet")
+    assert bpr is not None and 1.0 < bpr < 115.0  # genuinely short rows
+
+    calls = []
+
+    def count(df):
+        calls.append(1)
+        return 54321
+
+    raw = spark.range(1)
+    # short rows + low threshold: the sampled estimate (~n rows) says
+    # "could cross" -> count job, even though bytes << the fixed gate
+    got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1 << 60, count, n)
+    assert got == 54321 and calls == [1]
+    # same corpus against a huge threshold: the sample PROVES small ->
+    # no count job, even with a fixed gate that would say "big"
+    calls.clear()
+    got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1, count, 1 << 60)
+    assert got == 0 and calls == []
