@@ -6,6 +6,9 @@
     python -m acuvate_spark sql "SELECT ..." [--sf-dir DIR] [--limit N]
                                              [--out PATH] [--explain]
     python -m acuvate_spark compact <main_path> --keys k1,k2
+    python -m acuvate_spark schedule <state.json> [--set HH:mm]
+    python -m acuvate_spark sync <state.json> [--sf-dir DIR] --out PATH
+                                              [--at ISO_DATETIME]
 
 ``run`` executes one named query against the parquet tables in
 ``--sf-dir`` (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.01)
@@ -26,6 +29,13 @@ promote deltas into the base (``operators.sinks.compact_promotes``),
 bounding the merge-on-read amplification that grows with the delta
 chain (measured 9.3x at chain 50; recommended cadence ~10 — reads
 past the cadence warn).
+
+``schedule``/``sync`` are the reference's /schedule GET+POST and /sync
+endpoints (app.py:6754-6813): ``schedule`` shows or updates the
+persisted daily-sync time (``streaming.schedule.SyncScheduler``);
+``sync`` is the platform tick — it runs the sync iff the current slot
+is due (idempotent per slot; pass ``--force`` for the reference's
+manual-trigger semantics).
 """
 
 from __future__ import annotations
@@ -55,6 +65,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sql = sub.add_parser("sql", help="run ad-hoc Spark SQL over the test tables")
     p_sql.add_argument("statement")
+    p_sched = sub.add_parser(
+        "schedule", help="show or update the persisted daily-sync time (HH:mm)"
+    )
+    p_sched.add_argument("state_path")
+    p_sched.add_argument("--set", dest="set_time", default=None, metavar="HH:mm")
+    p_sync = sub.add_parser(
+        "sync", help="platform tick: run the daily sync iff the current slot is due"
+    )
+    p_sync.add_argument("state_path")
+    p_sync.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p_sync.add_argument("--out", required=True, help="sync staging directory")
+    p_sync.add_argument(
+        "--at", default=None, help="ISO datetime for the tick (testing; default: now)"
+    )
+    p_sync.add_argument(
+        "--force", action="store_true",
+        help="run regardless of the slot (the reference's manual /sync)",
+    )
     for p in (p_run, p_sql):
         p.add_argument(
             "--sf-dir",
@@ -64,6 +95,38 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--out", default=None, help="write full result as parquet here")
         p.add_argument("--explain", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.cmd == "schedule":
+        from acuvate_spark.streaming.schedule import SyncScheduler
+
+        sched = SyncScheduler(args.state_path)
+        if args.set_time is not None:
+            print(f"schedule set to {sched.set_schedule(args.set_time)}")
+        else:
+            t = sched.get_schedule()
+            print(t if t is not None else f"(none; default {sched.effective_time()})")
+        return 0
+
+    if args.cmd == "sync":
+        from datetime import datetime
+
+        from acuvate_spark.session import get_spark
+        from acuvate_spark.streaming.schedule import SyncScheduler
+        from acuvate_spark.streaming.windows import run_daily_sync
+
+        now = datetime.fromisoformat(args.at) if args.at else datetime.now().astimezone()
+        spark = get_spark("acuvate-sync")
+        try:
+            if args.force:
+                n = run_daily_sync(spark, args.sf_dir, args.out)
+            else:
+                n = SyncScheduler(args.state_path).run_if_due(
+                    spark, args.sf_dir, args.out, now=now
+                )
+        finally:
+            spark.stop()
+        print("not due" if n is None else f"synced {n} rows to {args.out}")
+        return 0
 
     if args.cmd == "compact":
         from acuvate_spark.operators.sinks import compact_promotes

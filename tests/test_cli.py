@@ -85,3 +85,30 @@ def test_cli_list_grep_filters(sf_dir):
     assert r.returncode == 0
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
     assert lines and all("dedup" in ln.lower() for ln in lines)
+
+
+def test_cli_schedule_and_sync_subcommands(sf_dir, tmp_path):
+    """The /schedule + /sync surface end-to-end in subprocesses: set,
+    get, due-run, idempotent re-tick (reference app.py:6754-6813)."""
+    import subprocess
+    import sys
+
+    state = str(tmp_path / "scheduled_time.json")
+
+    def run(*argv, timeout=180):
+        r = subprocess.run(
+            [sys.executable, "-m", "acuvate_spark", *argv],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    assert "default 05:00" in run("schedule", state)
+    assert "06:15" in run("schedule", state, "--set", "6:15")
+    assert run("schedule", state).strip() == "06:15"
+    out = str(tmp_path / "sync_out")
+    at = "2026-01-15T12:00:00+00:00"  # 07:00 America/New_York: slot open
+    first = run("sync", state, "--sf-dir", sf_dir, "--out", out, "--at", at)
+    assert "synced" in first
+    again = run("sync", state, "--sf-dir", sf_dir, "--out", out, "--at", at)
+    assert "not due" in again
