@@ -89,9 +89,12 @@ COMMENTARY = {
     ),
     "triangle_count": (
         "Co-purchase projection is an equi-join on the order key (bounded "
-        "by order size); the wedge join and closing join are shuffle "
-        "hash-joins on vertex ids over the materialized edge set — cost "
-        "tracks wedges, not |V|^3."
+        "by order size); edges then orient from the (degree, id)-smaller "
+        "endpoint (r12 — degree agg + two AQE-broadcast degree joins), so "
+        "the wedge join pivots on each triangle's (degree, id)-minimum and "
+        "wedge rows are bounded by m^1.5 regardless of hubs; the closing "
+        "probe is an equi-join into the id-canonical edge set. Cost tracks "
+        "degree-oriented wedges, not sum(deg^2)."
     ),
     "unpivot_part_metrics": (
         "One Expand node, zero Exchange: wide-to-long is a map-side "
@@ -161,8 +164,19 @@ COMMENTARY = {
 
 
 def main() -> None:
+    # patch the CONCRETE class — pyspark 4 defines localCheckpoint on
+    # classic.DataFrame, which shadows a base-class patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from acuvate_spark.queries import REGISTRY
     from acuvate_spark.session import get_spark
+
+    # Queries that eagerly materialize (localCheckpoint) would dump an
+    # opaque `Scan ExistingRDD`; stub it to a no-op (the
+    # tests/test_plan_audit.py technique) so PLANS.md shows the FULL
+    # lineage the optimizer actually planned (r12 — the minhash and
+    # scanner_tag_etl entries were single-node stubs before).
+    DataFrame.localCheckpoint = lambda self, eager=True: self
 
     spark = get_spark("plan-dump", cpus=8)
     lines = [
@@ -170,7 +184,9 @@ def main() -> None:
         "",
         f"Generated by `tools/dump_plans.py` at sf dir `{SF_DIR}`.",
         "Each plan is the shape asserted by `tests/test_plans.py`; the",
-        "commentary says why that shape survives a 100 TB scale-up.",
+        "commentary says why that shape survives a 100 TB scale-up",
+        "(`localCheckpoint` is stubbed during the dump so eagerly",
+        "materialized queries show their full lineage).",
         "",
     ]
     for name, note in COMMENTARY.items():
