@@ -1290,9 +1290,18 @@ def running_totals(spark, sf_dir):
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
     )
-    max_key = (
-        o.groupBy("o_custkey").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
-    )
+    # metadata-only short-circuit: when the WHOLE table is under the
+    # knee, no key can be hot — bench/gate scales skip the probe job
+    # entirely (same footer source as the adaptive-LSH gates)
+    from .dedup import _footer_rows
+
+    total = _footer_rows(spark, f"{sf_dir}/orders.parquet")
+    if total is not None and total < _RT_HOT_KEY_MIN:
+        max_key = 0
+    else:
+        max_key = (
+            o.groupBy("o_custkey").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
+        )
     if max_key is None or max_key < _RT_HOT_KEY_MIN:
         w = (
             Window.partitionBy("o_custkey")
