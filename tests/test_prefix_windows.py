@@ -1,0 +1,160 @@
+"""Two-level prefix-window operators (operators/prefix_windows): the
+bucketed decomposition must be row-identical to the single-window form
+— on real fixture data, on a hot-key twin, and on a synthetic timeline
+built to hit every boundary case (sessions continuing across midnight,
+breaks exactly at a bucket edge, equal-ts ties, carrier-less buckets,
+gap exactly equal to the threshold)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acuvate_spark.operators.prefix_windows import (
+    carry_last_two_level,
+    sessionize_two_level,
+)
+from acuvate_spark.tables import load_table
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
+
+GAP = 1_800_000_000  # 30 min, the sessionize_events constant
+
+
+def _sessionize_single(events):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull(), 1).when(gap_us > GAP, 1).otherwise(0)
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "ts", "session_idx")
+    )
+
+
+def _carry_single(tagged, carry_cols):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tagged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"carried_{c}")
+            for c in carry_cols
+        ],
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _boundary_timeline(spark):
+    """Hand-built multi-day timeline: user 1 is HOT (rows every 10 min
+    for 3 days — sessions run across two midnights); user 2 breaks
+    exactly at a midnight (65-min gap over the bucket edge); user 3
+    has an equal-ts tie pair and a gap of exactly GAP (NOT a break —
+    the predicate is strict >); user 4 exists on one day only."""
+    base = dt.datetime(2026, 3, 10, 22, 0, 0)
+    rows = []
+    eid = 0
+    t = base
+    for _ in range(3 * 24 * 6):  # user 1: every 10 min for 3 days
+        rows.append((eid, 1, t)); eid += 1
+        t += dt.timedelta(minutes=10)
+    rows.append((eid, 2, dt.datetime(2026, 3, 10, 23, 30))); eid += 1
+    rows.append((eid, 2, dt.datetime(2026, 3, 11, 0, 35))); eid += 1  # 65 min: break at the edge
+    rows.append((eid, 2, dt.datetime(2026, 3, 11, 0, 50))); eid += 1
+    tie = dt.datetime(2026, 3, 12, 9, 0)
+    rows.append((eid, 3, tie)); eid += 1
+    rows.append((eid, 3, tie)); eid += 1  # equal-ts tie, id breaks it
+    rows.append((eid, 3, tie + dt.timedelta(microseconds=GAP))); eid += 1  # == GAP: same session
+    rows.append((eid, 3, tie + dt.timedelta(microseconds=2 * GAP + 1))); eid += 1  # > GAP: break
+    rows.append((eid, 4, dt.datetime(2026, 3, 15, 12, 0))); eid += 1
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_sessionize_two_level_identity_on_boundary_timeline(spark):
+    e = _boundary_timeline(spark)
+    got = _rows(sessionize_two_level(e, gap_us=GAP))
+    want = _rows(_sessionize_single(e))
+    assert len(want) == e.count()
+    assert got == want
+
+
+@pytest.mark.parametrize("fixture", ["uniform", "hot"])
+def test_sessionize_two_level_identity_on_events(spark, tmp_path_factory, fixture):
+    src = "/root/testdata/sf0.001"
+    if fixture == "hot":
+        import window_skew_check as w
+
+        src = w.build_hot_fixture(
+            spark, src, str(tmp_path_factory.mktemp("pw_hot"))
+        )
+    e = load_table(spark, src, "events").select("event_id", "user_id", "ts")
+    assert _rows(sessionize_two_level(e, gap_us=GAP)) == _rows(_sessionize_single(e))
+
+
+def test_carry_two_level_identity_on_boundary_timeline(spark):
+    """As-of shape: events carry (event_id, event_type); order rows
+    (kind=1) probe. User 4's single day and user 1's multi-day run
+    cover carrier-less buckets and cross-midnight carries."""
+    e = _boundary_timeline(spark)
+    carriers = e.select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id",
+        F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string")).alias("event_type"),
+    )
+    # probes at +5 min after every third event, plus one on a day with
+    # no carriers at all for that user (before user 4's only event)
+    probes = (
+        e.where(F.col("event_id") % 3 == 0)
+        .select(
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("ts"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+        )
+    )
+    early = spark.createDataFrame(
+        [(4, dt.datetime(2026, 3, 14, 8, 0), 1, None, None)],
+        "user_id long, ts timestamp, kind int, event_id long, event_type string",
+    )
+    tagged = carriers.unionByName(probes).unionByName(early)
+    got = _rows(carry_last_two_level(tagged, ["event_id", "event_type"]))
+    want = _rows(_carry_single(tagged, ["event_id", "event_type"]))
+    assert len(want) == tagged.count()
+    assert got == want
+
+
+def test_carry_two_level_identity_on_asof_shape(spark):
+    """The exact tagged union asof_join_events builds, at fixture
+    scale."""
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_custkey") % 200).alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id", "event_type"
+    )
+    tagged = e.unionByName(o)
+    got = _rows(carry_last_two_level(tagged, ["event_id", "event_type"]))
+    want = _rows(_carry_single(tagged, ["event_id", "event_type"]))
+    assert got == want
