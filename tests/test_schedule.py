@@ -73,3 +73,41 @@ def test_run_if_due_is_idempotent_per_slot(spark, sf_dir, tmp_path):
     # the next day's slot opens -> runs again
     t2 = datetime(2026, 1, 16, 12, 0, tzinfo=UTC)
     assert _sched(tmp_path).run_if_due(spark, sf_dir, out, now=t2) == n
+
+
+def test_run_if_due_crash_before_slot_commit_converges(spark, sf_dir, tmp_path):
+    """A crash BETWEEN the sync write and the slot commit re-runs the
+    sync on the next tick (at-least-once) and converges: the sync
+    itself is an idempotent overwrite, so the replayed output is
+    byte-identical and the slot then commits."""
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from acuvate_spark.streaming import schedule as sched_mod
+
+    s = _sched(tmp_path)
+    s.set_schedule("05:00")
+    out = str(tmp_path / "sync_out")
+    t1 = datetime(2026, 1, 15, 12, 0, tzinfo=ZoneInfo("UTC"))
+
+    class Boom(RuntimeError):
+        pass
+
+    real = sched_mod.run_daily_sync
+
+    def crashing(spark_, sf, out_):
+        real(spark_, sf, out_)  # the sync lands...
+        raise Boom()  # ...but the process dies before the slot commits
+
+    sched_mod_run = sched_mod.run_daily_sync
+    sched_mod.run_daily_sync = crashing
+    try:
+        with pytest.raises(Boom):
+            s.run_if_due(spark, sf_dir, out, now=t1)
+    finally:
+        sched_mod.run_daily_sync = sched_mod_run
+    # slot did NOT commit -> the replayed tick runs the sync again
+    n = _sched(tmp_path).run_if_due(spark, sf_dir, out, now=t1)
+    assert n is not None and n > 0
+    # and only then does the slot stick
+    assert _sched(tmp_path).run_if_due(spark, sf_dir, out, now=t1) is None
