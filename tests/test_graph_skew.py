@@ -28,7 +28,6 @@ def hub_dir(tmp_path_factory):
     (deg 80 -> 3160 doomed candidate pairs)."""
     import graph_skew_check as g
 
-    spark = None
     from acuvate_spark.session import get_spark
 
     spark = get_spark("acuvate-tests")
