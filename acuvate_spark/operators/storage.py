@@ -175,78 +175,86 @@ def compact_path(
     step is what a table format (Delta/Iceberg rewrite-files action)
     provides — the dataflow half is identical. Returns the resulting
     file count across all leaves; leaves already at/under target are
-    left untouched."""
+    left untouched.
+
+    Single-maintainer contract, enforced best-effort by
+    :func:`acuvate_spark.operators.sinks.register_lease` (r12): a live
+    concurrent writer on the same path raises ConcurrentWriterError
+    instead of interleaving directory swaps."""
     import glob
     import math
     import os
     import shutil
 
-    def _recover(p: str) -> None:
-        tmp, backup = p.rstrip("/") + ".__compacting__", p.rstrip("/") + ".__pre_compact__"
-        if os.path.isdir(backup):
-            if os.path.isdir(p):
-                shutil.rmtree(backup)  # swap completed; stale backup
-            else:
-                os.rename(backup, p)  # died between renames; restore
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)  # incomplete rewrite; discard
+    from .sinks import register_lease
 
-    def _compact_leaf(leaf: str) -> int:
-        _recover(leaf)
-        files = [
-            e.path
-            for e in os.scandir(leaf)
-            if e.is_file() and e.name.endswith(".parquet")
-        ]
-        if not files:
+    with register_lease(path, "compact-path"):
+        def _recover(p: str) -> None:
+            tmp, backup = p.rstrip("/") + ".__compacting__", p.rstrip("/") + ".__pre_compact__"
+            if os.path.isdir(backup):
+                if os.path.isdir(p):
+                    shutil.rmtree(backup)  # swap completed; stale backup
+                else:
+                    os.rename(backup, p)  # died between renames; restore
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)  # incomplete rewrite; discard
+
+        def _compact_leaf(leaf: str) -> int:
+            _recover(leaf)
+            files = [
+                e.path
+                for e in os.scandir(leaf)
+                if e.is_file() and e.name.endswith(".parquet")
+            ]
+            if not files:
+                return 0
+            total = sum(os.path.getsize(f) for f in files)
+            n_target = max(1, math.ceil(total / target_file_bytes))
+            if n_target >= len(files):
+                return len(files)
+            df = spark.read.parquet(leaf)
+            tmp = leaf.rstrip("/") + ".__compacting__"
+            df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+            backup = leaf.rstrip("/") + ".__pre_compact__"
+            os.rename(leaf, backup)
+            os.rename(tmp, leaf)
+            shutil.rmtree(backup)
+            # count what the rewrite actually produced: coalesce(n) writes
+            # FEWER files when the leaf frame has fewer input partitions
+            # than n, so returning n_target would over-report
+            return sum(
+                1
+                for e in os.scandir(leaf)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+
+        _MARKERS = (".__compacting__", ".__pre_compact__")
+
+        def _sweep_interrupted(root: str) -> None:
+            """Recover interrupted swaps ANYWHERE in the tree: a leftover
+            ``<leaf>.__pre_compact__`` would otherwise be globbed as a data
+            leaf and compacted in place — duplicating the partition while
+            the real leaf stays missing (silent corruption)."""
+            for dirpath, dirnames, _ in list(os.walk(root, topdown=False)):
+                for d in dirnames:
+                    for marker in _MARKERS:
+                        if d.endswith(marker):
+                            _recover(os.path.join(dirpath, d[: -len(marker)]))
+
+        _recover(path)
+        if os.path.isdir(path):
+            _sweep_interrupted(path)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"compact_path: no such directory {path!r}")
+        all_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not all_files:
             return 0
-        total = sum(os.path.getsize(f) for f in files)
-        n_target = max(1, math.ceil(total / target_file_bytes))
-        if n_target >= len(files):
-            return len(files)
-        df = spark.read.parquet(leaf)
-        tmp = leaf.rstrip("/") + ".__compacting__"
-        df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-        backup = leaf.rstrip("/") + ".__pre_compact__"
-        os.rename(leaf, backup)
-        os.rename(tmp, leaf)
-        shutil.rmtree(backup)
-        # count what the rewrite actually produced: coalesce(n) writes
-        # FEWER files when the leaf frame has fewer input partitions
-        # than n, so returning n_target would over-report
-        return sum(
-            1
-            for e in os.scandir(leaf)
-            if e.is_file() and e.name.endswith(".parquet")
+        leaves = sorted(
+            leaf
+            for leaf in {os.path.dirname(f) for f in all_files}
+            if not any(part.endswith(m) for m in _MARKERS for part in leaf.split(os.sep))
         )
-
-    _MARKERS = (".__compacting__", ".__pre_compact__")
-
-    def _sweep_interrupted(root: str) -> None:
-        """Recover interrupted swaps ANYWHERE in the tree: a leftover
-        ``<leaf>.__pre_compact__`` would otherwise be globbed as a data
-        leaf and compacted in place — duplicating the partition while
-        the real leaf stays missing (silent corruption)."""
-        for dirpath, dirnames, _ in list(os.walk(root, topdown=False)):
-            for d in dirnames:
-                for marker in _MARKERS:
-                    if d.endswith(marker):
-                        _recover(os.path.join(dirpath, d[: -len(marker)]))
-
-    _recover(path)
-    if os.path.isdir(path):
-        _sweep_interrupted(path)
-    if not os.path.isdir(path):
-        raise FileNotFoundError(f"compact_path: no such directory {path!r}")
-    all_files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    if not all_files:
-        return 0
-    leaves = sorted(
-        leaf
-        for leaf in {os.path.dirname(f) for f in all_files}
-        if not any(part.endswith(m) for m in _MARKERS for part in leaf.split(os.sep))
-    )
-    return sum(_compact_leaf(leaf) for leaf in leaves)
+        return sum(_compact_leaf(leaf) for leaf in leaves)
 
 
 def write_sharded(

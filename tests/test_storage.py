@@ -433,3 +433,27 @@ def test_pruning_audit_exact_for_int64_past_double_mantissa(spark, tmp_path):
         if r["file"] not in set(audit["files_pruned"])
     ]
     assert spark.read.parquet(*kept).where(F.col("v") >= big).count() == 1
+
+
+def test_compact_path_blocked_by_live_lease(spark, sf_dir, tmp_path):
+    """compact_path shares the register single-maintainer contract
+    (r12): a live lease on the path blocks it with zero effect; with
+    the lease gone the same call compacts."""
+    import os
+
+    import pytest
+
+    from acuvate_spark.operators import sinks, storage
+    from acuvate_spark.tables import load_table
+
+    path = str(tmp_path / "smallfiles")
+    load_table(spark, sf_dir, "nation").repartition(8).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    lease = path.rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:
+        fh.write("pid=99999 purpose=compact-path")
+    with pytest.raises(sinks.ConcurrentWriterError):
+        storage.compact_path(spark, path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == n_before
+    os.remove(lease)
+    assert storage.compact_path(spark, path) == 1
