@@ -158,3 +158,54 @@ def test_carry_two_level_identity_on_asof_shape(spark):
     got = _rows(carry_last_two_level(tagged, ["event_id", "event_type"]))
     want = _rows(_carry_single(tagged, ["event_id", "event_type"]))
     assert got == want
+
+
+def test_sessionize_two_level_property_random_timelines(spark):
+    """Hypothesis (derandomized): on arbitrary small timelines — random
+    users, timestamps clustered around bucket edges in MICROSECOND
+    offsets, duplicate instants — the two-level form equals the
+    single-window form row-for-row. Timestamps are drawn as offsets
+    around three consecutive midnights so bucket-boundary cases are
+    dense in the sample, not rare."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = dt.datetime(2026, 5, 1, 0, 0, 0)
+    # offsets in seconds within +-2h of each of three midnights
+    offsets = st.integers(min_value=-7200, max_value=7200)
+    day = st.integers(min_value=0, max_value=2)
+    rows_strategy = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3), day, offsets),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(rows=rows_strategy)
+    def run(rows):
+        data = [
+            (i, user, base + dt.timedelta(days=d, seconds=off))
+            for i, (user, d, off) in enumerate(rows)
+        ]
+        e = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+        # a small gap (20 min) so random timelines actually break
+        got = _rows(sessionize_two_level(e, gap_us=1_200_000_000))
+        GAP_SMALL = 1_200_000_000
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ns = (
+            F.when(F.lag("ts").over(w).isNull(), 1)
+            .when(gap_us > GAP_SMALL, 1)
+            .otherwise(0)
+        )
+        want = _rows(
+            e.withColumn("ns", ns)
+            .withColumn(
+                "session_idx",
+                F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .select("event_id", "user_id", "ts", "session_idx")
+        )
+        assert got == want
+
+    run()
