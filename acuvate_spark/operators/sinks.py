@@ -55,12 +55,65 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer touched a single-writer register."""
 
 
+_HOSTNAME = os.uname().nodename
+
+
+def _holder_dead(holder: str) -> bool:
+    """Same-host pid-liveness probe (ADVICE r12): a lease whose
+    recorded pid no longer exists on THIS host belongs to a crashed
+    holder — crash-replay of a promote should recover immediately
+    instead of waiting out the TTL. Only a ``host=`` match makes the
+    probe meaningful; unverifiable holders (other host, old format,
+    unparsable) keep the TTL as the sole steal trigger. A recycled
+    pid can make a dead holder look alive — that false negative is
+    exactly what the TTL fallback still covers."""
+    fields = dict(f.split("=", 1) for f in holder.split() if "=" in f)
+    if fields.get("host") != _HOSTNAME or not fields.get("pid", "").isdigit():
+        return False
+    try:
+        os.kill(int(fields["pid"]), 0)
+    except ProcessLookupError:
+        return True
+    except OSError:
+        pass  # EPERM etc.: the pid exists
+    return False
+
+
+def _steal_lease(lease: str, observed: os.stat_result) -> bool:
+    """Steal a lease OBSERVED stale, racing other stealers safely
+    (ADVICE r12 TOCTOU): a blind ``os.remove`` can delete a FRESH
+    lease created between the staleness check and the remove, letting
+    two writers acquire. Instead, claim whatever sits at the path by
+    renaming it to a name only we use, then verify (st_ino, st_mtime)
+    that it IS the file we observed stale. On a mismatch we displaced
+    a live lease a competing stealer just created — put it back with
+    ``os.link`` (no-clobber, unlike rename) so the competitor keeps
+    its acquisition, and report failure so the caller re-examines.
+    Returns True iff the stale lease is gone and the path is free."""
+    steal = f"{lease}.steal.{os.getpid()}"
+    try:
+        os.rename(lease, steal)
+        current = os.stat(steal)
+    except OSError:
+        return False  # released, or another stealer's rename won
+    if (current.st_ino, current.st_mtime) == (observed.st_ino, observed.st_mtime):
+        os.remove(steal)
+        return True
+    with contextlib.suppress(OSError):
+        os.link(steal, lease)  # restore the live lease we displaced
+    with contextlib.suppress(OSError):
+        os.remove(steal)
+    return False
+
+
 @contextlib.contextmanager
 def register_lease(main_path: str, purpose: str):
     """Best-effort single-writer lease on a register: an atomic
     ``<root>.__lease__`` create (O_EXCL). A live lease (younger than
-    :data:`LEASE_TTL_S`) raises :class:`ConcurrentWriterError` naming
-    the holder; a stale one is stolen. Re-entrant within the process,
+    :data:`LEASE_TTL_S`, holder pid not provably dead) raises
+    :class:`ConcurrentWriterError` naming the holder; a stale or
+    dead-holder lease is stolen via rename-and-verify (never a blind
+    remove — see :func:`_steal_lease`). Re-entrant within the process,
     so a promote's auto-compaction runs under the promote's lease."""
     root = main_path.rstrip("/")
     lease = root + ".__lease__"
@@ -74,25 +127,23 @@ def register_lease(main_path: str, purpose: str):
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
-                fh.write(f"pid={os.getpid()} purpose={purpose}")
+                fh.write(f"pid={os.getpid()} host={_HOSTNAME} purpose={purpose}")
             break
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(lease)
+                observed = os.stat(lease)
                 holder = open(lease).read()
             except OSError:
                 continue  # holder released between the create and the stat
-            if age < LEASE_TTL_S:
+            age = time.time() - observed.st_mtime
+            if age < LEASE_TTL_S and not _holder_dead(holder):
                 raise ConcurrentWriterError(
                     f"{root}: another writer holds the register lease "
                     f"({holder}, {age:.0f}s old); registers are "
                     "single-writer — serialize promotes/compactions, or "
                     f"remove {lease} if the holder is known dead"
                 ) from None
-            with contextlib.suppress(OSError):
-                os.remove(lease)  # stale: crashed holder, steal
-    else:
-        raise ConcurrentWriterError(f"{root}: could not acquire register lease")
+            _steal_lease(lease, observed)  # on failure, retry re-examines
     _HELD_LEASES.add(lease)
     try:
         yield

@@ -634,8 +634,16 @@ def _corpus_n_gated(
     bpr = _sampled_bytes_per_row(raw.sparkSession, path)
     if bpr is not None:
         # the footer branch's 2x-clones shape, times 1.25 for the
-        # sampling error of a single file
-        return 0 if 2.5 * (size / bpr) < threshold_rows else count_fn(raw)
+        # sampling error of a single file. ONE sampled file can still
+        # misrepresent the corpus by more than 25% (an atypically
+        # wide or poorly-compressed file understates total rows), so
+        # the skip is trusted only when the estimate is DECISIVELY
+        # below the threshold — anything inside the 2x uncertainty
+        # band pays the count job, keeping the contract that the gate
+        # never silently pins the floor config (ADVICE r12).
+        if 2.5 * (size / bpr) < 0.5 * threshold_rows:
+            return 0
+        return count_fn(raw)
     if size < gate_bytes:
         return 0
     return count_fn(raw)

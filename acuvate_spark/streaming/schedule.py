@@ -120,12 +120,36 @@ class SyncScheduler:
         hasn't run yet. Returns the synced row count, or None when
         nothing was due. Safe to call at any cadence — the persisted
         ``last_run_slot`` makes re-ticks and restarts no-ops until the
-        next slot opens."""
+        next slot opens.
+
+        CONCURRENT ticks are serialized (ADVICE r12): the bare
+        load-check-run-save sequence let two simultaneous platform
+        ticks both observe the slot unrun and both run the sync —
+        convergent only because the sync is an idempotent overwrite,
+        and still a mid-write collision risk on one ``out_dir``. The
+        tick now runs under the sinks writer lease on the state path:
+        the loser sees :class:`ConcurrentWriterError` and reports
+        "nothing due" (the winner is handling the slot), and the slot
+        is RE-CHECKED under the lease so a tick that waited out a
+        winner's commit doesn't re-run it. A tick that crashes
+        mid-sync leaves a lease that the next same-host tick steals
+        immediately via the pid-liveness probe (TTL fallback
+        otherwise), preserving the at-least-once crash-replay
+        contract."""
+        from ..operators.sinks import ConcurrentWriterError, register_lease
+
         slot = self._slot(now)
-        state = self._load()
-        if state.get("last_run_slot") == slot:
+        if self._load().get("last_run_slot") == slot:
             return None
-        n = run_daily_sync(spark, sf_dir, out_dir)
-        state["last_run_slot"] = slot
-        self._save(state)
-        return n
+        try:
+            with register_lease(self.state_path, f"daily-sync {slot}"):
+                state = self._load()  # re-check under the lease
+                if state.get("last_run_slot") == slot:
+                    return None
+                n = run_daily_sync(spark, sf_dir, out_dir)
+                state = self._load()  # don't clobber a concurrent set_schedule
+                state["last_run_slot"] = slot
+                self._save(state)
+                return n
+        except ConcurrentWriterError:
+            return None  # a concurrent tick owns this slot's run

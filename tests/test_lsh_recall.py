@@ -510,3 +510,36 @@ def test_remote_gate_calibrates_bytes_per_row_from_one_file(spark, tmp_path, mon
     calls.clear()
     got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1, count, 1 << 60)
     assert got == 0 and calls == []
+
+
+def test_remote_gate_band_near_threshold_pays_the_count_job(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the one-file bytes/row sample can misrepresent the
+    corpus by more than its 25% margin, so an estimate that lands
+    inside the 2x uncertainty band below the threshold must fall back
+    to the count job rather than silently pin the floor config. Only
+    a DECISIVE estimate (under half the threshold) skips it."""
+    from pyspark.sql import functions as F
+
+    from acuvate_spark.queries import dedup as qd
+
+    n = 3000
+    spark.range(n).select(F.col("id").alias("doc_id")).repartition(2).write.parquet(
+        str(tmp_path / "tiny.parquet")
+    )
+    monkeypatch.setattr(qd, "_footer_rows", lambda spark, path: None)
+
+    calls = []
+
+    def count(df):
+        calls.append(1)
+        return 54321
+
+    raw = spark.range(1)
+    # estimate ~2.5n sits between 0.5x and 1x of a 3n threshold: the
+    # pre-band rule skipped here; the band routes it to the count job
+    got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1 << 60, count, 3 * n)
+    assert got == 54321 and calls == [1]
+    # decisively small (threshold 100x the estimate): still skips
+    calls.clear()
+    got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1, count, 250 * n)
+    assert got == 0 and calls == []

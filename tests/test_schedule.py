@@ -111,3 +111,61 @@ def test_run_if_due_crash_before_slot_commit_converges(spark, sf_dir, tmp_path):
     assert n is not None and n > 0
     # and only then does the slot stick
     assert _sched(tmp_path).run_if_due(spark, sf_dir, out, now=t1) is None
+
+
+def test_concurrent_tick_is_serialized_by_the_state_lease(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12: two simultaneous platform ticks must not both run
+    the same slot. The tick runs under the sinks writer lease on the
+    state path — a tick that finds the lease held by a LIVE holder
+    reports 'nothing due' without touching the sync, and the slot
+    stays unrun for the winner to commit."""
+    import os
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from acuvate_spark.operators import sinks
+    from acuvate_spark.streaming import schedule as sched_mod
+
+    s = _sched(tmp_path)
+    s.set_schedule("05:00")
+    out = str(tmp_path / "sync_out")
+    t1 = datetime(2026, 1, 15, 12, 0, tzinfo=ZoneInfo("UTC"))
+    lease = s.state_path.rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:  # a concurrent tick, alive, mid-run
+        fh.write(f"pid={os.getpid()} host={sinks._HOSTNAME} purpose=daily-sync")
+
+    ran = []
+    monkeypatch.setattr(sched_mod, "run_daily_sync", lambda *a: ran.append(1) or 1)
+    assert s.run_if_due(spark, sf_dir, out, now=t1) is None
+    assert ran == []  # loser never ran the sync
+    os.remove(lease)
+    # winner gone (released): the next tick runs the slot normally
+    assert s.run_if_due(spark, sf_dir, out, now=t1) == 1
+    assert ran == [1]
+    # and the under-lease re-check makes a waiting tick a no-op
+    assert s.run_if_due(spark, sf_dir, out, now=t1) is None
+
+
+def test_tick_crashed_mid_sync_lease_is_stolen_by_replay(spark, sf_dir, tmp_path):
+    """A tick kill -9'd mid-sync leaves its lease behind; the next
+    same-host tick steals it via the pid-liveness probe and replays
+    the slot immediately (at-least-once), not after LEASE_TTL_S."""
+    import os
+    import subprocess
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    from acuvate_spark.operators import sinks
+
+    s = _sched(tmp_path)
+    s.set_schedule("05:00")
+    out = str(tmp_path / "sync_out")
+    t1 = datetime(2026, 1, 15, 12, 0, tzinfo=ZoneInfo("UTC"))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lease = s.state_path.rstrip("/") + ".__lease__"
+    with open(lease, "w") as fh:  # fresh mtime, dead holder
+        fh.write(f"pid={proc.pid} host={sinks._HOSTNAME} purpose=daily-sync")
+    n = s.run_if_due(spark, sf_dir, out, now=t1)
+    assert n is not None and n > 0
+    assert not os.path.exists(lease)

@@ -1174,3 +1174,96 @@ def test_auto_compact_runs_under_promotes_lease(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want_main
+
+
+# ---------------------------------------------------------------------------
+# r13 lease hardening (ADVICE r12): pid-liveness steal for crashed
+# same-host holders, and the rename-and-verify steal that closes the
+# stat->remove TOCTOU (a blind remove could delete a FRESH lease a
+# competing stealer just created, letting two writers acquire).
+# ---------------------------------------------------------------------------
+
+
+def _spawn_dead_pid() -> int:
+    """A pid that existed and is now guaranteed dead (reaped child)."""
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    return proc.pid
+
+
+def test_dead_same_host_holder_is_stolen_immediately(tmp_path):
+    """A kill -9'd promote leaves a FRESH lease; its recorded pid is
+    dead on this host, so crash-replay acquires immediately instead of
+    erroring out for up to LEASE_TTL_S (ADVICE r12)."""
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with open(lease, "w") as fh:
+        fh.write(f"pid={_spawn_dead_pid()} host={sinks._HOSTNAME} purpose=promote")
+    with sinks.register_lease(root, "replay"):
+        assert os.path.exists(lease)  # ours now
+    assert not os.path.exists(lease)
+
+
+def test_live_same_host_holder_still_blocks(tmp_path):
+    import pytest
+
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with open(lease, "w") as fh:
+        fh.write(f"pid={os.getpid()} host={sinks._HOSTNAME} purpose=promote")
+    with pytest.raises(sinks.ConcurrentWriterError, match="single-writer"):
+        with sinks.register_lease(root, "second"):
+            pass
+    os.remove(lease)
+
+
+def test_unverifiable_holder_keeps_ttl_fallback(tmp_path):
+    """A dead-looking pid on ANOTHER host must not be stolen early —
+    pid namespaces differ across hosts, so only the TTL applies."""
+    import pytest
+
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with open(lease, "w") as fh:
+        fh.write(f"pid={_spawn_dead_pid()} host=some-other-host purpose=promote")
+    with pytest.raises(sinks.ConcurrentWriterError):
+        with sinks.register_lease(root, "second"):
+            pass
+    os.remove(lease)
+
+
+def test_steal_lease_removes_only_the_observed_file(tmp_path):
+    lease = str(tmp_path / "reg.__lease__")
+    with open(lease, "w") as fh:
+        fh.write("pid=1 purpose=old")
+    observed = os.stat(lease)
+    assert sinks._steal_lease(lease, observed) is True
+    assert not os.path.exists(lease)
+
+
+def test_steal_lease_restores_a_displaced_fresh_lease(tmp_path):
+    """TOCTOU closed: if the file at the lease path is no longer the
+    one observed stale (a competing stealer removed it and created a
+    fresh lease in between), the steal must NOT destroy it — the
+    fresh lease is restored byte-identical and the steal reports
+    failure, so the caller re-examines and then blocks on the live
+    holder."""
+    import time as _time
+
+    lease = str(tmp_path / "reg.__lease__")
+    with open(lease, "w") as fh:
+        fh.write("pid=1 purpose=stale-holder")
+    observed = os.stat(lease)
+    # competing stealer wins: stale lease gone, fresh LIVE lease in place
+    os.remove(lease)
+    _time.sleep(0.01)  # distinct mtime even on coarse filesystems
+    with open(lease, "w") as fh:
+        fh.write("pid=2 purpose=fresh-winner")
+    assert sinks._steal_lease(lease, observed) is False
+    assert open(lease).read() == "pid=2 purpose=fresh-winner"
+    assert not os.path.exists(f"{lease}.steal.{os.getpid()}")
