@@ -55,6 +55,20 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer touched a single-writer register."""
 
 
+class CompactionInProgressError(RuntimeError):
+    """A reader hit a register mid-swap (or after a crashed swap).
+
+    During :func:`compact_promotes`' staged swap the base is
+    deliberately UNCOMMITTED (the ``_SUCCESS`` marker moves to the
+    backup first) while the delta chain still exists — a reader that
+    served that state as "no base, winners only" would silently drop
+    every never-promoted base row (r13 reader-vs-maintenance audit).
+    The swap window is metadata-only (file moves, not the rewrite), so
+    the remedy is: retry momentarily; if this persists the compaction
+    crashed mid-swap — re-run ``compact_promotes`` (its entry recovery
+    restores the backup) to make the register readable again."""
+
+
 _HOSTNAME = os.uname().nodename
 
 
@@ -278,6 +292,25 @@ def _has_success(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
+def _raise_if_mid_swap(base_path: str) -> None:
+    """Readers call this when the base is INVISIBLE (no committed part
+    files): a ``.__pre_compact__`` sibling then means a compaction
+    swap is in flight (or died mid-way) and the old base lives in the
+    backup — serving the remaining state as "no base" would silently
+    drop the base rows from the merged view. Raise instead (r13
+    reader-vs-maintenance audit); without a backup the shape is the
+    legitimate bootstrap / marker-less-writer case the callers already
+    handle."""
+    backup = base_path.rstrip("/") + ".__pre_compact__"
+    if os.path.isdir(backup):
+        raise CompactionInProgressError(
+            f"{base_path}: base is uncommitted while a compaction backup "
+            f"({backup}) exists — a staged swap is in flight or crashed. "
+            "Retry momentarily; if this persists, re-run the compaction "
+            "(its entry recovery restores the backup) before reading"
+        )
+
+
 def _warn_unmarked_base(path: str) -> None:
     """A base dir holding part files WITHOUT ``_SUCCESS`` is treated
     as uncommitted (crash-invisibility), but the identical shape is
@@ -363,6 +396,8 @@ def read_with_moves(
     df = None
     if _has_success(base_path) and _glob.glob(os.path.join(base_path, "*.parquet")):
         df = spark.read.parquet(base_path)
+    else:
+        _raise_if_mid_swap(base_path)
     if moves_for is not None:
         files = _committed_files(os.path.join(moves_for, "moves"))
         if files:
@@ -609,6 +644,8 @@ def read_with_promotes(
     base = None
     if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
         base = spark.read.parquet(main_path)
+    else:
+        _raise_if_mid_swap(main_path)
     files = _committed_files(os.path.join(main_path, "promotes"))
     if not files:
         if base is None:
@@ -726,9 +763,15 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
                         p = os.path.join(main_path, f)
                         if os.path.isfile(p):
                             os.remove(p)
-                for f in os.listdir(backup):
-                    if f == sentinel:
-                        continue
+                # restore with _SUCCESS LAST (r13: os.listdir order is
+                # arbitrary — a marker restored before the part files
+                # would let a concurrent reader see a committed main
+                # with a partial file set, silent row loss; marker-last
+                # keeps main uncommitted until the old set is complete,
+                # so racing readers get CompactionInProgressError, then
+                # the exact old truth)
+                names = [f for f in os.listdir(backup) if f != sentinel]
+                for f in sorted(names, key=lambda f: (f == "_SUCCESS", f)):
                     os.replace(os.path.join(backup, f), os.path.join(main_path, f))
                 shutil.rmtree(backup)
         if os.path.isdir(tmp):

@@ -177,6 +177,21 @@ def compact_path(
     file count across all leaves; leaves already at/under target are
     left untouched.
 
+    Readers racing the maintenance pass (r13 audit): the temp and
+    backup siblings are DOT-PREFIXED, so Spark's hidden-path filter
+    keeps them out of any concurrent root scan's listing — without
+    that, a reader scanning the hive root during the (long) rewrite
+    window listed the temp as a data dir and during the swap saw the
+    backup beside the new leaf: duplicate rows either way. What
+    remains is the unavoidable instant between the two renames where
+    the leaf is briefly absent: a root listing in that window misses
+    that leaf's rows, and a reader that listed earlier may hit
+    vanished files and fail loudly. POSIX has no atomic directory
+    exchange (that is precisely what a table format's snapshot commit
+    adds); the window is two metadata ops, and the serving contract
+    for anything stronger is read_with_promotes/read_with_moves, whose
+    mid-swap detection errors rather than serves a partial view.
+
     Single-maintainer contract, enforced best-effort by
     :func:`acuvate_spark.operators.sinks.register_lease` (r12): a live
     concurrent writer on the same path raises ConcurrentWriterError
@@ -189,15 +204,28 @@ def compact_path(
     from .sinks import register_lease
 
     with register_lease(path, "compact-path"):
+        def _sibs(p: str, marker: str) -> list[str]:
+            """Candidate sibling names for a swap artifact: the
+            DOT-PREFIXED name new swaps create (hidden from Spark's
+            path filter, so a reader scanning the hive ROOT during a
+            leaf rewrite/swap never lists the temp or backup as a
+            data dir — the r13 reader-vs-maintenance audit found the
+            unhidden sibling served DUPLICATE partition rows for the
+            whole rewrite window), plus the pre-r13 unhidden name so
+            recovery still heals crash shapes left by older runs."""
+            d, b = os.path.split(p.rstrip("/"))
+            return [os.path.join(d, "." + b + marker), os.path.join(d, b + marker)]
+
         def _recover(p: str) -> None:
-            tmp, backup = p.rstrip("/") + ".__compacting__", p.rstrip("/") + ".__pre_compact__"
-            if os.path.isdir(backup):
-                if os.path.isdir(p):
-                    shutil.rmtree(backup)  # swap completed; stale backup
-                else:
-                    os.rename(backup, p)  # died between renames; restore
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)  # incomplete rewrite; discard
+            for backup in _sibs(p, ".__pre_compact__"):
+                if os.path.isdir(backup):
+                    if os.path.isdir(p):
+                        shutil.rmtree(backup)  # swap completed; stale backup
+                    else:
+                        os.rename(backup, p)  # died between renames; restore
+            for tmp in _sibs(p, ".__compacting__"):
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)  # incomplete rewrite; discard
 
         def _compact_leaf(leaf: str) -> int:
             _recover(leaf)
@@ -213,9 +241,9 @@ def compact_path(
             if n_target >= len(files):
                 return len(files)
             df = spark.read.parquet(leaf)
-            tmp = leaf.rstrip("/") + ".__compacting__"
+            tmp = _sibs(leaf, ".__compacting__")[0]
             df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-            backup = leaf.rstrip("/") + ".__pre_compact__"
+            backup = _sibs(leaf, ".__pre_compact__")[0]
             os.rename(leaf, backup)
             os.rename(tmp, leaf)
             shutil.rmtree(backup)
@@ -239,7 +267,10 @@ def compact_path(
                 for d in dirnames:
                     for marker in _MARKERS:
                         if d.endswith(marker):
-                            _recover(os.path.join(dirpath, d[: -len(marker)]))
+                            stem = d[: -len(marker)]
+                            if stem.startswith("."):  # hidden (r13) scheme
+                                stem = stem[1:]
+                            _recover(os.path.join(dirpath, stem))
 
         _recover(path)
         if os.path.isdir(path):
