@@ -107,12 +107,29 @@ def nms_grid(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
     |x1a - x1b| < max width <= cell) — a candidate's IoU can be
     non-zero only against kept boxes anchored in its 3x3 cell
     neighborhood, and greedy NMS decisions depend only on overlap with
-    kept boxes. Same sort, same decisions, same rows. One huge box
-    degrades the cell size gracefully toward the linear-scan behavior
-    (still exact). Kept as a sibling of :func:`nms` (the
-    prefix_windows / connected_components_star pattern): the registered
-    queries' fixture pages are tens of boxes, where the plain
-    vectorized sweep is faster."""
+    kept boxes. Same sort, same decisions, same rows. Kept as a
+    sibling of :func:`nms` (the prefix_windows /
+    connected_components_star pattern): the registered queries'
+    fixture pages are tens of boxes, where the plain vectorized sweep
+    is faster.
+
+    OVERSIZED boxes get a second tier (r13 kernel payload-skew audit):
+    with cells sized to the group max, ONE page-border box on a 20k
+    -symbol sheet made the cell page-sized — every box landed in a
+    handful of cells and the prescreen degraded to the quadratic scan
+    (measured 17.4 s vs 1.0 s without the giant; tools/
+    kernel_skew_check.py). Boxes wider than 4x the median dimension
+    are held out of the grid: every candidate checks the oversized
+    kept set, and an oversized CANDIDATE (spanning many cells) sweeps
+    the full kept set — so the cell stays sized to the normal
+    population. Exactness is preserved: a pair of normal boxes that
+    intersect is still caught by the 3x3 neighborhood (cell >= normal
+    max dim); any pair involving an oversized box is caught by one of
+    the two sweeps. Cost is O(n * (local density + oversized kept) +
+    oversized * kept) — linear again
+    when the oversized tier is a handful, and a page where MOST boxes
+    are 'oversized' just degrades toward the scan as before (e.g. all
+    dims equal -> nothing exceeds 4x median -> single tier)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -125,16 +142,24 @@ def nms_grid(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
         x2 = pdf["x2"].to_numpy()
         y2 = pdf["y2"].to_numpy()
         areas = np.maximum(0.0, x2 - x1) * np.maximum(0.0, y2 - y1)
-        cell = max(float(np.max(x2 - x1, initial=0.0)),
-                   float(np.max(y2 - y1, initial=0.0)), 1e-9)
+        dims = np.maximum(np.maximum(0.0, x2 - x1), np.maximum(0.0, y2 - y1))
+        big = dims > 4.0 * float(np.median(dims)) if len(dims) else dims > 0
+        cell = max(float(np.max(dims[~big], initial=0.0)), 1e-9)
         by_cell: dict[tuple[int, int], list[int]] = {}
+        big_kept: list[int] = []
         kept: list[int] = []
         for i in range(len(pdf)):
             cx, cy = int(x1[i] // cell), int(y1[i] // cell)
-            cand: list[int] = []
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    cand += by_cell.get((cx + dx, cy + dy), ())
+            if big[i]:
+                # an oversized CANDIDATE spans many cells — its 3x3
+                # anchor neighborhood can miss a kept normal box it
+                # overlaps, so it sweeps the full kept set (both tiers)
+                cand: list[int] = list(kept)
+            else:
+                cand = list(big_kept)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        cand += by_cell.get((cx + dx, cy + dy), ())
             if cand:
                 k = np.array(cand)
                 ix = np.maximum(0.0, np.minimum(x2[i], x2[k]) - np.maximum(x1[i], x1[k]))
@@ -145,7 +170,10 @@ def nms_grid(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
                     (union > 0) & (inter / np.maximum(union, 1e-12) >= iou_threshold)
                 ):
                     continue
-            by_cell.setdefault((cx, cy), []).append(i)
+            if big[i]:
+                big_kept.append(i)
+            else:
+                by_cell.setdefault((cx, cy), []).append(i)
             kept.append(i)
         return pdf.iloc[kept]
 

@@ -110,14 +110,11 @@ def sample_frames(df: DataFrame, n_frames: int = 3) -> DataFrame:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
                 raw = bytes(b)
+                base = hashlib.md5(raw)  # one payload hash, cloned per frame
                 for i in range(n_frames):
-                    rows.append(
-                        (
-                            doc_id,
-                            i,
-                            hashlib.md5(raw + str(i).encode()).hexdigest(),
-                        )
-                    )
+                    hh = base.copy()
+                    hh.update(str(i).encode())
+                    rows.append((doc_id, i, hh.hexdigest()))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
 
     return df.mapInPandas(batches, schema=FRAMES_SCHEMA)
@@ -153,8 +150,17 @@ def sample_audio_windows(
                 if duration_ms < window_ms:
                     continue
                 n = (duration_ms - window_ms) // hop_ms + 1
+                # hash the payload ONCE and clone the digest state per
+                # window (r13 kernel payload-skew audit: md5(raw+i)
+                # recomputed per window is O(windows x bytes) — a
+                # 10-hour row re-hashes its full payload ~180k times
+                # inside one task; the clone is O(bytes + windows)
+                # with bit-identical digests, md5(raw || str(i)))
+                base = hashlib.md5(raw)
                 for i in range(n):
-                    h = hashlib.md5(raw + str(i).encode()).hexdigest()
+                    hh = base.copy()
+                    hh.update(str(i).encode())
+                    h = hh.hexdigest()
                     energy = int(h[:2], 16)
                     rows.append(
                         (doc_id, i, i * hop_ms, i * hop_ms + window_ms, h, energy)

@@ -8,12 +8,24 @@ Each query is materialized with a noop-format write (full computation,
 no driver collect) so the timing reflects the distributed plan, not
 result transfer.
 
-Regression guard: per-query times are compared against
-BENCH_BASELINE.json (the round-1 numbers BASELINE.md pins as the 2x
-bound). Regressions are listed in the JSON line under "regressions"
-and on stderr; with SPARK_GRAFT_BENCH_STRICT=1 they also fail the
-script (exit 2). The default stays exit 0 so one noisy query can't
-void the whole round's bench record.
+Regression guard, two tiers (VERDICT r12 item 1):
+
+* headline 36 — min-of-3, guarded against BENCH_BASELINE.json (the
+  round-1 numbers BASELINE.md pins as the 2x bound); the "value"/
+  "queries" keys stay this tier so the metric is comparable across
+  rounds.
+* full registry — every OTHER registry query runs min-of-2 in the
+  same default pass, guarded against EXTENDED_BASELINE.json (min-of-3
+  sf0.1 pins for all 134) with the same 2x-with-floor rule. Before
+  r13 the ~98 non-headline queries had pins but NO enforcement in the
+  driver's default run — a 5x plan regression in any of them reached
+  the driver bench invisible. Reported under "full_value"/
+  "full_queries"; skip with SPARK_GRAFT_BENCH_HEADLINE_ONLY=1.
+
+Regressions from both tiers are listed in the JSON line under
+"regressions" and on stderr; with SPARK_GRAFT_BENCH_STRICT=1 they
+also fail the script (exit 2). The default stays exit 0 so one noisy
+query can't void the whole round's bench record.
 """
 
 from __future__ import annotations
@@ -96,11 +108,15 @@ def main() -> None:
         # headline 36 are guarded by BENCH_BASELINE; this guards the
         # other ~100, where the single-partition-scan bug hid.
         # Single-pass times carry up to ~2.3x run-to-run drift on a
-        # loaded box (measured across three clean r05 runs), so the
-        # rule is 2.5x AND +2 s for every query — the scan bug this
-        # guard exists for showed 2.7-4.1x with 4+ s deltas
+        # loaded box (measured across three clean r05 runs), and the
+        # r13 pins are MIN-OF-3 (lower than a clean single pass), so
+        # the single-pass rule is 3x AND +2 s for every query — the
+        # scan bug this guard exists for showed 2.7-4.1x with 4+ s
+        # deltas against same-protocol pins, farther still against
+        # min-of-3 pins. The default (driver) path measures min-of-2
+        # and applies the standard 2x-with-floor rule instead.
         regressions = _regressions(
-            timings, sf, "EXTENDED_BASELINE.json", ratio=2.5, min_delta=2.0
+            timings, sf, "EXTENDED_BASELINE.json", ratio=3.0, min_delta=2.0
         )
         for line in regressions:
             print(f"  REGRESSION: {line}", file=sys.stderr)
@@ -140,6 +156,29 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     regressions = _regressions(timings, sf)
+    # ---- tier 2: the ~98 non-headline registry queries, min-of-2,
+    # guarded by the min-of-3 pins in EXTENDED_BASELINE.json with the
+    # standard 2x-with-floor rule (VERDICT r12 item 1: these had pins
+    # but no enforcement in the driver's default run)
+    rest = [n for n in REGISTRY if n not in set(HEADLINE)]
+    full: dict[str, float] = {}
+    if rest and os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") != "1":
+        for attempt in range(2):
+            for name in rest:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in full or elapsed < full[name]:
+                    full[name] = elapsed
+                spark.catalog.clearCache()
+            print(
+                f"  [full pass {attempt}] {round(sum(full.values()), 1)}s over "
+                f"{len(rest)} non-headline queries",
+                file=sys.stderr,
+            )
+        regressions += _regressions(full, sf, "EXTENDED_BASELINE.json")
     for line in regressions:
         print(f"  REGRESSION: {line}", file=sys.stderr)
     print(
@@ -151,6 +190,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "regressions": regressions,
+                "full_value": round(total + sum(full.values()), 3),
+                "full_queries": full,
             }
         )
     )
