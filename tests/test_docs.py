@@ -125,10 +125,10 @@ def test_extended_baseline_guards_full_registry():
     assert str(base["sf"]) == "0.1" and base.get("note")
     missing = set(REGISTRY) - set(base["queries"])
     assert not missing, f"unpinned registry queries: {sorted(missing)}"
-    # the guard rule the extended path actually uses (2.5x AND +2 s —
-    # single-pass times drift up to ~2.3x under load, see the pin
+    # the guard rule the extended path actually uses (3x AND +2 s —
+    # single-pass measurements against MIN-OF-3 pins, see the pin
     # note): a 3x + 3 s blowout must flag...
-    rule = dict(ratio=2.5, min_delta=2.0)
+    rule = dict(ratio=3.0, min_delta=2.0)
     name = max(base["queries"], key=base["queries"].get)
     slow = {name: base["queries"][name] * 3 + 3}
     assert bench._regressions(slow, "0.1", "EXTENDED_BASELINE.json", **rule)
@@ -140,6 +140,13 @@ def test_extended_baseline_guards_full_registry():
     )
     assert not bench._regressions(
         {name: base["queries"][name] * 2.2}, "0.1", "EXTENDED_BASELINE.json", **rule
+    )
+    # the DEFAULT driver path guards the non-headline tier with the
+    # standard 2x-with-floor rule against the same manifest (r13):
+    # a 2.5x drift on a >= 1 s pin must flag there
+    assert base["queries"][name] >= 1.0
+    assert bench._regressions(
+        {name: base["queries"][name] * 2.5}, "0.1", "EXTENDED_BASELINE.json"
     )
 
 
