@@ -153,15 +153,38 @@ def fingerprint_sql(expr: str) -> str:
 def word_shingles(words_col: Column, n: int) -> Column:
     """Word n-gram shingles from a words array (dedup'd downstream).
 
-    Documents shorter than n words yield an EMPTY array: Spark's
-    ``sequence(1, 0)`` is the descending [1, 0] (it would index out of
-    bounds), so the guard is explicit — matching the DuckDB rendering,
-    whose ``range(1, 1)`` is empty."""
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(words_col) - F.lit(n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words_col, (i + j).cast("int")) for j in range(n)]
-        ),
+    Documents shorter than n words yield an EMPTY array (matching the
+    DuckDB rendering, whose ``range(1, 1)`` is empty).
+
+    Built by CHAINED ``zip_with`` against shifted slices, NOT by a
+    ``transform`` whose lambda does per-element ``element_at`` (the
+    r13 agg-state/payload skew audit): Catalyst does not eliminate a
+    common subexpression INSIDE a lambda, so when ``words_col`` is a
+    raw ``split(text)`` expression — which several call sites pass —
+    the old form re-tokenized the whole document for every shingle
+    element, O(words^2 * n) per document. One 100k-word document made
+    ``repeated_ngram_spans`` run for over nine minutes in one task.
+    Here ``words_col`` appears only as a top-level array argument
+    (evaluated once per row per chain step, n-1 steps), so the cost is
+    O(words * n) regardless of what expression the caller passes.
+
+    Value-identical to the old form: ``zip_with`` pads the shorter
+    (shifted) side with nulls, ``concat_ws`` skips nulls exactly as
+    the old n-ary ``concat_ws`` did, and the partial tail entries are
+    sliced off before the guard."""
+    out = words_col
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(
+                words_col,
+                j + 1,
+                F.greatest(F.size(words_col) - j, F.lit(0)),
+            ),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    shingles = F.slice(
+        out, 1, F.greatest(F.size(words_col) - F.lit(n - 1), F.lit(0))
     )
     return F.when(F.size(words_col) >= n, shingles).otherwise(
         F.array().cast("array<string>")

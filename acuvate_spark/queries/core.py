@@ -647,7 +647,19 @@ FROM lineitem GROUP BY l_orderkey
 def collect_list_per_group(spark, sf_dir):
     """collect_list per key (reference polyline point collection
     app.py:3069-3078), sorted for determinism and emitted as CSV string
-    so the value-hash is representation-stable across engines."""
+    so the value-hash is representation-stable across engines.
+
+    Per-group state bound (r13 agg-state skew audit): the whole group
+    sits in one hash-agg buffer — which, unlike a sort, does not
+    spill — and in the output ROW itself, so cost and memory are
+    output-proportional by SEMANTICS (the graph_two_hop class). Order
+    keys are data-model-bounded (7 lines/order); a corpus with a
+    degenerate key (tools/agg_state_skew_check.py plants one key
+    owning 30% of lineitem: 1.06x wall at the 5x dir, the map-side
+    partials parallelize) scales linearly until the single merged
+    buffer approaches executor memory — at which point the mitigation
+    is the inverted_index pattern (row_number window head + counts,
+    sorts spill) or an upstream cap, not a bigger heap."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("linenumbers_csv")

@@ -1596,17 +1596,28 @@ def line_dedup_docs(spark, sf_dir):
     the verdicts back) trades the first text shuffle for an extra
     join — worth it when lines are long; at 10 words they are not.
     The output ships md5 + counts per doc, never reassembled text.
+
+    Tokenize ONCE, then slice (r13 agg-state skew audit): the word
+    array must be projected to a COLUMN before the per-line
+    ``transform`` lambda slices it — Catalyst does not eliminate a
+    common subexpression INSIDE a lambda, so slicing the raw
+    ``split(text)`` expression re-tokenized the whole document per
+    line, O(words^2/line): a 100k-word document measured 146 s (and
+    250k words ~15 min) in one task vs 1.7 s tokenized-once. Same
+    pattern as ``chunk_documents``.
     """
     docs = _docs_plus_clones(spark, sf_dir)
-    w = textual.words(F.trim(F.col("text")))
+    w = F.col("w")
     segs = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(float(_LINE_WORDS))).cast("long") - 1),
         lambda i: F.concat_ws(
             " ", F.slice(w, (i * _LINE_WORDS + 1).cast("int"), _LINE_WORDS)
         ),
     )
-    lines = docs.select("doc_id", F.posexplode(segs).alias("idx", "line")).withColumn(
-        "h", F.md5("line")
+    lines = (
+        docs.select("doc_id", textual.words(F.trim(F.col("text"))).alias("w"))
+        .select("doc_id", F.posexplode(segs).alias("idx", "line"))
+        .withColumn("h", F.md5("line"))
     )
     first = Window.partitionBy("h").orderBy("doc_id", "idx")
     flagged = lines.withColumn("keep", F.row_number().over(first) == 1)
