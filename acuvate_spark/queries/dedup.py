@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 from ..functions import textual, vectors
 from ..operators import assign
 from ..operators import dedup as dedup_ops
-from ..tables import load_table, repartition_for_compute
+from ..tables import load_embeddings, load_table, repartition_for_compute
 from .registry import register
 
 # --- shared planted-clone inputs -------------------------------------------
@@ -451,6 +451,7 @@ def dedup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _EMB_SQL = """
+embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
 emb AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -847,7 +848,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     scale stays on the floor 8x8 config the oracle renders.
     Embeddings re-join the candidate pairs by id, so full vectors
     cross the wire only for verified candidates."""
-    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw = load_embeddings(spark, sf_dir)
     e = repartition_for_compute(raw)
     clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)
@@ -1383,7 +1384,7 @@ def semdedup_clusters(spark, sf_dir):
     feeds both sides of the pairwise join plus the final flag join, so
     it persists for the run and the result materializes before
     release."""
-    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw = load_embeddings(spark, sf_dir)
     e = repartition_for_compute(raw)
     clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)

@@ -12,7 +12,7 @@ from pyspark.sql.window import Window
 
 from ..functions import vectors
 from ..operators import assign
-from ..tables import load_table, repartition_for_compute
+from ..tables import load_embeddings, load_table, repartition_for_compute
 from .registry import register
 
 _TOP_K = 5
@@ -36,7 +36,8 @@ _COS_SQL = vectors.cosine_rounded_sql("q.embedding", "n.embedding", 4)
 @register(
     "ann_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding FROM embeddings
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+q AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}),
 pairs AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
@@ -60,7 +61,7 @@ def ann_cosine_topk(spark, sf_dir):
     (tiny) query set is broadcast — a map-side-only pass plus a
     per-query top-k window on k*|queries| rows."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
     q = e.where(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC)
@@ -89,7 +90,8 @@ _PLANES = [[round(_rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(4)
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-WITH b AS (
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+b AS (
   SELECT vec_id, embedding,
          {vectors.hyperplane_bucket_sql('embedding', _PLANES)} AS bucket
   FROM embeddings
@@ -119,7 +121,7 @@ def ann_lsh_bucketed(spark, sf_dir):
     summation-order difference can't flip a bucket bit between
     engines."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
     b = e.withColumn("bucket", vectors.hyperplane_bucket(F.col("embedding"), _PLANES))
     q = b.where(
@@ -152,7 +154,8 @@ _IVF_NPROBE = 2  # cells searched per query
 @register(
     "ann_ivf_flat",
     oracle=f"""
-WITH seeds AS (
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+seeds AS (
   SELECT vec_id AS centroid_id, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
 ),
@@ -208,7 +211,7 @@ def ann_ivf_flat(spark, sf_dir):
     assign pass (mean-agg per cell) without changing the probe-side
     plan."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
     seeds = (
         e.orderBy("vec_id")
@@ -248,7 +251,8 @@ _LLOYD_SCALE = 1_000_000  # fixed-point component scale (10^6)
 @register(
     "ann_ivf_lloyd",
     oracle=f"""
-WITH seeds AS (
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+seeds AS (
   SELECT vec_id AS centroid_id, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
 ),
@@ -331,7 +335,7 @@ def ann_ivf_lloyd(spark, sf_dir):
     corpus embedding column itself never shuffles; more Lloyd rounds
     repeat the identical plan with bounded lineage."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
     seeds = (
         e.orderBy("vec_id")
@@ -401,7 +405,8 @@ _QUANT_LEVELS = 254  # quantized values land in [0, 254] (255 levels)
 @register(
     "embedding_quantize",
     oracle=f"""
-WITH comp AS (
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+comp AS (
   SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
   FROM embeddings, range(1, 65) t(i)
 ),
@@ -442,7 +447,7 @@ def embedding_quantize(spark, sf_dir):
     hash is integer-stable. The q_sum checksum pins every code, not
     just the 8-value head the result displays."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
     comp = e.select(F.posexplode("embedding").alias("pos0", "x0")).select(
         (F.col("pos0") + 1).alias("pos"), F.col("x0").cast("double").alias("x")
@@ -505,7 +510,10 @@ def _kcenter_oracle() -> str:
     selected center, ties to the smallest vec_id."""
     # center embeddings join in as plain columns (cc.ce) — DuckDB
     # rejects scalar subqueries inside list-comprehension lambdas
-    parts = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    parts = [
+        "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL)",
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+    ]
     parts.append(
         "d1 AS (SELECT e.vec_id, "
         + _kcenter_dist_sql("e.embedding", "s.ce")
@@ -567,7 +575,7 @@ def coreset_kcenter(spark, sf_dir):
     reductions. The k result rows assemble on the driver by
     construction (each is the collected argmax)."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_embeddings(spark, sf_dir)
     )
 
     def dist_to(center_vals):
@@ -626,7 +634,8 @@ _KNN_BATCH_MAX_VEC = 2000
 @register(
     "knn_label_vote",
     oracle=f"""
-WITH q AS (
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+q AS (
   SELECT vec_id, embedding, label FROM embeddings
   WHERE vec_id % 20 = 1 AND vec_id < {_KNN_BATCH_MAX_VEC}
 ),
@@ -682,7 +691,7 @@ def knn_label_vote(spark, sf_dir):
     the exact scan swaps for the LSH-bucketed candidate join
     (ann_lsh_bucketed) without touching the vote logic."""
     e = repartition_for_compute(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+        load_embeddings(spark, sf_dir, "label")
     )
     q = e.where(
         (F.col("vec_id") % 20 == 1) & (F.col("vec_id") < _KNN_BATCH_MAX_VEC)

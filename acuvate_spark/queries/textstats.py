@@ -174,7 +174,7 @@ def curation_pipeline(spark, sf_dir):
 WITH ranked AS (
   SELECT source, doc_id,
          row_number() OVER (PARTITION BY source
-                            ORDER BY md5('smpl|' || text), doc_id) AS sample_rank
+                            ORDER BY md5('smpl|' || coalesce(text, '')), doc_id) AS sample_rank
   FROM documents
 )
 SELECT source, doc_id, sample_rank FROM ranked WHERE sample_rank <= 50
@@ -188,12 +188,20 @@ def stratified_sample(spark, sf_dir):
     state). One shuffle on the stratum key. For proportional sampling
     at 100 TB the shuffle disappears entirely: filter on a hash-prefix
     threshold (md5 < rate) is map-only and needs no window; the
-    rank-based form here is for exact-k quotas."""
+    rank-based form here is for exact-k quotas.
+
+    The sort key coalesces NULL text to '' (r13 null-corpus audit):
+    ``md5('smpl|' || text)`` is NULL for NULL text, and the engines
+    disagree on NULL sort position (Spark NULLS FIRST asc, DuckDB
+    NULLS LAST) — the coalesce gives null-text rows a defined,
+    engine-agnostic place in the sample order instead of silently
+    different samples."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit("smpl|"), F.col("text"))), "doc_id"
+        F.md5(F.concat(F.lit("smpl|"), F.coalesce(F.col("text"), F.lit("")))),
+        "doc_id",
     )
     return (
         d.withColumn("sample_rank", F.row_number().over(w).cast("long"))

@@ -61,6 +61,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     return SimpleNamespace(**{name: load_table(spark, sf_dir, name) for name in TABLES})
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
+    """Embedding-corpus entry point for the ANN/dedup/quantize family:
+    rows whose ``embedding`` is NULL carry no vector to index, search,
+    cluster or quantize and are EXCLUDED up front. The r13 null-corpus
+    audit found them crashing the blas/coreset Python kernels
+    (``None`` is not a float array) and silently skewing k-means seeds
+    and quantization stats relative to the oracles — every family
+    oracle carries the matching ``WHERE embedding IS NOT NULL`` (as a
+    CTE shadowing the raw view). A null-free corpus is byte-identical
+    with or without the filter, and the parquet scan serves it as an
+    IsNotNull pushed filter."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", *extra_cols)
+        .where(F.col("embedding").isNotNull())
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view so ad-hoc ``spark.sql``
     (the CLI ``sql`` subcommand) can query them by name — the same
