@@ -1189,17 +1189,32 @@ def contamination_substring(spark, sf_dir):
             F.expr("substring(text, 50, 200)").alias("text"),
         )
     )
+    # char-gram extraction SPLITS THE TEXT TO A CHAR ARRAY ONCE and
+    # slices it positionally (r13 lambda-quadratic sweep): the old
+    # per-element ``substring(text, i, N)`` re-scans the UTF8String
+    # from byte 0 to locate char i, O(len^2) per document — measured
+    # 1.6/3.8/15.8 s for ONE 20k/40k/80k-char string; a book-length
+    # doc would take ~an hour in one task. ``slice`` on the projected
+    # array is positional, O(N) per gram; values identical, unicode
+    # included (codepoint units both ways — the emoji/CJK corpus in
+    # tests/test_unicode_parity.py pins this query on exactly that).
     grams = F.expr(
-        f"array_distinct(transform(sequence(1, length(text) - {_SUB_N - 1}), "
-        f"i -> substring(text, i, {_SUB_N})))"
+        f"array_distinct(transform(sequence(1, size(ch) - {_SUB_N - 1}), "
+        f"i -> array_join(slice(ch, i, {_SUB_N}), '')))"
     )
+
+    def _char_grams(frame):
+        return frame.where(F.length("text") >= _SUB_N).select(
+            "doc_id", F.split(F.col("text"), "").alias("ch")
+        )
+
     bg = (
-        bench.where(F.length("text") >= _SUB_N)
+        _char_grams(bench)
         .select(F.explode(grams).alias("gram"))
         .distinct()  # cross-doc distinct still needed for the broadcast set
     )
     cg = (
-        repartition_for_compute(corpus.where(F.length("text") >= _SUB_N))
+        repartition_for_compute(_char_grams(corpus))
         .select("doc_id", F.explode(grams).alias("gram"))
         .persist()
     )

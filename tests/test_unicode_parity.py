@@ -51,6 +51,8 @@ TEXT_QUERIES = [
     "ngram_lm_counts", "bpe_pair_counts", "rarity_score", "length_quartiles",
     "repetition_metrics", "unigram_logprob_score", "corpus_report_by_source",
     "hashed_text_classifier", "mlm_span_mask", "dedup_span_removal",
+    "contamination_check", "contamination_substring", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
 ]
 
 
