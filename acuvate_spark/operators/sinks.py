@@ -93,6 +93,29 @@ def _holder_dead(holder: str) -> bool:
     return False
 
 
+def _holder_alive(holder: str) -> bool:
+    """Positive counterpart of :func:`_holder_dead`: the holder is a
+    same-host, parseable pid that EXISTS right now. Used by the TTL
+    branch (ADVICE r13): a holder past the TTL that is verifiably
+    still running (a daily sync longer than 900 s) must NOT be stolen
+    — stealing would re-open the concurrent double-run the lease
+    exists to prevent. Unverifiable holders (other host, old format)
+    return False here AND in ``_holder_dead``, keeping the plain TTL
+    steal as their only recovery. Residual: a recycled pid can make a
+    crashed holder look alive past the TTL — the error message names
+    the lease file for operator removal, the documented escape."""
+    fields = dict(f.split("=", 1) for f in holder.split() if "=" in f)
+    if fields.get("host") != _HOSTNAME or not fields.get("pid", "").isdigit():
+        return False
+    try:
+        os.kill(int(fields["pid"]), 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        pass  # EPERM etc.: the pid exists
+    return True
+
+
 def _steal_lease(lease: str, observed: os.stat_result) -> bool:
     """Steal a lease OBSERVED stale, racing other stealers safely
     (ADVICE r12 TOCTOU): a blind ``os.remove`` can delete a FRESH
@@ -113,8 +136,28 @@ def _steal_lease(lease: str, observed: os.stat_result) -> bool:
     if (current.st_ino, current.st_mtime) == (observed.st_ino, observed.st_mtime):
         os.remove(steal)
         return True
-    with contextlib.suppress(OSError):
+    try:
         os.link(steal, lease)  # restore the live lease we displaced
+    except OSError:
+        # EEXIST: a third writer created a FRESH lease while the
+        # displaced one was out of place — the restore cannot win.
+        # Leave the displaced LIVE lease at the steal path (ADVICE
+        # r13: deleting it here silently destroyed a competitor's
+        # acquisition record, and its token-verified release would
+        # then be a no-op while an operator saw no trace). Two
+        # writers now believe they hold the register — unavoidable
+        # once the displacement happened — so say so loudly.
+        import warnings
+
+        warnings.warn(
+            f"{lease}: displaced a live lease and could not restore it "
+            f"(a third writer re-acquired); the displaced holder's "
+            f"record is preserved at {steal} — two writers may be "
+            "active on this register, serialize them manually",
+            UserWarning,
+            stacklevel=2,
+        )
+        return False
     with contextlib.suppress(OSError):
         os.remove(steal)
     return False
@@ -123,12 +166,22 @@ def _steal_lease(lease: str, observed: os.stat_result) -> bool:
 @contextlib.contextmanager
 def register_lease(main_path: str, purpose: str):
     """Best-effort single-writer lease on a register: an atomic
-    ``<root>.__lease__`` create (O_EXCL). A live lease (younger than
-    :data:`LEASE_TTL_S`, holder pid not provably dead) raises
-    :class:`ConcurrentWriterError` naming the holder; a stale or
-    dead-holder lease is stolen via rename-and-verify (never a blind
-    remove — see :func:`_steal_lease`). Re-entrant within the process,
-    so a promote's auto-compaction runs under the promote's lease."""
+    ``<root>.__lease__`` create (O_EXCL). A live lease raises
+    :class:`ConcurrentWriterError` naming the holder; only a
+    dead-holder lease (same-host pid provably gone) or a stale lease
+    whose holder is NOT verifiably alive is stolen, via
+    rename-and-verify (never a blind remove — see
+    :func:`_steal_lease`). A holder past :data:`LEASE_TTL_S` whose
+    same-host pid still exists keeps BLOCKING (ADVICE r13: a daily
+    sync longer than the TTL must not have its lease stolen by the
+    next tick — that re-opens the double-run). Exhausting the bounded
+    acquisition attempts RAISES rather than proceeding unprotected
+    (ADVICE r13: the fall-through acquired nothing yet wrote to
+    ``_HELD_LEASES`` and later removed a competitor's live lease).
+    Release is token-verified: the lease file is removed only if it
+    is still OURS, so an overrun holder whose lease was stolen never
+    deletes the thief's. Re-entrant within the process, so a
+    promote's auto-compaction runs under the promote's lease."""
     root = main_path.rstrip("/")
     lease = root + ".__lease__"
     if lease in _HELD_LEASES:
@@ -137,11 +190,15 @@ def register_lease(main_path: str, purpose: str):
     parent = os.path.dirname(root)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    token = (
+        f"pid={os.getpid()} host={_HOSTNAME} purpose={purpose} "
+        f"nonce={os.urandom(8).hex()}"
+    )
     for _ in range(3):  # steal/retry is bounded: never spin forever
         try:
             fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as fh:
-                fh.write(f"pid={os.getpid()} host={_HOSTNAME} purpose={purpose}")
+                fh.write(token)
             break
         except FileExistsError:
             try:
@@ -150,21 +207,32 @@ def register_lease(main_path: str, purpose: str):
             except OSError:
                 continue  # holder released between the create and the stat
             age = time.time() - observed.st_mtime
-            if age < LEASE_TTL_S and not _holder_dead(holder):
+            if _holder_dead(holder):
+                _steal_lease(lease, observed)  # on failure, retry re-examines
+                continue
+            if age < LEASE_TTL_S or _holder_alive(holder):
                 raise ConcurrentWriterError(
                     f"{root}: another writer holds the register lease "
                     f"({holder}, {age:.0f}s old); registers are "
                     "single-writer — serialize promotes/compactions, or "
                     f"remove {lease} if the holder is known dead"
                 ) from None
-            _steal_lease(lease, observed)  # on failure, retry re-examines
+            _steal_lease(lease, observed)  # stale + unverifiable: TTL rules
+    else:
+        raise ConcurrentWriterError(
+            f"{root}: could not acquire register lease for {purpose!r} "
+            "after bounded retries (lease churn — competing writers are "
+            "acquiring/releasing faster than this one can claim); "
+            "registers are single-writer, serialize the callers"
+        )
     _HELD_LEASES.add(lease)
     try:
         yield
     finally:
         _HELD_LEASES.discard(lease)
         with contextlib.suppress(OSError):
-            os.remove(lease)
+            if open(lease).read() == token:  # still ours — see docstring
+                os.remove(lease)
 
 
 def append_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
@@ -300,15 +368,23 @@ def _raise_if_mid_swap(base_path: str) -> None:
     drop the base rows from the merged view. Raise instead (r13
     reader-vs-maintenance audit); without a backup the shape is the
     legitimate bootstrap / marker-less-writer case the callers already
-    handle."""
-    backup = base_path.rstrip("/") + ".__pre_compact__"
-    if os.path.isdir(backup):
-        raise CompactionInProgressError(
-            f"{base_path}: base is uncommitted while a compaction backup "
-            f"({backup}) exists — a staged swap is in flight or crashed. "
-            "Retry momentarily; if this persists, re-run the compaction "
-            "(its entry recovery restores the backup) before reading"
-        )
+    handle. Both backup spellings are checked (ADVICE r13):
+    :func:`compact_promotes` creates the undotted ``<base>.__pre_compact__``
+    sibling, while :func:`acuvate_spark.operators.storage.compact_path`
+    creates the DOT-PREFIXED ``.<leaf>.__pre_compact__`` (hidden from
+    Spark's listing) — a compact_path swap on a flat register base
+    must not escape detection and serve "no base, deltas only"."""
+    root = base_path.rstrip("/")
+    head, leaf = os.path.split(root)
+    for backup in (root + ".__pre_compact__",
+                   os.path.join(head, "." + leaf + ".__pre_compact__")):
+        if os.path.isdir(backup):
+            raise CompactionInProgressError(
+                f"{base_path}: base is uncommitted while a compaction backup "
+                f"({backup}) exists — a staged swap is in flight or crashed. "
+                "Retry momentarily; if this persists, re-run the compaction "
+                "(its entry recovery restores the backup) before reading"
+            )
 
 
 def _warn_unmarked_base(path: str) -> None:

@@ -94,6 +94,15 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't paying JIT cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    # Python-worker warm-up (VERDICT r13 item 3): the session's FIRST
+    # Arrow/mapInPandas stage pays Python-worker fork + Arrow init —
+    # the judge measured 6.51 s cold vs 0.84 s warm on ocr_page_words —
+    # so a kernel query that merely runs first in a min-of-2 tier can
+    # masquerade as an 8x regression. One throwaway mapInPandas job
+    # (all 32 slots) retires that cost before anything is timed.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     if extended:
         rows = []
         for name in REGISTRY:
@@ -120,15 +129,18 @@ def main() -> None:
         )
         for line in regressions:
             print(f"  REGRESSION: {line}", file=sys.stderr)
+        # small keys LAST (VERDICT r13 item 1): a tail-truncated capture
+        # of this (huge) line must still show the headline numbers
         print(
             json.dumps(
                 {
                     "metric": "all_queries_single_pass_wall_clock",
-                    "value": round(sum(t for t, _ in rows), 3),
                     "unit": "sec",
-                    "queries": timings,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "queries": timings,
+                    "loadavg": [round(x, 2) for x in os.getloadavg()],
                     "regressions": regressions,
+                    "value": round(sum(t for t, _ in rows), 3),
                 }
             )
         )
@@ -162,7 +174,8 @@ def main() -> None:
     # but no enforcement in the driver's default run)
     rest = [n for n in REGISTRY if n not in set(HEADLINE)]
     full: dict[str, float] = {}
-    if rest and os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") != "1":
+    full_ran = bool(rest) and os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") != "1"
+    if full_ran:
         for attempt in range(2):
             for name in rest:
                 t0 = time.perf_counter()
@@ -181,17 +194,29 @@ def main() -> None:
         regressions += _regressions(full, sf, "EXTENDED_BASELINE.json")
     for line in regressions:
         print(f"  REGRESSION: {line}", file=sys.stderr)
+    # key ORDER is load-bearing (VERDICT r13 item 1): the r13 record of
+    # note was lost because the driver's tail-truncation of this (huge)
+    # one-line JSON ate the leading keys — exactly value/regressions.
+    # The big per-query dicts now come FIRST and every small key LAST,
+    # so any tail capture is self-contained; loadavg makes a noisy-box
+    # record self-describing (VERDICT r13 item 2). full_value /
+    # full_queries are null when the tier 2 pass was skipped (ADVICE
+    # r13: a skipped pass used to be indistinguishable from a measured
+    # one whose total happened to equal the headline's).
+    print(f"  HEADLINE value={total}s regressions={len(regressions)}",
+          file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock_min_of_3",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+                "full_queries": full if full_ran else None,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "full_value": round(total + sum(full.values()), 3) if full_ran else None,
                 "regressions": regressions,
-                "full_value": round(total + sum(full.values()), 3),
-                "full_queries": full,
+                "value": total,
             }
         )
     )

@@ -292,3 +292,22 @@ def test_compact_path_recovers_hidden_scheme_crash_shapes(spark, sf_dir, tmp_pat
     n = storage.compact_path(spark, path, target_file_bytes=1 << 40)
     assert n == 1
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_mid_swap_detection_covers_dot_prefixed_compact_path_backup(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r13: compact_path's swap artifacts are DOT-PREFIXED
+    ('.<leaf>.__pre_compact__'), but _raise_if_mid_swap only checked
+    the undotted compact_promotes spelling — a compact_path swap on a
+    flat register base escaped detection and the reader silently
+    served 'no base, deltas only'. Both spellings must now raise."""
+    base = str(tmp_path / "base")
+    load_table(spark, sf_dir, "region").write.parquet(base)
+    hidden = str(tmp_path / (".base" + ".__pre_compact__"))
+    os.makedirs(hidden)
+    os.remove(os.path.join(base, "_SUCCESS"))
+    with pytest.raises(sinks.CompactionInProgressError, match="in flight or crashed"):
+        sinks.read_with_moves(spark, base)
+    with pytest.raises(sinks.CompactionInProgressError, match="in flight or crashed"):
+        sinks.read_with_promotes(spark, base, ["r_regionkey"])

@@ -1267,3 +1267,101 @@ def test_steal_lease_restores_a_displaced_fresh_lease(tmp_path):
     assert sinks._steal_lease(lease, observed) is False
     assert open(lease).read() == "pid=2 purpose=fresh-winner"
     assert not os.path.exists(f"{lease}.steal.{os.getpid()}")
+
+
+# ---------------------------------------------------------------------------
+# r14 lease hardening (ADVICE r13): exhausted acquisition RAISES (the
+# for/else regression let a writer proceed unprotected and then delete
+# a competitor's live lease on exit), release is token-verified, a
+# TTL-overrun holder that is verifiably alive keeps blocking, and a
+# displaced live lease that cannot be restored is preserved, not
+# deleted.
+# ---------------------------------------------------------------------------
+
+
+def test_exhausted_lease_acquisition_raises_not_proceeds(tmp_path, monkeypatch):
+    """All bounded attempts failing must raise ConcurrentWriterError —
+    never fall through to 'acquired'. Simulated by a stale lease whose
+    steal always loses (a churning competitor)."""
+    import pytest
+
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with open(lease, "w") as fh:
+        fh.write("pid=99999 host=elsewhere purpose=promote")
+    old = os.path.getmtime(lease) - sinks.LEASE_TTL_S - 60
+    os.utime(lease, (old, old))
+    monkeypatch.setattr(sinks, "_steal_lease", lambda *_: False)
+    with pytest.raises(sinks.ConcurrentWriterError, match="could not acquire"):
+        with sinks.register_lease(root, "churned-out"):
+            raise AssertionError("must not acquire")
+    # the loser touched nothing: the competitor's lease file survives
+    assert open(lease).read() == "pid=99999 host=elsewhere purpose=promote"
+    assert lease not in sinks._HELD_LEASES
+
+
+def test_ttl_overrun_live_holder_still_blocks(tmp_path):
+    """ADVICE r13 (schedule tick): a holder PAST the TTL whose
+    same-host pid is verifiably alive (a >900 s daily sync) must keep
+    blocking — stealing it re-opens the concurrent double-run."""
+    import pytest
+
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with open(lease, "w") as fh:
+        fh.write(f"pid={os.getpid()} host={sinks._HOSTNAME} purpose=long-sync")
+    old = os.path.getmtime(lease) - sinks.LEASE_TTL_S - 3600
+    os.utime(lease, (old, old))
+    with pytest.raises(sinks.ConcurrentWriterError, match="single-writer"):
+        with sinks.register_lease(root, "second"):
+            pass
+    assert os.path.exists(lease)  # still the long holder's
+    os.remove(lease)
+
+
+def test_release_is_token_verified(tmp_path):
+    """A holder whose lease was stolen mid-hold (TTL overrun) must not
+    delete the thief's lease on exit — release only removes a file
+    that still carries OUR token."""
+    root = str(tmp_path / "reg")
+    lease = root + ".__lease__"
+    os.makedirs(root, exist_ok=True)
+    with sinks.register_lease(root, "overrunner"):
+        # a thief (TTL steal on another host) replaced our lease
+        os.remove(lease)
+        with open(lease, "w") as fh:
+            fh.write("pid=424242 host=thief purpose=stolen")
+    assert open(lease).read() == "pid=424242 host=thief purpose=stolen"
+    os.remove(lease)
+
+
+def test_steal_lease_preserves_displaced_lease_when_restore_fails(
+    tmp_path, monkeypatch
+):
+    """If the displaced-live-lease restore loses to a third writer
+    (os.link EEXIST), the displaced holder's record must survive at
+    the steal path — deleting it silently destroyed a live
+    acquisition (ADVICE r13)."""
+    import time as _time
+
+    import pytest
+
+    lease = str(tmp_path / "reg.__lease__")
+    with open(lease, "w") as fh:
+        fh.write("pid=1 purpose=stale-holder")
+    observed = os.stat(lease)
+    os.remove(lease)
+    _time.sleep(0.01)
+    with open(lease, "w") as fh:
+        fh.write("pid=2 purpose=fresh-winner")
+
+    def _link_loses(src, dst):
+        raise FileExistsError(17, "third writer already re-acquired", dst)
+
+    monkeypatch.setattr(os, "link", _link_loses)
+    with pytest.warns(UserWarning, match="could not restore"):
+        assert sinks._steal_lease(lease, observed) is False
+    steal = f"{lease}.steal.{os.getpid()}"
+    assert open(steal).read() == "pid=2 purpose=fresh-winner"
