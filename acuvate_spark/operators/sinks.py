@@ -387,6 +387,88 @@ def _raise_if_mid_swap(base_path: str) -> None:
             )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot-pointer commit (VERDICT r13 item 1) — the register's base is
+# versioned like a table format's snapshots: each compaction writes a
+# NEW generation directory under ``<root>/.snapshots/gen-NNNNNN`` and
+# commits it with ONE atomic ``os.replace`` of a small JSON manifest
+# (``<root>/.__snapshot__.json``). Readers resolve the manifest first;
+# the legacy top-level-files layout is only consulted when no manifest
+# exists, so pre-snapshot registers keep serving and migrate on their
+# first compaction. Because the commit is a single metadata op, readers
+# racing a compaction NEVER see an uncommitted base —
+# :class:`CompactionInProgressError` is reserved for true torn states
+# (legacy crash shapes, an unreadable manifest, a manifest naming a
+# missing generation). Retention mirrors snapshot expiry: the previous
+# generation, the folded delta dirs, and (after migration) the legacy
+# top-level files are garbage-collected at the START of the NEXT
+# compaction, never at commit time — an in-flight reader that resolved
+# the old manifest keeps a full compaction cycle to finish before its
+# files disappear. The ``.snapshots`` dir and the manifest are
+# dot-prefixed, so Spark's hidden-path filter keeps them out of any
+# legacy root scan, and :func:`acuvate_spark.operators.storage.compact_path`'s
+# recursive glob never descends into generations. This is the
+# two-phase validate/commit discipline of the reference's approval
+# flow (app.py:6105-6395) applied to the maintenance path.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_NAME = ".__snapshot__.json"
+
+
+def _read_snapshot(main_path: str) -> dict | None:
+    """The committed snapshot manifest, or ``None`` for a legacy
+    (pre-snapshot) register. A manifest that exists but cannot be
+    parsed is a TRUE torn state — the commit protocol (write temp,
+    ``os.replace``) cannot produce one — so it raises loudly instead
+    of silently falling back to the legacy layout (whose top-level
+    files are gone after migration: the fallback would serve "no
+    base, deltas only", the silent row loss this module exists to
+    prevent)."""
+    path = os.path.join(main_path, _SNAPSHOT_NAME)
+    try:
+        raw = open(path).read()
+    except OSError:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        raise CompactionInProgressError(
+            f"{main_path}: snapshot manifest {path} exists but is not "
+            "parseable JSON — a torn state the atomic-replace commit "
+            "cannot produce; restore the manifest from the newest "
+            "committed generation under .snapshots/ before reading"
+        ) from None
+
+
+def _resolve_base(spark, main_path: str):
+    """Resolve the register's base: ``(DataFrame | None, folded)``.
+
+    Manifest present: the committed generation it names is the base
+    (authoritative — legacy top-level files are post-migration garbage
+    awaiting GC), and ``folded`` is the set of promote-delta dir names
+    the generation already contains (readers must exclude them; they
+    are retained until the next compaction's GC). Manifest absent:
+    the legacy layout — committed top-level files, with mid-swap
+    detection for legacy staged-swap crash shapes."""
+    import glob as _glob
+
+    man = _read_snapshot(main_path)
+    if man is not None:
+        gen = os.path.join(main_path, ".snapshots", man["gen"])
+        if not _has_success(gen):
+            raise CompactionInProgressError(
+                f"{main_path}: snapshot manifest names generation "
+                f"{man['gen']!r} but {gen} is missing or uncommitted — "
+                "a torn state (generation deleted out-of-band?); "
+                "re-run compact_promotes only after restoring it"
+            )
+        return spark.read.parquet(gen), set(man.get("folded", []))
+    if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
+        return spark.read.parquet(main_path), set()
+    _raise_if_mid_swap(main_path)
+    return None, set()
+
+
 def _warn_unmarked_base(path: str) -> None:
     """A base dir holding part files WITHOUT ``_SUCCESS`` is treated
     as uncommitted (crash-invisibility), but the identical shape is
@@ -462,18 +544,13 @@ def read_with_moves(
 
     Base files obey the same crash-invisibility contract as deltas and
     tombstones: they are served only when ``base_path`` carries its
-    ``_SUCCESS`` marker, so a base writer killed mid job-commit (part
-    files promoted, no marker) is invisible rather than served as
-    complete."""
-    import glob as _glob
-
+    ``_SUCCESS`` marker (legacy layout) or is named by a committed
+    snapshot manifest (see :func:`_resolve_base`), so a base writer
+    killed mid job-commit (part files promoted, no marker) is
+    invisible rather than served as complete."""
     if (tomb_path is None) != (key_cols is None):
         raise ValueError("tomb_path and key_cols must be passed together")
-    df = None
-    if _has_success(base_path) and _glob.glob(os.path.join(base_path, "*.parquet")):
-        df = spark.read.parquet(base_path)
-    else:
-        _raise_if_mid_swap(base_path)
+    df, _ = _resolve_base(spark, base_path)
     if moves_for is not None:
         files = _committed_files(os.path.join(moves_for, "moves"))
         if files:
@@ -651,14 +728,20 @@ COMPACT_CADENCE = 10
 
 
 def _promote_chain_len(main_path: str) -> int:
-    """Number of COMMITTED promote delta versions under ``main_path``
-    (the merge-on-read chain length the cadence is measured in)."""
+    """Number of LIVE committed promote delta versions under
+    ``main_path`` (the merge-on-read chain length the cadence is
+    measured in). Folded deltas retained for reader grace (see the
+    snapshot-pointer block) are already inside the committed
+    generation — counting them would re-trigger auto-compaction on
+    every promote after a fold."""
     import glob as _glob
 
+    man = _read_snapshot(main_path)
+    folded = set(man.get("folded", [])) if man else set()
     return sum(
         1
         for d in _glob.glob(os.path.join(main_path, "promotes", "*"))
-        if _has_success(d)
+        if _has_success(d) and os.path.basename(d) not in folded
     )
 
 
@@ -710,19 +793,21 @@ def read_with_promotes(
     surfaced the measured read tax before; ``_warn_chain=False`` is
     for the compaction pass itself, whose read exists to RETIRE the
     chain)."""
-    import glob as _glob
-
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if _warn_chain:
         _warn_long_chain(main_path, _promote_chain_len(main_path))
-    base = None
-    if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
-        base = spark.read.parquet(main_path)
-    else:
-        _raise_if_mid_swap(main_path)
-    files = _committed_files(os.path.join(main_path, "promotes"))
+    base, folded = _resolve_base(spark, main_path)
+    files = [
+        f
+        for f in _committed_files(os.path.join(main_path, "promotes"))
+        # folded deltas are RETAINED until the next compaction's GC
+        # (reader grace — snapshot expiry) but already live in the
+        # generation the manifest names: applying them again would be
+        # value-idempotent, excluding them keeps that a non-theorem
+        if os.path.basename(os.path.dirname(f)) not in folded
+    ]
     if not files:
         if base is None:
             if missing_ok:
@@ -767,7 +852,7 @@ def read_status(spark, status_path: str) -> DataFrame:
 
 
 def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
-    """Fold every committed promote delta into the base — the
+    """Fold every live committed promote delta into the base — the
     maintenance pass that bounds :func:`read_with_promotes` read
     amplification (VERDICT r09 item 7: the merge-on-read view pays a
     per-read winners window + anti-join that grows with the delta
@@ -778,46 +863,48 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
     Single-maintainer contract (same as :func:`storage.compact_path`):
     no concurrent promote while compacting — enforced best-effort by
     :func:`register_lease` (r12; a live concurrent writer raises
-    :class:`ConcurrentWriterError` instead of interleaving the staged
-    swap). Crash-safe via staged swap + recovery, ordered so every
-    crash point either restores or is idempotent:
+    :class:`ConcurrentWriterError` instead of interleaving commits).
 
-    1. materialize the merged view to a sibling ``.__compacting__``
-       dir (the write is the materialization — no base file moves
-       until the new base is fully committed on disk);
-    2. move the old top-level base files to a sibling
-       ``.__pre_compact__`` backup — ``_SUCCESS`` FIRST, so every
-       crash point past the first move leaves main UNCOMMITTED and
-       recovery takes the restore branch (moving the marker last
-       would let a crash mid-step leave a committed main with a
-       partial file set, which recovery would mistake for a finished
-       swap and delete the backup: silent row loss) — then write a
-       ``__BACKUP_COMPLETE__`` sentinel marking the backup as the
-       complete old file set;
-    3. move the new files into place (``_SUCCESS`` LAST, so a crash
-       mid-step leaves an invisible base and a restorable backup);
-    4. delete the folded delta dirs, then the backup and temp.
+    SNAPSHOT-POINTER COMMIT (VERDICT r13 item 1 — replaces the r09
+    staged swap, whose metadata window made racing readers retry on
+    :class:`CompactionInProgressError`):
 
-    A crash between 3 and 4 serves base + already-folded deltas —
-    correct by idempotence (each delta winner equals its base row; the
-    anti-join removes the base copy and the union restores it). The
-    ``__seq`` counter restarts after compaction; serving stays correct
-    because ANY delta beats the base on its keys, so new promotes win
-    regardless of the old counter's high-water mark.
+    1. GC of the PREVIOUS cycle (safe under the lease: anything
+       removed here was superseded one full compaction ago) — stale
+       generations the manifest no longer names, the delta dirs it
+       lists as folded, and post-migration legacy top-level files;
+       plus recovery of pre-snapshot staged-swap crash shapes left by
+       older runs (restore-then-migrate).
+    2. materialize the merged view to a NEW generation dir
+       ``<root>/.snapshots/gen-NNNNNN`` (dot-prefixed: hidden from
+       every Spark listing; a crash here leaves an orphan the next
+       entry's GC removes — readers never look at an uncommitted
+       generation);
+    3. THE COMMIT: one atomic ``os.replace`` of the JSON manifest
+       ``<root>/.__snapshot__.json`` naming the new generation and the
+       delta dirs it folded. Readers resolve the manifest first
+       (:func:`_resolve_base`), so every read sees either the old
+       snapshot + live deltas or the new snapshot — never a torn
+       base, and never an error on the happy path.
 
-    Recovery (run automatically on entry): a leftover backup with a
-    committed main means the swap finished (with the marker moved
-    first, main can only be committed again once step 3 completed) —
-    discard it. With an uncommitted main the swap died mid-way: if the
-    backup carries the sentinel, step 2 finished and main's top-level
-    files (if any) are PARTIALLY-MOVED NEW files — delete them before
-    restoring, or the restored base would serve old rows plus the
-    differently-named compacted files' rows (every unpromoted key
-    duplicated, and baked in by the next compaction); without the
-    sentinel the crash was mid-step-2, main still holds the complement
-    of the old set and no new file, so restoring the backup on top is
-    the exact union. A leftover temp is an incomplete rewrite —
-    discard it."""
+    NOTHING is deleted at commit time: the old generation, the folded
+    deltas, and (on the migration pass) the legacy top-level files all
+    survive until the NEXT compaction's step-1 GC, so an in-flight
+    reader that resolved the old manifest keeps a full maintenance
+    cycle to finish (the table-format snapshot-expiry discipline).
+    Readers exclude folded deltas via the manifest; re-applying them
+    would be value-idempotent anyway (each folded winner equals its
+    generation row). ``__seq`` keeps rising while folded deltas are
+    retained (:func:`_next_promote_seq` reads all committed deltas)
+    and restarts only after their GC — serving stays correct because
+    winners are chosen among LIVE deltas only and ANY delta beats the
+    base on its keys.
+
+    Crash points: before step 3 nothing observable changed (orphan
+    generation GC'd on re-entry); after step 3 the fold is durable and
+    re-entry only re-runs GC. The reference semantics matched is the
+    two-phase validate/commit of its approval flow (app.py:6105-6395,
+    O11): stage everything, commit with one pointer flip."""
     import glob as _glob
     import shutil
 
@@ -826,26 +913,25 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
         tmp, backup = root + ".__compacting__", root + ".__pre_compact__"
         sentinel = "__BACKUP_COMPLETE__"
 
-        # ---- recovery of a prior crashed compaction
+        # ---- recovery of a PRE-SNAPSHOT (r09-r13) crashed staged swap:
+        # restore the legacy layout exactly as the old code did, then
+        # fall through to migrate it onto the snapshot scheme below.
         if os.path.isdir(backup):
             if _has_success(main_path):
                 shutil.rmtree(backup)
             else:
                 if os.path.exists(os.path.join(backup, sentinel)):
-                    # crashed mid-step-3: any top-level file in main is a
-                    # partially-moved NEW file (the complete old set is in
-                    # the backup) — clear them so the restore is exact
+                    # crashed mid-move-in: any top-level file in main is
+                    # a partially-moved NEW file (the complete old set
+                    # is in the backup) — clear them so the restore is
+                    # exact
                     for f in os.listdir(main_path):
                         p = os.path.join(main_path, f)
                         if os.path.isfile(p):
                             os.remove(p)
-                # restore with _SUCCESS LAST (r13: os.listdir order is
-                # arbitrary — a marker restored before the part files
-                # would let a concurrent reader see a committed main
-                # with a partial file set, silent row loss; marker-last
-                # keeps main uncommitted until the old set is complete,
-                # so racing readers get CompactionInProgressError, then
-                # the exact old truth)
+                # restore with _SUCCESS LAST (r13: a marker restored
+                # before the part files would let a concurrent reader
+                # see a committed main with a partial file set)
                 names = [f for f in os.listdir(backup) if f != sentinel]
                 for f in sorted(names, key=lambda f: (f == "_SUCCESS", f)):
                     os.replace(os.path.join(backup, f), os.path.join(main_path, f))
@@ -853,30 +939,50 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
 
+        # ---- step 1: GC of the previous cycle (and of crash orphans)
         promotes_root = os.path.join(main_path, "promotes")
+        snaps = os.path.join(main_path, ".snapshots")
+        man = _read_snapshot(main_path)
+        if man is None:
+            if os.path.isdir(snaps):
+                # generation written but never committed — an orphan
+                shutil.rmtree(snaps)
+        else:
+            for d in _glob.glob(os.path.join(snaps, "*")):
+                if os.path.basename(d) != man["gen"]:
+                    shutil.rmtree(d)
+            for name in man.get("folded", []):
+                folded_dir = os.path.join(promotes_root, name)
+                if os.path.isdir(folded_dir):
+                    shutil.rmtree(folded_dir)
+            for f in os.listdir(main_path):  # post-migration legacy files
+                p = os.path.join(main_path, f)
+                if os.path.isfile(p) and f != _SNAPSHOT_NAME:
+                    os.remove(p)
+
         folded = sorted(
             d for d in _glob.glob(os.path.join(promotes_root, "*")) if _has_success(d)
         )
         if not folded:
             return 0
-        view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
-        view.write.mode("overwrite").parquet(tmp)
 
-        os.makedirs(backup)
-        olds = [
-            f for f in os.listdir(main_path) if os.path.isfile(os.path.join(main_path, f))
-        ]
-        for f in sorted(olds, key=lambda f: (f != "_SUCCESS", f)):  # marker first
-            os.replace(os.path.join(main_path, f), os.path.join(backup, f))
-        with open(os.path.join(backup, sentinel), "w"):
-            pass
-        new_files = sorted(os.listdir(tmp))
-        for f in [f for f in new_files if f != "_SUCCESS"] + ["_SUCCESS"]:
-            os.replace(os.path.join(tmp, f), os.path.join(main_path, f))
-        for d in folded:
-            shutil.rmtree(d)
-        shutil.rmtree(backup)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # ---- step 2: materialize the new generation
+        view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
+        gen_no = int(man["gen"].rsplit("-", 1)[1]) + 1 if man else 1
+        gen_name = f"gen-{gen_no:06d}"
+        view.write.mode("overwrite").parquet(os.path.join(snaps, gen_name))
+
+        # ---- step 3: the atomic commit
+        manifest = os.path.join(main_path, _SNAPSHOT_NAME)
+        staged = f"{manifest}.tmp.{os.getpid()}"
+        with open(staged, "w") as fh:
+            json.dump(
+                {"gen": gen_name, "folded": [os.path.basename(d) for d in folded]},
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(staged, manifest)
         return len(folded)
 
 

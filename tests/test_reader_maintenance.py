@@ -42,12 +42,16 @@ def _view_rows(spark, main):
     )
 
 
-def test_reader_at_every_promote_swap_point_sees_truth_or_errors(spark, sf_dir, tmp_path):
-    """Interleave a read_with_promotes reader before AND after every
-    os.replace of the compaction swap: each read must return exactly
-    the (compaction-invariant) served truth or raise
-    CompactionInProgressError — never winners-only, never a partial
-    base. Both outcomes must actually occur across the sweep."""
+def test_reader_at_every_compaction_commit_point_sees_truth_never_errors(
+    spark, sf_dir, tmp_path
+):
+    """Snapshot-pointer commit (VERDICT r13 item 1): interleave a
+    read_with_promotes reader before AND after every os.replace and
+    every GC rmtree across TWO compaction cycles. Every probe must
+    return exactly the served truth — CompactionInProgressError is no
+    longer part of the happy path (it used to fire for the whole
+    staged-swap metadata window; it is now reserved for true torn
+    states, pinned by the tests below)."""
     sup, paths = _promote_setup(spark, sf_dir, tmp_path)
     sinks.promote_records(
         spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
@@ -58,87 +62,87 @@ def test_reader_at_every_promote_swap_point_sees_truth_or_errors(spark, sf_dir, 
     truth = _view_rows(spark, main)
     assert truth == sorted(_promote_expected(sup.collect())[0].items())
 
-    outcomes = []
+    probes = {"n": 0}
 
     def probe():
-        try:
-            outcomes.append(("rows", _view_rows(spark, main)))
-        except sinks.CompactionInProgressError:
-            outcomes.append(("mid-swap", None))
+        probes["n"] += 1
+        # must NEVER raise — a failing probe fails the test loudly
+        assert _view_rows(spark, main) == truth
 
-    real_replace = os.replace
+    real_replace, real_rmtree = os.replace, shutil.rmtree
 
-    def observing(src, dst):
+    def observing_replace(src, dst):
         probe()
         out = real_replace(src, dst)
         probe()
         return out
 
-    os.replace = observing
+    def observing_rmtree(path, *a, **kw):
+        probe()
+        out = real_rmtree(path, *a, **kw)
+        probe()
+        return out
+
+    os.replace, shutil.rmtree = observing_replace, observing_rmtree
+    try:
+        # cycle 1: migration fold (legacy base -> gen-000001)
+        assert sinks.compact_promotes(spark, main, ["s_suppkey"]) == 1
+    finally:
+        os.replace, shutil.rmtree = real_replace, real_rmtree
+    assert probes["n"] >= 2, "the commit made no observable metadata ops?"
+    assert _view_rows(spark, main) == truth
+
+    # cycle 2: promote again, then compact — this pass GCs the old
+    # generation, the folded delta, and the legacy top-level files
+    # while readers keep probing
+    sup.where(F.col("s_suppkey") % 4 == 0).select(
+        "s_suppkey", F.lit(77).alias("submission_id"),
+        (F.col("s_acctbal") + 50.0).alias("s_acctbal"),
+        F.lit("Edit").alias("action"), F.lit(True).alias("approved"),
+    ).withColumn(
+        "__seq", F.lit(sinks._next_promote_seq(spark, main))
+    ).write.parquet(os.path.join(main, "promotes", "pr-1"))
+    truth = _view_rows(spark, main)
+    probes["n"] = 0
+    os.replace, shutil.rmtree = observing_replace, observing_rmtree
     try:
         assert sinks.compact_promotes(spark, main, ["s_suppkey"]) == 1
     finally:
-        os.replace = real_replace
-
-    assert outcomes, "the swap made no file moves?"
-    for kind, rows in outcomes:
-        if kind == "rows":
-            assert rows == truth  # pre- and post-truth coincide for the VIEW
-    kinds = {k for k, _ in outcomes}
-    assert kinds == {"rows", "mid-swap"}  # sweep hit both regimes
+        os.replace, shutil.rmtree = real_replace, real_rmtree
+    assert probes["n"] >= 4  # GC rmtrees + the manifest commit
     assert _view_rows(spark, main) == truth
 
 
-def _crash_mid_step3(spark, sf_dir, tmp_path):
-    """A register whose compaction died at the LAST move (the new
-    ``_SUCCESS``): full new file set in main, uncommitted, backup
-    carries the sentinel + the complete old set."""
+def _legacy_crash_mid_step3(spark, sf_dir, tmp_path):
+    """A register whose PRE-SNAPSHOT (r09-r13 staged-swap) compaction
+    died at the last move: the complete old file set sits in the
+    ``.__pre_compact__`` backup under the ``__BACKUP_COMPLETE__``
+    sentinel, main is uncommitted and holds partially-moved NEW files.
+    The snapshot-era compaction no longer produces this shape, so it
+    is constructed exactly as the old swap's step-2 left it — entry
+    recovery must still heal registers a pre-r14 run crashed."""
     sup, paths = _promote_setup(spark, sf_dir, tmp_path)
     sinks.promote_records(
         spark, predicate=F.col("approved"), key_cols=["s_suppkey"],
         staging_key_cols=["s_suppkey", "submission_id"],
         action_col="action", promote_id="pr-0", **paths,
     )
-    main = paths["main_path"]
-    truth = _view_rows(spark, main)
-    main2 = str(tmp_path / "main_crash")
-    shutil.copytree(main, main2)  # pristine twin, crashed below
-
-    real_replace = os.replace
-    moves = []
-
-    def counting(src, dst):
-        moves.append((src, dst))
-        return real_replace(src, dst)
-
-    os.replace = counting
-    try:
-        sinks.compact_promotes(spark, main, ["s_suppkey"])
-    finally:
-        os.replace = real_replace
-    total = len(moves)
-
-    class Boom(RuntimeError):
-        pass
-
-    calls = {"n": 0}
-
-    def exploding(src, dst):
-        calls["n"] += 1
-        if calls["n"] == total:  # the final move is the new _SUCCESS
-            assert os.path.basename(dst) == "_SUCCESS"
-            raise Boom()
-        return real_replace(src, dst)
-
-    os.replace = exploding
-    try:
-        with pytest.raises(Boom):
-            sinks.compact_promotes(spark, main2, ["s_suppkey"])
-    finally:
-        os.replace = real_replace
+    main2 = paths["main_path"]
+    truth = _view_rows(spark, main2)
     backup = main2.rstrip("/") + ".__pre_compact__"
+    os.makedirs(backup)
+    # the old swap moved _SUCCESS FIRST, then the part files
+    olds = [
+        f for f in os.listdir(main2) if os.path.isfile(os.path.join(main2, f))
+    ]
+    for f in sorted(olds, key=lambda f: (f != "_SUCCESS", f)):
+        os.replace(os.path.join(main2, f), os.path.join(backup, f))
+    with open(os.path.join(backup, "__BACKUP_COMPLETE__"), "w"):
+        pass
+    # partially-moved NEW files (differently named than the old set)
+    with open(os.path.join(main2, "part-00000-newgen.parquet"), "wb"):
+        pass
     assert os.path.isdir(backup)
-    assert os.path.exists(os.path.join(backup, "__BACKUP_COMPLETE__"))
     assert not os.path.isfile(os.path.join(main2, "_SUCCESS"))
     return main2, truth
 
@@ -146,13 +150,15 @@ def _crash_mid_step3(spark, sf_dir, tmp_path):
 def test_recovery_restores_marker_last_and_reader_never_sees_partial(
     spark, sf_dir, tmp_path
 ):
-    """Crash the swap at the last move, then watch the next entry's
-    recovery: the backup must be restored with ``_SUCCESS`` LAST
-    (os.listdir order could commit a partial base to racing readers),
-    and a reader probed at every restore move must see truth or
-    CompactionInProgressError — with at least one mid-restore error
-    proving the uncommitted window actually held."""
-    main2, truth = _crash_mid_step3(spark, sf_dir, tmp_path)
+    """Heal a PRE-SNAPSHOT crashed swap on entry: the backup must be
+    restored with ``_SUCCESS`` LAST (os.listdir order could commit a
+    partial base to racing readers), and a reader probed at every
+    restore move must see truth or CompactionInProgressError — with at
+    least one mid-restore error proving the uncommitted window
+    actually held (this legacy crash shape IS a true torn state, the
+    one place the error remains). The recovery then migrates the
+    register onto the snapshot layout."""
+    main2, truth = _legacy_crash_mid_step3(spark, sf_dir, tmp_path)
     backup = main2.rstrip("/") + ".__pre_compact__"
 
     real_replace = os.replace

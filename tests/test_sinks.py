@@ -925,20 +925,21 @@ def test_promote_records_auto_compact_folds_at_threshold(spark, sf_dir, tmp_path
             assert k not in view
 
 
-def test_compact_promotes_crash_at_every_move_point_recovers(spark, sf_dir, tmp_path):
-    """ADVICE r10 (both high items): the compaction swap must survive a
-    crash at EVERY file-move point. Sweep k = 1.. injecting a failure at
-    the k-th os.replace inside compact_promotes — that covers every
-    mid-step-2 crash (including right after _SUCCESS moved to the
-    backup: the old arbitrary-order code could leave a committed main
-    with a partial file set, which recovery mistook for a finished swap
-    and rmtree'd the backup = silent row loss) and every mid-step-3
-    crash (partially-moved NEW part files: the old restore branch left
-    them beside the restored old set = duplicated rows, baked in by the
-    next compaction). After each crash, re-entry must recover to a
-    row-identical served view with exactly one committed file set."""
+def test_compact_promotes_crash_at_every_seam_recovers(spark, sf_dir, tmp_path):
+    """Snapshot-pointer commit (VERDICT r13 item 1): crash the
+    compaction at every observable seam and assert re-entry converges
+    to a row-identical served view, with READS NEVER FAILING at any
+    crash shape (the error is reserved for true torn states, which no
+    crash of the snapshot flow can produce):
+
+    * at the manifest ``os.replace`` — generation fully written but
+      never committed (an orphan the next entry GC's away);
+    * a partial generation write — ``.snapshots`` exists, no manifest;
+    * at every GC ``shutil.rmtree`` of the SECOND cycle — the commit
+      is already durable, GC is pure cleanup."""
     import shutil
 
+    import pytest
     from pyspark.sql import functions as F
 
     sup, paths = _promote_setup(spark, sf_dir, tmp_path)
@@ -961,50 +962,83 @@ def test_compact_promotes_crash_at_every_move_point_recovers(spark, sf_dir, tmp_
         pass
 
     real_replace = os.replace
-    sentinel = "__BACKUP_COMPLETE__"
-    saw_partial_backup = saw_partial_swap_in = False
+
+    # ---- seam 1: the manifest commit itself fails
+    main_a = str(tmp_path / "main_crash_commit")
+    shutil.copytree(main0, main_a)
+
+    def exploding(src, dst):
+        raise Boom("killed at the manifest commit")
+
+    os.replace = exploding
+    try:
+        with pytest.raises(Boom):
+            sinks.compact_promotes(spark, main_a, ["s_suppkey"])
+    finally:
+        os.replace = real_replace
+    # generation was written but never committed: readers still serve
+    # the legacy base + live delta — no error, exact truth
+    assert os.path.isdir(os.path.join(main_a, ".snapshots"))
+    assert not os.path.exists(os.path.join(main_a, sinks._SNAPSHOT_NAME))
+    assert view_rows(main_a) == before
+    # re-entry GCs the orphan and folds for real
+    assert sinks.compact_promotes(spark, main_a, ["s_suppkey"]) == 1
+    assert view_rows(main_a) == before
+
+    # ---- seam 2: a partial (uncommitted) generation write
+    main_b = str(tmp_path / "main_crash_genwrite")
+    shutil.copytree(main0, main_b)
+    partial = os.path.join(main_b, ".snapshots", "gen-000001")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb"):
+        pass  # no _SUCCESS: the write died mid-flight
+    assert view_rows(main_b) == before  # reader never looks at it
+    assert sinks.compact_promotes(spark, main_b, ["s_suppkey"]) == 1
+    assert view_rows(main_b) == before
+
+    # ---- seam 3: crash at every GC rmtree of the SECOND cycle
+    main_c = str(tmp_path / "main_crash_gc")
+    shutil.copytree(main0, main_c)
+    assert sinks.compact_promotes(spark, main_c, ["s_suppkey"]) == 1
+    # second promote so the next compaction has GC (old gen + folded
+    # delta + legacy files) AND a live delta to fold
+    sup.where(F.col("s_suppkey") % 4 == 0).select(
+        "s_suppkey", F.lit(99).alias("submission_id"),
+        (F.col("s_acctbal") + 100.0).alias("s_acctbal"),
+        F.lit("Edit").alias("action"), F.lit(True).alias("approved"),
+    ).withColumn("__seq", F.lit(sinks._next_promote_seq(spark, main_c))).write.parquet(
+        os.path.join(main_c, "promotes", "pr-gc")
+    )
+    truth_c = view_rows(main_c)
+    real_rmtree = shutil.rmtree
     k = 1
+    crashed_at_least_once = False
     while True:
-        main_k = str(tmp_path / f"main_crash_{k}")
-        shutil.copytree(main0, main_k)
         calls = {"n": 0}
 
-        def exploding(src, dst, *, _k=k, _calls=calls):
+        def exploding_rm(path, *a, _k=k, _calls=calls, **kw):
             _calls["n"] += 1
             if _calls["n"] == _k:
-                raise Boom(f"killed at replace #{_k}")
-            return real_replace(src, dst)
+                raise Boom(f"killed at rmtree #{_k}")
+            return real_rmtree(path, *a, **kw)
 
-        os.replace = exploding
+        shutil.rmtree = exploding_rm
         try:
             try:
-                sinks.compact_promotes(spark, main_k, ["s_suppkey"])
+                folded = sinks.compact_promotes(spark, main_c, ["s_suppkey"])
                 crashed = False
             except Boom:
                 crashed = True
         finally:
-            os.replace = real_replace
+            shutil.rmtree = real_rmtree
+        # reads never fail at ANY GC crash shape and always serve truth
+        assert view_rows(main_c) == truth_c
         if not crashed:
-            break  # k exceeded the swap's total move count: clean run
-        backup = main_k.rstrip("/") + ".__pre_compact__"
-        if os.path.isdir(backup):
-            if os.path.exists(os.path.join(backup, sentinel)):
-                saw_partial_swap_in = True  # crashed mid-step-3
-            elif any(f != sentinel for f in os.listdir(backup)):
-                saw_partial_backup = True  # crashed mid-step-2
-                # the r10 fix's invariant: once ANYTHING moved to the
-                # backup, main must read as uncommitted (marker first),
-                # so recovery can never mistake this for a finished swap
-                assert not os.path.isfile(os.path.join(main_k, "_SUCCESS"))
-        # re-entry recovers, then folds the chain for real
-        assert sinks.compact_promotes(spark, main_k, ["s_suppkey"]) == 1
-        assert view_rows(main_k) == before
-        assert os.path.isfile(os.path.join(main_k, "_SUCCESS"))
-        assert not os.path.isdir(backup)
-        assert not os.path.isdir(main_k.rstrip("/") + ".__compacting__")
+            assert folded == 1
+            break
+        crashed_at_least_once = True
         k += 1
-    assert saw_partial_backup and saw_partial_swap_in
-    assert k >= 4  # the sweep really exercised multiple distinct move points
+    assert crashed_at_least_once
     assert view_rows(main0) == before  # the pristine register was never touched
 
 
@@ -1056,13 +1090,26 @@ def test_compact_promotes_folds_chain_and_serving_is_unchanged(spark, sf_dir, tm
         )
 
     before = view_rows()
-    assert sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"]) == n_chain
+    main = paths["main_path"]
+    assert sinks.compact_promotes(spark, main, ["s_suppkey"]) == n_chain
     assert view_rows() == before
-    assert not os.path.isdir(promotes_root) or os.listdir(promotes_root) == []
-    assert os.path.isfile(os.path.join(paths["main_path"], "_SUCCESS"))
-    # idempotent: nothing left to fold
-    assert sinks.compact_promotes(spark, paths["main_path"], ["s_suppkey"]) == 0
+    # snapshot layout: manifest names a committed generation; the
+    # folded deltas and legacy top-level files are RETAINED for reader
+    # grace (expired at the NEXT compaction's GC) but excluded from
+    # the live chain
+    man = sinks._read_snapshot(main)
+    assert man is not None and len(man["folded"]) == n_chain
+    assert os.path.isfile(
+        os.path.join(main, ".snapshots", man["gen"], "_SUCCESS")
+    )
+    assert len(os.listdir(promotes_root)) == n_chain  # retained
+    assert sinks._promote_chain_len(main) == 0  # ...but not live
+    # idempotent: nothing left to fold — and THIS pass GCs the
+    # previous cycle's leftovers
+    assert sinks.compact_promotes(spark, main, ["s_suppkey"]) == 0
     assert view_rows() == before
+    assert os.listdir(promotes_root) == []
+    assert not os.path.isfile(os.path.join(main, "_SUCCESS"))  # legacy files expired
     # the __seq counter restarted; a fresh promote must still beat the
     # folded base on its keys
     promote_cycle(n_chain)
@@ -1163,9 +1210,10 @@ def test_auto_compact_runs_under_promotes_lease(spark, sf_dir, tmp_path):
         auto_compact=1, **paths,
     )
     assert not os.path.exists(paths["main_path"].rstrip("/") + ".__lease__")
-    # chain was folded by the in-lease compaction
-    import glob
-    assert glob.glob(os.path.join(paths["main_path"], "promotes", "*")) == []
+    # chain was folded by the in-lease compaction (the folded delta
+    # dir is retained for reader grace but no longer live)
+    assert sinks._promote_chain_len(paths["main_path"]) == 0
+    assert sinks._read_snapshot(paths["main_path"]) is not None
     want_main, _ = _promote_expected(sup.collect())
     got = {
         r["s_suppkey"]: r["s_acctbal"]
