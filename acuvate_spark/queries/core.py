@@ -701,7 +701,7 @@ def latest_event_per_user(spark, sf_dir):
 WITH g AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts,
          lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), f AS (
   SELECT event_id, user_id, ts,
          CASE WHEN prev_ts IS NULL THEN 1
@@ -719,8 +719,15 @@ FROM f
 def sessionize_events(spark, sf_dir):
     """Sessionization: 30-min-gap session ids via lag + running sum —
     the analytic-window superset the reference's event loop implies.
-    Integer microsecond arithmetic keeps both engines bit-identical."""
-    e = load_table(spark, sf_dir, "events")
+    Integer microsecond arithmetic keeps both engines bit-identical.
+
+    NULL contract (r14 events parity ring): an event with a NULL
+    timestamp cannot be placed on a session timeline and is excluded
+    at the scan — without the filter the engines silently DISAGREE on
+    where NULL sorts in the ASC session ordering (Spark NULLS FIRST,
+    DuckDB NULLS LAST), shifting every session boundary in the
+    partition. Identity on a null-free corpus."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = (
@@ -868,7 +875,8 @@ def tumbling_event_counts(spark, sf_dir):
 @register(
     "sliding_event_counts",
     oracle="""
-WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events),
+WITH ev AS (SELECT ts::TIMESTAMP AS ts, event_type, value
+            FROM events WHERE ts IS NOT NULL),
 exp AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS window_start,
          event_type, value
@@ -886,8 +894,14 @@ def sliding_event_counts(spark, sf_dir):
     event into its overlapping windows before the partial agg, so the
     shuffle carries window-expanded partial aggregates, not raw rows).
     The oracle expands the same two windows per event from the 30-min
-    time bucket."""
-    e = load_table(spark, sf_dir, "events")
+    time bucket.
+
+    NULL contract (r14): a NULL-ts event belongs to no window and is
+    excluded at the scan — Spark's window(NULL) yields one NULL group
+    while the oracle's two-window expansion double-counts the row
+    into a NULL bucket, so without the filter the engines disagree
+    structurally. Identity on a null-free corpus."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -958,26 +972,35 @@ def json_props_extract(spark, sf_dir):
     """Schema-on-read JSON parsing of a string column with from_json
     (the inverse of the reference's to_json at app.py:2443): the props
     column parses against an explicit schema; malformed rows yield
-    null, surfaced by the validity flag."""
+    null, surfaced by the validity flag.
+
+    NULL contract (r14): a NULL props cell has NULL validity — the
+    SQL convention (json_valid(NULL) IS NULL) — not False; Spark's
+    from_json(NULL).isNotNull() rendered False and silently diverged
+    from the oracle on null-dense input."""
     e = load_table(spark, sf_dir, "events")
     parsed = F.from_json(F.col("props"), "k int")
     return e.select(
         "event_id",
         parsed["k"].alias("k_val"),
-        parsed.isNotNull().alias("is_valid"),
+        F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(parsed.isNotNull())
+        .alias("is_valid"),
     )
 
 
 @register(
     "event_funnel",
     oracle="""
-WITH signup AS (
+WITH ev AS (
+  SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), signup AS (
   SELECT user_id, min(ts::TIMESTAMP) AS first_signup
-  FROM events WHERE event_type = 'signup' GROUP BY user_id
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
 ), purchases AS (
   SELECT e.user_id, count(*) AS n_purchases,
          round(sum(CAST(floor(e.value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS purchase_value
-  FROM events e JOIN signup s
+  FROM ev e JOIN signup s
     ON e.user_id = s.user_id AND e.event_type = 'purchase'
    AND e.ts::TIMESTAMP > s.first_signup
   GROUP BY e.user_id
@@ -998,8 +1021,19 @@ def event_funnel(spark, sf_dir):
     first_signup, and the follow-on groupBy(user_id, first_signup)
     reuses that hash partitioning (user_id is a subset of the
     grouping keys), so the r03 shape's localCheckpoint + two
-    aggregate/join shuffles collapse into conditional aggregates."""
-    e = load_table(spark, sf_dir, "events")
+    aggregate/join shuffles collapse into conditional aggregates.
+
+    NULL contract (r14): an event with no user or no timestamp cannot
+    be attributed to a funnel and is excluded at the scan. Without the
+    filter the two formulations disagree: the window form groups all
+    NULL users into ONE partition whose purchases qualify against the
+    group's first signup, while the oracle's equi-joins drop NULL
+    user_id (NULL never equals NULL), and a user whose only signup has
+    NULL ts survives the oracle with a NULL first_signup but is
+    filtered by the window form. Identity on a null-free corpus."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id")
     is_purchase = F.col("event_type") == "purchase"
     funnel = (

@@ -500,6 +500,7 @@ cand AS (
                             ORDER BY e.ts::TIMESTAMP DESC, e.event_id DESC) AS rn
   FROM o JOIN events e
     ON e.user_id = o.user_id AND e.ts::TIMESTAMP <= o.ots
+   AND e.ts IS NOT NULL
 )
 SELECT o.o_orderkey, o.user_id,
        c.event_id AS last_event_id, c.event_type AS last_event_type
@@ -517,13 +518,23 @@ def asof_join_events(spark, sf_dir):
     probe and no interval explosion. The oracle verifies via the
     naive rank-per-order formulation (fixture-scale only, O(orders x
     events-per-user)); ties at equal ts resolve to the highest
-    event_id on both sides."""
+    event_id on both sides.
+
+    NULL contract (r14): a NULL-ts event has no position on the
+    merged timeline and is excluded at the scan — Spark sorts it
+    FIRST in the ASC carry ordering (DuckDB's theta-join simply drops
+    it), so without the filter it becomes the carried value for every
+    early order of that user. Identity on a null-free corpus."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 200).alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("ts"),
     )
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     # kind sorts event rows before order rows at equal ts, so "<=" ties
     # are visible to the order row; event_id asc makes the carried
     # value the max id within a tied timestamp

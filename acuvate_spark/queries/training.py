@@ -426,7 +426,7 @@ SESSION_GAP_MIN = 30
     "session_window_counts",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts,
@@ -457,8 +457,15 @@ def session_window_counts(spark, sf_dir):
     uses row-wise). One shuffle on user_id; session merging happens
     inside the aggregation operator, and the identical expression runs
     under Structured Streaming with a watermark (the streaming parity
-    test drives it)."""
-    ev = load_table(spark, sf_dir, "events")
+    test drives it).
+
+    NULL contract (r14): a NULL-ts event belongs to no session window
+    and is excluded at the scan — Spark's session_window silently
+    drops NULL timestamps while the oracle's lag/cumsum formulation
+    sorts them (NULLS LAST) into the final session, so without the
+    filter the session row sets disagree. Identity on a null-free
+    corpus."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
         .agg(F.count("*").cast("long").alias("n_events"))

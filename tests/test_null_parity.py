@@ -79,3 +79,89 @@ def test_family_agrees_on_null_dense_corpus(spark, null_dir, name):
         return  # rows-only query: evaluating without a crash IS the test
     du = duck_con(null_dir).execute(spec.oracle).fetchdf()
     assert not compare(sp, du, name)
+
+
+# ---------------------------------------------------------------------------
+# r14 ring extension (VERDICT r13 item 5): null cells in EVENTS
+# (user_id / ts / event_type / value / props) and in the GRAPH edge
+# source (lineitem l_partkey / l_suppkey / l_quantity).
+#
+# What this probe found (r14), all fixed with documented contracts:
+#
+# * ASC NULL-sort divergence — Spark orders NULLS FIRST ascending,
+#   DuckDB NULLS LAST (both agree NULLS LAST descending, which is why
+#   latest_event_per_user never diverged). Every timeline query with
+#   an ASC ts ordering silently disagreed on null-dense input:
+#   sessionize_events / session_window_counts shifted session
+#   boundaries, asof_join_events carried a NULL-ts event into every
+#   early order. Contract: a NULL-ts event has no timeline position —
+#   excluded at the scan (identity on null-free corpora).
+# * event_funnel: the window form groups ALL NULL users into one
+#   funnel while the oracle's equi-joins drop them (NULL never equals
+#   NULL). Contract: no user or no timestamp => no attribution.
+# * sliding_event_counts: window(NULL) is one NULL group in Spark but
+#   the oracle's two-window expansion double-counts into it.
+# * json_props_extract: from_json(NULL).isNotNull() rendered False
+#   where json_valid(NULL) is NULL — aligned to the SQL convention.
+#
+# The graph family (lineitem-derived edges) agreed everywhere without
+# code changes: NULL src/dst cells flow through DISTINCT, equi-joins,
+# and group-bys with identical semantics in both engines — pinned
+# here so a future rewrite cannot regress it silently.
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    "regexp_extract_props", "latest_event_per_user", "sessionize_events",
+    "tumbling_event_counts", "sliding_event_counts", "json_props_extract",
+    "event_funnel", "click_attribution", "asof_join_events",
+    "session_window_counts", "gapfill_daily",
+]
+GRAPH_QUERIES = [
+    "graph_connected_components", "graph_degrees", "first_line_per_pair",
+    "graph_two_hop", "triangle_count", "graph_bfs_levels", "kcore_peel",
+    "link_prediction_jaccard", "label_propagation_communities",
+    "graph_delete_document", "pagerank_fixed", "edge_snap_join",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("null_events"))
+    con = duckdb.connect()
+    ev = con.execute(
+        "select * from read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchdf()
+    for c in ("event_id", "user_id"):
+        ev[c] = ev[c].astype("Int64")
+    ev.loc[ev.index % 7 == 0, "user_id"] = pd.NA
+    ev.loc[ev.index % 11 == 0, "ts"] = pd.NaT
+    ev.loc[ev.index % 13 == 0, "event_type"] = None
+    ev.loc[ev.index % 9 == 0, "value"] = None
+    ev.loc[ev.index % 17 == 0, "props"] = None
+    ev.to_parquet(f"{out}/events.parquet", index=False)
+    li = con.execute(
+        "select * from read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchdf()
+    for c, m in [("l_partkey", 17), ("l_suppkey", 19), ("l_quantity", 23)]:
+        if li[c].dtype.kind == "i":
+            li[c] = li[c].astype("Int64")
+        li.loc[li.index % m == 0, c] = pd.NA
+    li.to_parquet(f"{out}/lineitem.parquet", index=False)
+    for t in (
+        "region nation customer supplier part orders documents embeddings".split()
+    ):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES + GRAPH_QUERIES)
+def test_family_agrees_on_null_dense_events_and_edges(spark, null_events_dir, name):
+    spec = REGISTRY[name]
+    sp = spec.fn(spark, null_events_dir).toPandas()
+    spark.catalog.clearCache()
+    if spec.oracle is None:
+        return  # rows-only query: evaluating without a crash IS the test
+    du = duck_con(null_events_dir).execute(spec.oracle).fetchdf()
+    assert not compare(sp, du, name)
