@@ -543,3 +543,64 @@ def test_remote_gate_band_near_threshold_pays_the_count_job(spark, tmp_path, mon
     calls.clear()
     got = qd._corpus_n_gated(raw, str(tmp_path), "tiny", 1, count, 250 * n)
     assert got == 0 and calls == []
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 item 6): boundary-exact equality across the adaptive
+# gates. The config steps at n = 65,536 (embedding) and 131,072
+# (simhash) were exercised only by the 100x sweeps; these tests force
+# the REGISTRY QUERIES themselves onto the adaptive side at fixture
+# scale (monkeypatching the gate constants, so the count job, the
+# config function, and the full downstream construction all take the
+# adaptive branch end-to-end) and assert the result set equals the
+# floor run on the planted-clone corpus.
+# ---------------------------------------------------------------------------
+
+
+def _query_rows(spark, sf_dir, name):
+    from acuvate_spark.queries import REGISTRY
+
+    out = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
+    spark.catalog.clearCache()
+    return out
+
+
+def test_dedup_embedding_cosine_equal_across_adaptive_gate(
+    spark, sf_dir, monkeypatch
+):
+    """Both sides of the 65,536-row embedding gate on one corpus: the
+    floor run (committed constants) and a forced-adaptive run (gate at
+    1 row, occupancy target at 1 so bits/bands genuinely re-derive)
+    must produce the IDENTICAL pair set — planted exact clones collide
+    in every band under any config, and the fixture's verify step
+    keeps only true near-dups, so a divergence here means the adaptive
+    construction (not recall slack) broke."""
+    import acuvate_spark.queries.dedup as qd
+
+    floor = _query_rows(spark, sf_dir, "dedup_embedding_cosine")
+    assert floor  # planted clones exist at every fixture scale
+    monkeypatch.setattr(qd, "_EMB_ADAPTIVE_MIN_N", 1)
+    monkeypatch.setattr(qd, "_EMB_BUCKET_TARGET", 1)
+    # the patched gate must actually flip the construction
+    bits, bands, _ = qd._emb_lsh_config(2_000)
+    assert (bits, bands) != (qd._EMB_BITS, qd._EMB_BANDS)
+    assert _query_rows(spark, sf_dir, "dedup_embedding_cosine") == floor
+
+
+def test_dedup_simhash_equal_across_adaptive_gate(spark, sf_dir, monkeypatch):
+    """Both sides of the 131,072-doc simhash gate on one corpus: the
+    block-combination scheme's recall is exact by pigeonhole, so the
+    forced-adaptive run must reproduce the floor's result set row for
+    row — no probabilistic slack tolerated."""
+    import acuvate_spark.operators.dedup as dops
+
+    floor = _query_rows(spark, sf_dir, "dedup_simhash")
+    assert floor
+    monkeypatch.setattr(dops, "_SIMHASH_ADAPTIVE_MIN_N", 1)
+    # at fixture n the floor's 16-bit key already meets the occupancy
+    # bound, so shrink the target too — the need_bits math then demands
+    # a wider key and the block set genuinely re-derives
+    monkeypatch.setattr(dops, "_SIMHASH_OCC_TARGET", 2**-12)
+    blocks, combos = dops.simhash_lsh_config(2_000)
+    assert len(combos) > 4  # adaptive: C(b, k) tables, not the 4 bands
+    assert _query_rows(spark, sf_dir, "dedup_simhash") == floor
