@@ -56,17 +56,20 @@ class ConcurrentWriterError(RuntimeError):
 
 
 class CompactionInProgressError(RuntimeError):
-    """A reader hit a register mid-swap (or after a crashed swap).
+    """A reader hit a register in a TORN maintenance state.
 
-    During :func:`compact_promotes`' staged swap the base is
-    deliberately UNCOMMITTED (the ``_SUCCESS`` marker moves to the
-    backup first) while the delta chain still exists — a reader that
-    served that state as "no base, winners only" would silently drop
-    every never-promoted base row (r13 reader-vs-maintenance audit).
-    The swap window is metadata-only (file moves, not the rewrite), so
-    the remedy is: retry momentarily; if this persists the compaction
-    crashed mid-swap — re-run ``compact_promotes`` (its entry recovery
-    restores the backup) to make the register readable again."""
+    Since the r14 snapshot-pointer commit this is NOT part of any
+    happy path — compactions commit with one atomic manifest replace,
+    so readers racing a compaction always resolve a complete base.
+    The error remains for states only a crash of the PRE-SNAPSHOT
+    staged swap (or out-of-band damage) can produce: an uncommitted
+    legacy base beside a ``.__pre_compact__`` backup (serving it as
+    "no base, winners only" would silently drop every never-promoted
+    base row — r13 reader-vs-maintenance audit), an unparseable
+    snapshot manifest, or a manifest naming a missing generation.
+    Remedy: re-run ``compact_promotes`` (its entry recovery restores
+    legacy backups and GCs orphans); for manifest damage, restore it
+    to point at the newest committed ``.snapshots`` generation."""
 
 
 _HOSTNAME = os.uname().nodename
@@ -924,10 +927,12 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
                     # crashed mid-move-in: any top-level file in main is
                     # a partially-moved NEW file (the complete old set
                     # is in the backup) — clear them so the restore is
-                    # exact
+                    # exact. The snapshot manifest is never a swap
+                    # artifact (no new-code path creates a backup), so
+                    # never treat it as one.
                     for f in os.listdir(main_path):
                         p = os.path.join(main_path, f)
-                        if os.path.isfile(p):
+                        if os.path.isfile(p) and f != _SNAPSHOT_NAME:
                             os.remove(p)
                 # restore with _SUCCESS LAST (r13: a marker restored
                 # before the part files would let a concurrent reader

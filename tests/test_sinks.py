@@ -1413,3 +1413,120 @@ def test_steal_lease_preserves_displaced_lease_when_restore_fails(
         assert sinks._steal_lease(lease, observed) is False
     steal = f"{lease}.steal.{os.getpid()}"
     assert open(steal).read() == "pid=2 purpose=fresh-winner"
+
+
+def test_promote_compact_random_interleave_matches_model(spark, tmp_path):
+    """Snapshot-era composition check: the random promote/replay model
+    above, with compact_promotes RANDOMLY INTERLEAVED — sometimes
+    crashed at the manifest commit (os.replace raises) or at a GC
+    rmtree, then optionally re-entered. Compaction and its crash
+    shapes are serving-invariant, so the model is unchanged; the test
+    pins that multi-cycle folds, retained-then-GC'd deltas, legacy
+    migration, and orphan recovery stay invisible under composition
+    with live writes."""
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    staging = str(tmp_path / "staging")
+    main = str(tmp_path / "main")
+    status = str(tmp_path / "status")
+    stomb = str(tmp_path / "stombs")
+
+    def val(k):
+        return k * 1.5
+
+    base_keys = list(range(0, 12))
+    spark.createDataFrame(
+        [(k, val(k)) for k in base_keys], "k long, v double"
+    ).write.parquet(main)
+
+    model_main = {k: val(k) for k in base_keys}
+    model_staged: dict[tuple, str] = {}
+    history = []
+    sub = 0
+
+    class Boom(RuntimeError):
+        pass
+
+    real_replace, real_rmtree = os.replace, shutil.rmtree
+
+    def crashed_compact():
+        """Run a compaction that dies at a random metadata op."""
+        kind = rng.choice(["replace", "rmtree"])
+        target_mod = os if kind == "replace" else shutil
+
+        def exploding(*a, **kw):
+            raise Boom()
+
+        setattr(target_mod, kind, exploding)
+        try:
+            try:
+                sinks.compact_promotes(spark, main, ["k"])
+            except Boom:
+                pass  # rmtree crash may hit nothing to GC: also fine
+        finally:
+            os.replace, shutil.rmtree = real_replace, real_rmtree
+
+    for i in range(6):
+        batch = []
+        for _ in range(rng.randrange(2, 6)):
+            sub += 1
+            k = rng.randrange(0, 30)
+            action = rng.choice(["Add", "Edit"])
+            batch.append((k, sub, val(k), action, True))
+            model_staged[(k, sub)] = action
+        spark.createDataFrame(
+            batch, "k long, sub long, v double, action string, approved boolean"
+        ).write.mode("append").parquet(staging)
+
+        pid = f"pr-{i}"
+        sinks.promote_records(
+            spark, staging, main, status, stomb,
+            F.col("approved"), ["k"], "action", pid,
+            staging_key_cols=["k", "sub"],
+        )
+        history.append(pid)
+        valid = [
+            (k, s) for (k, s), a in model_staged.items()
+            if (a == "Edit") == (k in model_main)
+        ]
+        for k, s in valid:
+            model_main[k] = val(k)
+        for ks in valid:
+            del model_staged[ks]
+        r = rng.random()
+        if r < 0.35:
+            sinks.compact_promotes(spark, main, ["k"])  # clean fold
+        elif r < 0.6:
+            crashed_compact()  # torn fold: next op must converge
+        if rng.random() < 0.4:  # replay a random earlier promote: no-op
+            sinks.promote_records(
+                spark, staging, main, status, stomb,
+                F.col("approved"), ["k"], "action", rng.choice(history),
+                staging_key_cols=["k", "sub"],
+            )
+        # serving truth holds after EVERY interleave step
+        got = {
+            r["k"]: r["v"]
+            for r in sinks.read_with_promotes(spark, main, ["k"])
+            .select("k", "v")
+            .collect()
+        }
+        assert got == model_main, f"cycle {i}"
+
+    sinks.compact_promotes(spark, main, ["k"])  # final fold + GC
+    got_main = {
+        r["k"]: r["v"]
+        for r in sinks.read_with_promotes(spark, main, ["k"]).select("k", "v").collect()
+    }
+    assert got_main == model_main
+    got_staged = {
+        (r["k"], r["sub"])
+        for r in sinks.read_with_moves(
+            spark, staging, tomb_path=stomb, key_cols=["k", "sub"]
+        ).collect()
+    }
+    assert got_staged == set(model_staged)
