@@ -26,6 +26,8 @@ with the same pushdown/pruning/AQE the named queries get.
 
 ``compact`` is the register maintenance pass: it folds committed
 promote deltas into the base (``operators.sinks.compact_promotes``),
+or with ``--moves`` the move deltas / tombstones of a move register
+(``operators.sinks.compact_moves``),
 bounding the merge-on-read amplification that grows with the delta
 chain (measured 9.3x at chain 50; recommended cadence ~10 — reads
 past the cadence warn).
@@ -61,7 +63,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_compact.add_argument("main_path")
     p_compact.add_argument(
-        "--keys", required=True, help="comma-separated entity key columns"
+        "--keys",
+        help="comma-separated entity key columns (required for a promote "
+        "fold and for tombstone retirement in a --moves fold)",
+    )
+    p_compact.add_argument(
+        "--moves",
+        action="store_true",
+        help="fold committed move deltas (and, with --tomb-path/--keys, "
+        "apply+retire tombstones) instead of promote deltas",
+    )
+    p_compact.add_argument(
+        "--tomb-path", help="tombstone root for a --moves source fold"
     )
     p_sql = sub.add_parser("sql", help="run ad-hoc Spark SQL over the test tables")
     p_sql.add_argument("statement")
@@ -129,17 +142,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        from acuvate_spark.operators.sinks import compact_promotes
+        from acuvate_spark.operators.sinks import compact_moves, compact_promotes
         from acuvate_spark.session import get_spark
 
+        keys = [k.strip() for k in args.keys.split(",")] if args.keys else None
+        if not args.moves and keys is None:
+            print("compact: --keys is required for a promote fold")
+            return 2
         spark = get_spark("acuvate-compact")
         try:
-            n = compact_promotes(
-                spark, args.main_path, [k.strip() for k in args.keys.split(",")]
-            )
+            if args.moves:
+                n = compact_moves(
+                    spark, args.main_path,
+                    tomb_path=args.tomb_path,
+                    key_cols=keys if args.tomb_path else None,
+                )
+                kind = "move artifact(s)"
+            else:
+                n = compact_promotes(spark, args.main_path, keys)
+                kind = "promote delta version(s)"
         finally:
             spark.stop()
-        print(f"folded {n} promote delta version(s) into {args.main_path}")
+        print(f"folded {n} {kind} into {args.main_path}")
         return 0
 
     from acuvate_spark.queries import REGISTRY

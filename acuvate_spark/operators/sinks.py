@@ -444,15 +444,17 @@ def _read_snapshot(main_path: str) -> dict | None:
 
 
 def _resolve_base(spark, main_path: str):
-    """Resolve the register's base: ``(DataFrame | None, folded)``.
+    """Resolve the register's base: ``(DataFrame | None, manifest)``.
 
     Manifest present: the committed generation it names is the base
     (authoritative — legacy top-level files are post-migration garbage
-    awaiting GC), and ``folded`` is the set of promote-delta dir names
-    the generation already contains (readers must exclude them; they
-    are retained until the next compaction's GC). Manifest absent:
-    the legacy layout — committed top-level files, with mid-swap
-    detection for legacy staged-swap crash shapes."""
+    awaiting GC); callers read their folded-artifact lists from the
+    returned manifest (``folded`` = promote deltas, ``folded_moves`` /
+    ``folded_tombs`` = move-register artifacts — already inside the
+    generation, retained until the next compaction's GC, so readers
+    must exclude them). Manifest absent (``None``): the legacy layout
+    — committed top-level files, with mid-swap detection for legacy
+    staged-swap crash shapes."""
     import glob as _glob
 
     man = _read_snapshot(main_path)
@@ -463,13 +465,13 @@ def _resolve_base(spark, main_path: str):
                 f"{main_path}: snapshot manifest names generation "
                 f"{man['gen']!r} but {gen} is missing or uncommitted — "
                 "a torn state (generation deleted out-of-band?); "
-                "re-run compact_promotes only after restoring it"
+                "re-run the compaction only after restoring it"
             )
-        return spark.read.parquet(gen), set(man.get("folded", []))
+        return spark.read.parquet(gen), man
     if _has_success(main_path) and _glob.glob(os.path.join(main_path, "*.parquet")):
-        return spark.read.parquet(main_path), set()
+        return spark.read.parquet(main_path), None
     _raise_if_mid_swap(main_path)
-    return None, set()
+    return None, None
 
 
 def _warn_unmarked_base(path: str) -> None:
@@ -553,9 +555,19 @@ def read_with_moves(
     invisible rather than served as complete."""
     if (tomb_path is None) != (key_cols is None):
         raise ValueError("tomb_path and key_cols must be passed together")
-    df, _ = _resolve_base(spark, base_path)
+    df, man = _resolve_base(spark, base_path)
     if moves_for is not None:
-        files = _committed_files(os.path.join(moves_for, "moves"))
+        # a folded move delta is already INSIDE the generation; unlike
+        # promote deltas (keyed last-writer-wins, re-application is
+        # idempotent) re-unioning a folded move would DUPLICATE its
+        # rows, so the manifest exclusion is load-bearing here
+        m_man = man if moves_for == base_path else _read_snapshot(moves_for)
+        folded_moves = set(m_man.get("folded_moves", [])) if m_man else set()
+        files = [
+            f
+            for f in _committed_files(os.path.join(moves_for, "moves"))
+            if os.path.basename(os.path.dirname(f)) not in folded_moves
+        ]
         if files:
             if df is None:
                 _warn_unmarked_base(base_path)
@@ -566,7 +578,15 @@ def read_with_moves(
             f"{base_path}: no committed base parquet files and no committed move deltas"
         )
     if tomb_path is not None:
-        files = _committed_files(tomb_path)
+        # folded tombstones were applied into the generation (anti-join
+        # re-application would be a no-op, but excluding them keeps the
+        # read from shuffling retired keys)
+        folded_tombs = set(man.get("folded_tombs", [])) if man else set()
+        files = [
+            f
+            for f in _committed_files(tomb_path)
+            if os.path.basename(os.path.dirname(f)) not in folded_tombs
+        ]
         if files:
             tombs = spark.read.parquet(*files).select(*key_cols).distinct()
             df = df.join(tombs, key_cols, "left_anti")
@@ -801,7 +821,8 @@ def read_with_promotes(
 
     if _warn_chain:
         _warn_long_chain(main_path, _promote_chain_len(main_path))
-    base, folded = _resolve_base(spark, main_path)
+    base, man = _resolve_base(spark, main_path)
+    folded = set(man.get("folded", [])) if man else set()
     files = [
         f
         for f in _committed_files(os.path.join(main_path, "promotes"))
@@ -946,24 +967,14 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
 
         # ---- step 1: GC of the previous cycle (and of crash orphans)
         promotes_root = os.path.join(main_path, "promotes")
-        snaps = os.path.join(main_path, ".snapshots")
-        man = _read_snapshot(main_path)
-        if man is None:
-            if os.path.isdir(snaps):
-                # generation written but never committed — an orphan
-                shutil.rmtree(snaps)
-        else:
-            for d in _glob.glob(os.path.join(snaps, "*")):
-                if os.path.basename(d) != man["gen"]:
-                    shutil.rmtree(d)
-            for name in man.get("folded", []):
-                folded_dir = os.path.join(promotes_root, name)
-                if os.path.isdir(folded_dir):
-                    shutil.rmtree(folded_dir)
-            for f in os.listdir(main_path):  # post-migration legacy files
-                p = os.path.join(main_path, f)
-                if os.path.isfile(p) and f != _SNAPSHOT_NAME:
-                    os.remove(p)
+        man = _snapshot_gc(main_path)
+        if _committed_files(os.path.join(main_path, "moves")):
+            raise ValueError(
+                f"{main_path}: register holds committed move deltas — a "
+                "promote fold would bake promote winners into the base "
+                "the moves view serves too, silently changing it; "
+                "registers are single-format (use compact_moves)"
+            )
 
         folded = sorted(
             d for d in _glob.glob(os.path.join(promotes_root, "*")) if _has_success(d)
@@ -973,22 +984,168 @@ def compact_promotes(spark, main_path: str, key_cols: list[str]) -> int:
 
         # ---- step 2: materialize the new generation
         view = read_with_promotes(spark, main_path, key_cols, _warn_chain=False)
-        gen_no = int(man["gen"].rsplit("-", 1)[1]) + 1 if man else 1
-        gen_name = f"gen-{gen_no:06d}"
-        view.write.mode("overwrite").parquet(os.path.join(snaps, gen_name))
+        gen_name = _next_gen_name(man)
+        view.write.mode("overwrite").parquet(
+            os.path.join(main_path, ".snapshots", gen_name)
+        )
 
         # ---- step 3: the atomic commit
-        manifest = os.path.join(main_path, _SNAPSHOT_NAME)
-        staged = f"{manifest}.tmp.{os.getpid()}"
-        with open(staged, "w") as fh:
-            json.dump(
-                {"gen": gen_name, "folded": [os.path.basename(d) for d in folded]},
-                fh,
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(staged, manifest)
+        _commit_snapshot(
+            main_path,
+            {"gen": gen_name, "folded": [os.path.basename(d) for d in folded]},
+        )
         return len(folded)
+
+
+def _snapshot_gc(main_path: str, tomb_path: str | None = None) -> dict | None:
+    """Step-1 GC shared by both compaction passes: remove everything
+    the PREVIOUS cycle retained for reader grace — stale generations
+    the manifest no longer names, the folded promote/move delta dirs
+    and (when ``tomb_path`` is given) folded tombstone sets it lists,
+    and post-migration legacy top-level files — plus crash orphans (a
+    ``.snapshots`` tree with no manifest at all). Runs under the
+    caller's lease. Returns the current manifest (or ``None``)."""
+    import glob as _glob
+    import shutil
+
+    snaps = os.path.join(main_path, ".snapshots")
+    man = _read_snapshot(main_path)
+    if man is None:
+        if os.path.isdir(snaps):
+            shutil.rmtree(snaps)  # generation written but never committed
+        return None
+    for d in _glob.glob(os.path.join(snaps, "*")):
+        if os.path.basename(d) != man["gen"]:
+            shutil.rmtree(d)
+    roots = [("folded", os.path.join(main_path, "promotes")),
+             ("folded_moves", os.path.join(main_path, "moves"))]
+    if tomb_path is not None:
+        roots.append(("folded_tombs", tomb_path))
+    for key, root in roots:
+        for name in man.get(key, []):
+            d = os.path.join(root, name)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    for f in os.listdir(main_path):  # post-migration legacy files
+        p = os.path.join(main_path, f)
+        if os.path.isfile(p) and f != _SNAPSHOT_NAME:
+            os.remove(p)
+    return man
+
+
+def _next_gen_name(man: dict | None) -> str:
+    return f"gen-{(int(man['gen'].rsplit('-', 1)[1]) + 1) if man else 1:06d}"
+
+
+def _commit_snapshot(main_path: str, man: dict) -> None:
+    """THE commit: one atomic ``os.replace`` of the manifest."""
+    manifest = os.path.join(main_path, _SNAPSHOT_NAME)
+    staged = f"{manifest}.tmp.{os.getpid()}"
+    with open(staged, "w") as fh:
+        json.dump(man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(staged, manifest)
+
+
+def compact_moves(
+    spark,
+    path: str,
+    tomb_path: str | None = None,
+    key_cols: list[str] | None = None,
+) -> int:
+    """Fold a MOVE register's merge-on-read state into a snapshot
+    generation — the maintenance pass that bounds
+    :func:`read_with_moves` read amplification, symmetric to
+    :func:`compact_promotes` (r14; before this, move-delta and
+    tombstone chains grew unbounded while promote chains had a fold
+    since r10). Committed ``moves/*`` deltas union into the base and,
+    when ``tomb_path``/``key_cols`` are given, committed tombstoned
+    keys are applied (anti-join) and retired. Same snapshot-pointer
+    discipline end to end: one atomic manifest replace is the commit;
+    the old generation, folded artifacts, and post-migration legacy
+    files survive until the NEXT compaction's entry GC (reader
+    grace); a crash before the commit leaves an orphan generation the
+    next entry GCs, a crash after it is durable. Returns the number
+    of artifacts folded (move deltas + tombstone sets; 0 = no-op).
+
+    Two contracts specific to moves:
+
+    * Re-unioning a folded move delta would DUPLICATE rows (unlike
+      promote deltas, whose keyed last-writer-wins re-application is
+      value-idempotent), so read_with_moves' ``folded_moves``
+      exclusion is load-bearing — and the committed manifest carries
+      forward any previously-folded name whose dir still exists, so
+      even a partially-GC'd register can never re-serve a folded
+      delta.
+    * Registers are SINGLE-FORMAT: one generation cannot serve both
+      the promotes view and the moves view (each fold would bake the
+      other family's rows into the shared base), so a register
+      holding committed promote deltas refuses a moves fold and vice
+      versa.
+
+    Tombstone application is orthogonal: a generation folded without
+    ``tomb_path`` still serves correctly — readers keep anti-joining
+    the live tombstones. Replaying a :func:`move_records` whose
+    artifacts were already folded+GC'd is benign: the recompute finds
+    the source rows already retired (empty delta), and re-created
+    artifacts under folded names stay reader-excluded and are GC'd
+    again. Single-maintainer via :func:`register_lease`."""
+    import glob as _glob
+
+    if (tomb_path is None) != (key_cols is None):
+        raise ValueError("tomb_path and key_cols must be passed together")
+    with register_lease(path, "compact-moves"):
+        man = _snapshot_gc(path, tomb_path=tomb_path)
+        if _committed_files(os.path.join(path, "promotes")):
+            raise ValueError(
+                f"{path}: register holds committed promote deltas — a "
+                "moves fold would bake move rows into the base the "
+                "promotes view serves too, silently changing it; "
+                "registers are single-format (use compact_promotes)"
+            )
+        moves_root = os.path.join(path, "moves")
+        folded_moves = sorted(
+            os.path.basename(d)
+            for d in _glob.glob(os.path.join(moves_root, "*"))
+            if _has_success(d)
+        )
+        folded_tombs = []
+        if tomb_path is not None:
+            folded_tombs = sorted(
+                os.path.basename(d)
+                for d in _glob.glob(os.path.join(tomb_path, "*"))
+                if _has_success(d)
+            )
+        if not folded_moves and not folded_tombs:
+            return 0
+        view = read_with_moves(
+            spark, path,
+            moves_for=path if folded_moves else None,
+            tomb_path=tomb_path if folded_tombs else None,
+            key_cols=key_cols if folded_tombs else None,
+        )
+        gen_name = _next_gen_name(man)
+        view.write.mode("overwrite").parquet(
+            os.path.join(path, ".snapshots", gen_name)
+        )
+        # carry forward any folded name whose dir survived a prior
+        # partial GC — see the duplication contract in the docstring
+        def _carry(key, root):
+            prior = (man or {}).get(key, [])
+            return [n for n in prior if os.path.isdir(os.path.join(root, n))]
+
+        _commit_snapshot(
+            path,
+            {
+                "gen": gen_name,
+                "folded": [],
+                "folded_moves": folded_moves + _carry("folded_moves", moves_root),
+                "folded_tombs": folded_tombs
+                + (_carry("folded_tombs", tomb_path) if tomb_path else (man or {}).get("folded_tombs", [])),
+            },
+        )
+        return len(folded_moves) + len(folded_tombs)
 
 
 def append_ledger(entries: list[str], path: str) -> None:

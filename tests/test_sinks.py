@@ -1530,3 +1530,229 @@ def test_promote_compact_random_interleave_matches_model(spark, tmp_path):
         ).collect()
     }
     assert got_staged == set(model_staged)
+
+
+# ---------------------------------------------------------------------------
+# r14: compact_moves — the moves-register fold, symmetric to
+# compact_promotes on the same snapshot-pointer machinery. Move-delta
+# and tombstone chains grew unbounded before this (promote chains had
+# a fold since r10).
+# ---------------------------------------------------------------------------
+
+
+def _moved_register(spark, sf_dir, tmp_path, n_moves=4):
+    """src loses k%4==0 .. via n_moves sequential move_records calls;
+    returns (src, dst, tomb, expected_dst_rows, expected_src_rows)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "active")
+    dst = str(tmp_path / "archive")
+    tomb = str(tmp_path / "tombs")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    sup.write.parquet(src)
+    sup.limit(0).write.parquet(dst)
+    for i in range(n_moves):
+        sinks.move_records(
+            spark, src, dst, tomb,
+            F.col("s_suppkey") % 17 == i, ["s_suppkey"], f"mv-{i}",
+        )
+    d = {tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    s = {
+        tuple(r)
+        for r in sinks.read_with_moves(
+            spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+        ).collect()
+    }
+    assert d and s and len(d) + len(s) == sup.count()
+    return src, dst, tomb, d, s
+
+
+def test_compact_moves_folds_destination_and_source_serving_unchanged(
+    spark, sf_dir, tmp_path
+):
+    """Fold both sides of a moved register: destination (4 move
+    deltas -> generation) and source (4 tombstone sets applied into a
+    generation). Serving must be row-identical before/after, folded
+    deltas must NOT re-union (the duplication hazard), the second
+    fold is a no-op that GCs the retained artifacts, and the chains
+    read as empty afterwards."""
+    import glob
+
+    src, dst, tomb, d, s = _moved_register(spark, sf_dir, tmp_path)
+
+    assert sinks.compact_moves(spark, dst) == 4  # destination fold
+    got_d = {tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    assert got_d == d  # identical — folded deltas not re-unioned
+    man = sinks._read_snapshot(dst)
+    assert sorted(man["folded_moves"]) == [f"mv-{i}" for i in range(4)]
+    assert len(glob.glob(os.path.join(dst, "moves", "*"))) == 4  # retained
+
+    assert sinks.compact_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"]) == 4
+    got_s = {
+        tuple(r)
+        for r in sinks.read_with_moves(
+            spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+        ).collect()
+    }
+    assert got_s == s  # tombstoned keys retired into the generation
+    # second fold: nothing to do, previous cycle GC'd
+    assert sinks.compact_moves(spark, dst) == 0
+    assert glob.glob(os.path.join(dst, "moves", "*")) == []
+    assert sinks.compact_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"]) == 0
+    assert glob.glob(os.path.join(tomb, "*")) == []
+    # serving still identical after full GC
+    assert {
+        tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()
+    } == d
+    assert {
+        tuple(r)
+        for r in sinks.read_with_moves(
+            spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+        ).collect()
+    } == s
+
+
+def test_compact_moves_crash_seams_recover(spark, sf_dir, tmp_path):
+    """Crash the moves fold at the manifest commit and at GC rmtrees:
+    reads never fail and always serve truth; re-entry converges."""
+    import shutil
+
+    import pytest
+
+    src, dst, tomb, d, s = _moved_register(spark, sf_dir, tmp_path)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_replace = os.replace
+
+    def exploding(a, b):
+        raise Boom()
+
+    os.replace = exploding
+    try:
+        with pytest.raises(Boom):
+            sinks.compact_moves(spark, dst)
+    finally:
+        os.replace = real_replace
+    # orphan generation, no manifest: legacy serving, exact truth
+    assert sinks._read_snapshot(dst) is None
+    assert {
+        tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()
+    } == d
+    assert sinks.compact_moves(spark, dst) == 4  # re-entry GCs + folds
+    assert {
+        tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()
+    } == d
+
+    # crash the SECOND cycle's GC at every rmtree
+    real_rmtree = shutil.rmtree
+    k = 1
+    while True:
+        calls = {"n": 0}
+
+        def exploding_rm(p, *a, _k=k, _c=calls, **kw):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise Boom()
+            return real_rmtree(p, *a, **kw)
+
+        shutil.rmtree = exploding_rm
+        try:
+            try:
+                folded = sinks.compact_moves(spark, dst)
+                crashed = False
+            except Boom:
+                crashed = True
+        finally:
+            shutil.rmtree = real_rmtree
+        assert {
+            tuple(r)
+            for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()
+        } == d
+        if not crashed:
+            assert folded == 0
+            break
+        k += 1
+    assert k >= 2  # at least one GC deletion was actually crashed
+
+
+def test_compact_single_format_guards(spark, sf_dir, tmp_path):
+    """One register cannot serve both views: a promote fold refuses a
+    register with committed move deltas and vice versa."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    src, dst, tomb, d, s = _moved_register(spark, sf_dir, tmp_path, n_moves=1)
+    # plant a committed promote delta beside the committed move delta
+    spark.range(3).select(
+        F.col("id").alias("s_suppkey"), F.lit("x").alias("s_name"),
+        F.lit(1.0).alias("s_acctbal"), F.lit(1).alias("__seq"),
+    ).write.parquet(os.path.join(dst, "promotes", "p1"))
+    with pytest.raises(ValueError, match="single-format"):
+        sinks.compact_moves(spark, dst)
+    with pytest.raises(ValueError, match="single-format"):
+        sinks.compact_promotes(spark, dst, ["s_suppkey"])
+
+
+def test_move_replay_after_fold_is_benign(spark, sf_dir, tmp_path):
+    """Replaying a move whose artifacts were folded AND GC'd must not
+    duplicate or resurrect rows: the recompute finds the source rows
+    already retired, and recreated artifacts under folded names stay
+    reader-excluded."""
+    from pyspark.sql import functions as F
+
+    src, dst, tomb, d, s = _moved_register(spark, sf_dir, tmp_path)
+    # fold both sides twice: artifacts folded, then GC'd
+    sinks.compact_moves(spark, dst)
+    sinks.compact_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
+    sinks.compact_moves(spark, dst)
+    sinks.compact_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"])
+    # replay an old move end-to-end
+    sinks.move_records(
+        spark, src, dst, tomb, F.col("s_suppkey") % 17 == 0, ["s_suppkey"], "mv-0"
+    )
+    got_d = {tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    got_s = {
+        tuple(r)
+        for r in sinks.read_with_moves(
+            spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+        ).collect()
+    }
+    assert got_d == d and got_s == s
+
+
+def test_cli_compact_moves_folds_both_sides(spark, sf_dir, tmp_path, monkeypatch):
+    """`python -m acuvate_spark compact --moves` drives the r14 moves
+    fold: destination (deltas only) and source (--tomb-path --keys)."""
+    from acuvate_spark.__main__ import main as cli_main
+
+    src, dst, tomb, d, s = _moved_register(spark, sf_dir, tmp_path, n_moves=2)
+
+    class _NoStop:
+        def __init__(self, inner):
+            self._s = inner
+
+        def __getattr__(self, a):
+            return getattr(self._s, a)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(
+        "acuvate_spark.session.get_spark", lambda name: _NoStop(spark)
+    )
+    assert cli_main(["compact", dst, "--moves"]) == 0
+    assert cli_main(
+        ["compact", src, "--moves", "--tomb-path", tomb, "--keys", "s_suppkey"]
+    ) == 0
+    got_d = {tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    got_s = {
+        tuple(r)
+        for r in sinks.read_with_moves(
+            spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+        ).collect()
+    }
+    assert got_d == d and got_s == s
+    # promote fold without --keys is a usage error, not a crash
+    assert cli_main(["compact", dst]) == 2
