@@ -534,9 +534,49 @@ def _committed_files(root: str) -> list[str]:
     return out
 
 
+def _warn_long_move_chain(
+    base_path: str, moves_for: str | None, tomb_path: str | None, man: dict | None
+) -> None:
+    """Surface the move register's read tax the way
+    :func:`_warn_long_chain` surfaces the promote one (r14, with
+    compact_moves as the remedy): every merged read pays a union per
+    live delta and an anti-join over the live tombstone set, so a
+    chain past :data:`COMPACT_CADENCE` live artifacts should be
+    folded. Counts only LIVE artifacts — folded names retained for
+    reader grace are already inside the generation."""
+    import glob as _glob
+    import warnings
+
+    live = 0
+    if moves_for is not None:
+        folded = set((man or {}).get("folded_moves", [])) if moves_for == base_path \
+            else set((_read_snapshot(moves_for) or {}).get("folded_moves", []))
+        live += sum(
+            1
+            for d in _glob.glob(os.path.join(moves_for, "moves", "*"))
+            if _has_success(d) and os.path.basename(d) not in folded
+        )
+    if tomb_path is not None:
+        folded = set((man or {}).get("folded_tombs", []))
+        live += sum(
+            1
+            for d in _glob.glob(os.path.join(tomb_path, "*"))
+            if _has_success(d) and os.path.basename(d) not in folded
+        )
+    if live > COMPACT_CADENCE:
+        warnings.warn(
+            f"{base_path}: {live} live move deltas/tombstone sets exceed "
+            f"the compaction cadence ({COMPACT_CADENCE}); every merged "
+            "read pays the chain — run compact_moves "
+            "(python -m acuvate_spark compact --moves)",
+            UserWarning,
+            stacklevel=3,
+        )
+
+
 def read_with_moves(
     spark, base_path: str, moves_for: str | None = None, tomb_path: str | None = None,
-    key_cols: list[str] | None = None,
+    key_cols: list[str] | None = None, _warn_chain: bool = True,
 ) -> DataFrame:
     """Merge-on-read view over :func:`move_records` state: a table's
     effective rows are its base files (if any — a destination that was
@@ -556,6 +596,8 @@ def read_with_moves(
     if (tomb_path is None) != (key_cols is None):
         raise ValueError("tomb_path and key_cols must be passed together")
     df, man = _resolve_base(spark, base_path)
+    if _warn_chain:
+        _warn_long_move_chain(base_path, moves_for, tomb_path, man)
     if moves_for is not None:
         # a folded move delta is already INSIDE the generation; unlike
         # promote deltas (keyed last-writer-wins, re-application is
@@ -1124,6 +1166,7 @@ def compact_moves(
             moves_for=path if folded_moves else None,
             tomb_path=tomb_path if folded_tombs else None,
             key_cols=key_cols if folded_tombs else None,
+            _warn_chain=False,  # this read exists to RETIRE the chain
         )
         gen_name = _next_gen_name(man)
         view.write.mode("overwrite").parquet(

@@ -1756,3 +1756,51 @@ def test_cli_compact_moves_folds_both_sides(spark, sf_dir, tmp_path, monkeypatch
     assert got_d == d and got_s == s
     # promote fold without --keys is a usage error, not a crash
     assert cli_main(["compact", dst]) == 2
+
+
+def test_long_move_chain_warns_and_compact_moves_clears_it(spark, sf_dir, tmp_path):
+    """r14: the move register's read tax is SURFACED like the promote
+    one — a chain past COMPACT_CADENCE live deltas warns with
+    compact_moves as the remedy; after the fold the warning is gone
+    and serving is identical. Folded-but-retained artifacts must not
+    re-trigger it."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "active")
+    dst = str(tmp_path / "archive")
+    tomb = str(tmp_path / "tombs")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    sup.write.parquet(src)
+    sup.limit(0).write.parquet(dst)
+    n = sinks.COMPACT_CADENCE + 2
+    for i in range(n):
+        sinks.move_records(
+            spark, src, dst, tomb,
+            F.col("s_suppkey") % (n + 5) == i, ["s_suppkey"], f"mv-{i:02d}",
+        )
+    with pytest.warns(UserWarning, match="compact_moves"):
+        d = {tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()}
+    with pytest.warns(UserWarning, match="compact_moves"):
+        s = {
+            tuple(r)
+            for r in sinks.read_with_moves(
+                spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+            ).collect()
+        }
+    assert sinks.compact_moves(spark, dst) == n
+    assert sinks.compact_moves(spark, src, tomb_path=tomb, key_cols=["s_suppkey"]) == n
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        got_d = {
+            tuple(r) for r in sinks.read_with_moves(spark, dst, moves_for=dst).collect()
+        }
+        got_s = {
+            tuple(r)
+            for r in sinks.read_with_moves(
+                spark, src, tomb_path=tomb, key_cols=["s_suppkey"]
+            ).collect()
+        }
+    assert got_d == d and got_s == s
