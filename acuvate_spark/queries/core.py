@@ -28,6 +28,9 @@ from .registry import register
 _RT_HOT_KEY_MIN = 1 << 18
 
 
+_CENTS_DOMAIN = 9e13  # |x| bound where a 2-decimal double is cents-exact
+
+
 def _cents(col):
     """Exact per-row integer cents for a 2-decimal money column.
 
@@ -36,10 +39,22 @@ def _cents(col):
     layout-invariance audit caught this in pricing_summary). Since the
     money columns carry exactly two decimals, floor(x*100 + 0.5) is
     the exact integer per row in BOTH engines; sums over it are
-    associative and layout-invariant. DuckDB oracle twin:
-    CAST(floor(x * 100 + 0.5) AS HUGEINT).
+    associative and layout-invariant.
+
+    Domain guard (r14 extreme-value ring): the idiom is only exact for
+    |x| < 9e13 (past that, a double cannot carry two decimals — and
+    2^53/100 ≈ 9.007e13 is where integer cents stop being
+    representable). Outside the domain the engines silently disagreed:
+    Spark's floor(double)->long SATURATES (±Inf -> ±Long.MAX) and
+    folds NaN to 0 — a NaN price quietly became $0.00 — while the
+    DuckDB twin's HUGEINT conversion crashes outright. The guard makes
+    both engines treat an out-of-domain cell as NULL cents (no
+    contribution to sums, identical on every clean corpus); corrupted
+    money columns are a validation concern, not something to absorb
+    into a report. DuckDB oracle twin:
+    CASE WHEN abs(x) < 9e13 THEN CAST(floor(x * 100 + 0.5) AS HUGEINT) END.
     """
-    return F.floor(col * 100 + F.lit(0.5))
+    return F.when(F.abs(col) < _CENTS_DOMAIN, F.floor(col * 100 + F.lit(0.5)))
 
 
 def _money_sum(col, alias):
@@ -206,19 +221,22 @@ def getdata_keyset(spark, sf_dir):
     oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2)
+       round(sum((CASE WHEN abs(l_extendedprice) < 9e13 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2)
            AS sum_base_price,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5)
-                      * (100 - floor(l_discount * 100 + 0.5)) AS HUGEINT))::DOUBLE
+       round(sum(CASE WHEN abs(l_extendedprice) < 9e13 AND abs(l_discount) < 9e13
+                      THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                           * (100 - floor(l_discount * 100 + 0.5)) AS HUGEINT) END)::DOUBLE
              / 10000, 2) AS sum_disc_price,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5)
-                      * (100 - floor(l_discount * 100 + 0.5))
-                      * (100 + floor(l_tax * 100 + 0.5)) AS HUGEINT))::DOUBLE
+       round(sum(CASE WHEN abs(l_extendedprice) < 9e13 AND abs(l_discount) < 9e13
+                           AND abs(l_tax) < 9e13
+                      THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                           * (100 - floor(l_discount * 100 + 0.5))
+                           * (100 + floor(l_tax * 100 + 0.5)) AS HUGEINT) END)::DOUBLE
              / 1000000, 2) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100
+       round(sum((CASE WHEN abs(l_extendedprice) < 9e13 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100
              / count(*), 4) AS avg_price,
-       round(sum(CAST(floor(l_discount * 100 + 0.5) AS HUGEINT))::DOUBLE / 100
+       round(sum((CASE WHEN abs(l_discount) < 9e13 THEN CAST(floor(l_discount * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100
              / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
@@ -583,7 +601,7 @@ SELECT o_orderstatus,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
        sum(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
-       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_price,
+       round(sum((CASE WHEN abs(o_totalprice) < 9e13 THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS sum_price,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderstatus
@@ -849,7 +867,7 @@ def except_customers(spark, sf_dir):
     oracle="""
 SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events,
-       round(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_value
+       round(sum((CASE WHEN abs(value) < 9e13 THEN CAST(floor(value * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     survey_ref="§2.9 (batch view of the streaming tumbling-window agg)",
@@ -883,7 +901,7 @@ exp AS (
   FROM ev, unnest([0, 1]) AS t(k)
 )
 SELECT window_start, event_type, count(*) AS n_events,
-       round(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_value
+       round(sum((CASE WHEN abs(value) < 9e13 THEN CAST(floor(value * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS sum_value
 FROM exp GROUP BY 1, 2
 """,
     survey_ref="§2.9 (batch view of the streaming sliding-window agg)",
@@ -999,7 +1017,7 @@ WITH ev AS (
   FROM ev WHERE event_type = 'signup' GROUP BY user_id
 ), purchases AS (
   SELECT e.user_id, count(*) AS n_purchases,
-         round(sum(CAST(floor(e.value * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS purchase_value
+         round(sum((CASE WHEN abs(e.value) < 9e13 THEN CAST(floor(e.value * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS purchase_value
   FROM ev e JOIN signup s
     ON e.user_id = s.user_id AND e.event_type = 'purchase'
    AND e.ts::TIMESTAMP > s.first_signup
@@ -1143,7 +1161,7 @@ def sketch_hll_distinct(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_rows,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS revenue
+       round(sum((CASE WHEN abs(l_extendedprice) < 9e13 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
@@ -1186,13 +1204,13 @@ def rollup_sales(spark, sf_dir):
     oracle="""
 SELECT CAST(year(o_orderdate::TIMESTAMP) AS BIGINT) AS order_year,
        round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
-                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                          THEN (CASE WHEN abs(o_totalprice) < 9e13 THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END) END),
                       0)::DOUBLE / 100, 2) AS f_total,
        round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
-                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                          THEN (CASE WHEN abs(o_totalprice) < 9e13 THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END) END),
                       0)::DOUBLE / 100, 2) AS o_total,
        round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
-                          THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END),
+                          THEN (CASE WHEN abs(o_totalprice) < 9e13 THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END) END),
                       0)::DOUBLE / 100, 2) AS p_total
 FROM orders GROUP BY 1
 """,
@@ -1241,7 +1259,7 @@ WITH v AS (
 SELECT o_orderstatus, order_year,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_year) AS BIGINT) AS gid,
        count(*) AS n_orders,
-       round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS total
+       round(sum((CASE WHEN abs(o_totalprice) < 9e13 THEN CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS total
 FROM v
 GROUP BY CUBE (o_orderstatus, order_year)
 """,
@@ -1287,7 +1305,8 @@ def cube_order_year(spark, sf_dir):
     oracle="""
 WITH v AS (
   SELECT o_custkey, o_orderdate, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(12,2)) AS p
+         CASE WHEN isfinite(o_totalprice)
+              THEN TRY_CAST(o_totalprice AS DECIMAL(12,2)) END AS p
   FROM orders
 )
 SELECT o_custkey AS cust_id, o_orderdate, o_orderkey,
@@ -1306,7 +1325,10 @@ def running_totals(spark, sf_dir):
     DECIMAL(12,2) so the running sum is exact (float accumulation
     order would differ between engines); the final cast back to double
     is deterministic. o_orderkey breaks same-day ties so every prefix
-    is uniquely defined.
+    is uniquely defined. The cast is TRY_CAST in both engines (r14
+    extreme-value ring): a non-finite or beyond-DECIMAL(12,2) cell is
+    out of the money domain — NULL, skipped by the running sum —
+    where a plain cast ANSI-crashed Spark and errored DuckDB alike.
 
     ADAPTIVE TWO-LEVEL CUMSUM (r12, tools/window_skew_check.py): the
     single `partitionBy(custkey)` window serializes each customer into
@@ -1334,7 +1356,7 @@ def running_totals(spark, sf_dir):
         "o_custkey",
         "o_orderdate",
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.expr("try_cast(o_totalprice AS decimal(12,2))").alias("p"),
     )
     # metadata-only short-circuit: when the WHOLE table is under the
     # knee, no key can be hot — bench/gate scales skip the probe job
@@ -1472,14 +1494,15 @@ def click_attribution(spark, sf_dir):
     "price_equidepth_bins",
     oracle="""
 WITH b AS (
-  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS bs FROM lineitem
+  SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS bs
+  FROM lineitem WHERE isfinite(l_extendedprice)
 )
 SELECT CASE WHEN l_extendedprice <= bs[1] THEN 1
             WHEN l_extendedprice <= bs[2] THEN 2
             WHEN l_extendedprice <= bs[3] THEN 3
             ELSE 4 END AS bin,
        count(*) AS n_rows,
-       round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT))::DOUBLE / 100, 2) AS sum_price,
+       round(sum((CASE WHEN abs(l_extendedprice) < 9e13 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) END))::DOUBLE / 100, 2) AS sum_price,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem, b
@@ -1501,9 +1524,15 @@ def price_equidepth_bins(spark, sf_dir):
     shape. The oracle uses the exact interpolated quantile, which
     Spark's ``percentile`` matches bit-for-bit (same (n-1)*p linear
     interpolation over IEEE doubles as DuckDB's ``quantile_cont``).
+
+    Boundary estimation ignores non-finite cells (r14 extreme-value
+    ring: a single NaN collapsed DuckDB's interpolation into one
+    all-rows bin while Spark binned normally). Non-finite rows are
+    still BINNED — NaN/+Inf fall to the last bin under both engines'
+    shared NaN-greatest total order.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.agg(
+    b = li.where(F.abs(F.col("l_extendedprice")) < F.lit(float("inf"))).agg(
         F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("bs")
     )
     j = li.crossJoin(F.broadcast(b))

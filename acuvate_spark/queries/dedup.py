@@ -451,7 +451,9 @@ def dedup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _EMB_SQL = """
-embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 emb AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL

@@ -662,7 +662,9 @@ dim AS (
 )
 SELECT f.sk, d.label,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+       CAST(sum(CASE WHEN abs(f.l_extendedprice) < 9e13
+                     THEN CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS price_cents
 FROM fact f JOIN dim d ON d.sk = f.sk
 GROUP BY f.sk, d.label
 """,
@@ -709,9 +711,13 @@ def salted_skew_join(spark, sf_dir):
         "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
     )
     joined = fact.join(dim_salted, ["sk", "salt"])
+    # guarded exact-cents domain (see queries.core._cents): NULL for
+    # non-finite / |x| >= 9e13 cells instead of floor->long saturation
+    cents = F.when(
+        F.abs(F.col("l_extendedprice")) < 9e13,
+        F.floor(F.col("l_extendedprice") * 100 + 0.5),
+    ).cast("long")
     return joined.groupBy("sk", "label").agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
-        .cast("long")
-        .alias("price_cents"),
+        F.sum(cents).cast("long").alias("price_cents"),
     )

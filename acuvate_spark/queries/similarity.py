@@ -36,7 +36,9 @@ _COS_SQL = vectors.cosine_rounded_sql("q.embedding", "n.embedding", 4)
 @register(
     "ann_cosine_topk",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 q AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id % 100 = 0 AND vec_id < {_ANN_BATCH_MAX_VEC}),
 pairs AS (
@@ -90,7 +92,9 @@ _PLANES = [[round(_rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(4)
 @register(
     "ann_lsh_bucketed",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 b AS (
   SELECT vec_id, embedding,
          {vectors.hyperplane_bucket_sql('embedding', _PLANES)} AS bucket
@@ -154,7 +158,9 @@ _IVF_NPROBE = 2  # cells searched per query
 @register(
     "ann_ivf_flat",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 seeds AS (
   SELECT vec_id AS centroid_id, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
@@ -251,7 +257,9 @@ _LLOYD_SCALE = 1_000_000  # fixed-point component scale (10^6)
 @register(
     "ann_ivf_lloyd",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 seeds AS (
   SELECT vec_id AS centroid_id, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
@@ -405,7 +413,9 @@ _QUANT_LEVELS = 254  # quantized values land in [0, 254] (255 levels)
 @register(
     "embedding_quantize",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 comp AS (
   SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
   FROM embeddings, range(1, 65) t(i)
@@ -511,7 +521,9 @@ def _kcenter_oracle() -> str:
     # center embeddings join in as plain columns (cc.ce) — DuckDB
     # rejects scalar subqueries inside list-comprehension lambdas
     parts = [
-        "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL)",
+        "embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL"
+        " AND len(list_filter(embedding,"
+        " x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0)",
         "e AS (SELECT vec_id, embedding FROM embeddings)",
     ]
     parts.append(
@@ -634,7 +646,9 @@ _KNN_BATCH_MAX_VEC = 2000
 @register(
     "knn_label_vote",
     oracle=f"""
-WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL),
+WITH embeddings AS (SELECT * FROM main.embeddings WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding,
+                        x -> NOT coalesce(abs(x) < 'Infinity'::FLOAT, FALSE))) = 0),
 q AS (
   SELECT vec_id, embedding, label FROM embeddings
   WHERE vec_id % 20 = 1 AND vec_id < {_KNN_BATCH_MAX_VEC}

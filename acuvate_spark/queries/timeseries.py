@@ -27,7 +27,8 @@ from .registry import register
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+         CAST(sum(CASE WHEN abs(value) < 9e13
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS value_cents
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
@@ -74,7 +75,13 @@ def gapfill_frame(ev):
     user_id, value) — shared by the registry query and the late-data
     reconciliation job so 'batch truth' is one definition."""
     day = F.date_trunc("day", F.col("ts"))
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    # guarded exact-cents domain (see queries.core._cents): out-of-domain
+    # values (non-finite, |x| >= 9e13) have no well-defined cents — NULL,
+    # not Spark's silent floor->long saturation (ANSI long-sum overflow
+    # crash on Inf, NaN folded to 0; r14 extreme-value ring)
+    cents = F.when(F.abs(F.col("value")) < 9e13, F.floor(F.col("value") * 100 + 0.5)).cast(
+        "long"
+    )
     daily = ev.groupBy(F.col("user_id"), day.alias("day")).agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum(cents).cast("long").alias("value_cents"),

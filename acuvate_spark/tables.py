@@ -63,19 +63,35 @@ def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
 
 def load_embeddings(spark: SparkSession, sf_dir: str, *extra_cols: str) -> DataFrame:
     """Embedding-corpus entry point for the ANN/dedup/quantize family:
-    rows whose ``embedding`` is NULL carry no vector to index, search,
+    rows whose ``embedding`` is NULL — or carries any null or
+    non-finite component — have no usable vector to index, search,
     cluster or quantize and are EXCLUDED up front. The r13 null-corpus
-    audit found them crashing the blas/coreset Python kernels
+    audit found NULL rows crashing the blas/coreset Python kernels
     (``None`` is not a float array) and silently skewing k-means seeds
-    and quantization stats relative to the oracles — every family
-    oracle carries the matching ``WHERE embedding IS NOT NULL`` (as a
-    CTE shadowing the raw view). A null-free corpus is byte-identical
-    with or without the filter, and the parquet scan serves it as an
-    IsNotNull pushed filter."""
+    and quantization stats relative to the oracles. The r14
+    extreme-value ring extended the contract to vector CELLS: a NaN
+    component poisons every dot product it touches, and the engines
+    then disagree on what a NaN similarity means — numpy kernels drop
+    it (IEEE ``NaN >= t`` is false) while SQL total-order comparison
+    keeps it (NaN sorts greatest), which turned dedup_embedding_cosine
+    into 9-vs-2308 rows and crashed ann_ivf_lloyd / coreset_kcenter on
+    ANSI NaN casts. Every family oracle carries the matching finite
+    filter in its ``embeddings`` CTE:
+    ``len(list_filter(embedding, x -> NOT coalesce(abs(x) <
+    'Infinity'::FLOAT, FALSE))) = 0``. The Spark twin below uses the
+    same ``abs(x) < Inf`` form, which is false for NaN in BOTH engines
+    (each treats NaN as greater than infinity), with null components
+    coalesced to excluded. A clean corpus is byte-identical with or
+    without the filter, and the null test is still a pushed IsNotNull
+    at the scan."""
+    finite = F.forall(
+        F.col("embedding"),
+        lambda x: F.coalesce(x.isNotNull() & (F.abs(x) < F.lit(float("inf"))), F.lit(False)),
+    )
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding", *extra_cols)
-        .where(F.col("embedding").isNotNull())
+        .where(F.col("embedding").isNotNull() & finite)
     )
 
 
