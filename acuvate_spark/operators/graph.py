@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import CheckpointRing
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,9 +59,15 @@ def connected_components(
     )
     # localCheckpoint cuts the lineage each round: without it the plan
     # doubles per iteration (joins reference the previous labels) and
-    # Catalyst planning cost explodes long before the data does.
+    # Catalyst planning cost explodes long before the data does. sym is
+    # loop-invariant (checkpointed BEFORE the ring so it is never
+    # freed); superseded label rounds are freed deterministically by
+    # the ring — without it a 25-round run leaves 24 dead snapshots
+    # pinned until the async ContextCleaner notices (see checkpoints.py).
     sym = sym.localCheckpoint(eager=True)
+    ring = CheckpointRing(labels.sparkSession)
     labels = labels.localCheckpoint(eager=True)
+    ring.rotate()  # round 0: the seed labels
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -88,6 +96,7 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
+        ring.rotate()  # new_labels is materialized: free the old round
         labels = new_labels.drop("changed")
         if not n_changed:
             break
@@ -153,7 +162,12 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes is loop-invariant (before the ring, never freed); keep=2
+    # because the convergence confirm reads the PREVIOUS round's edge
+    # set (prev.exceptAll(e)) after the new round materializes.
+    ring = CheckpointRing(edges.sparkSession, keep=2)
     e = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    ring.rotate()  # round 0: the initial edge set
 
     rounds = 0
     sig = _edge_signature(e)
@@ -187,6 +201,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        ring.rotate()  # e materialized (eager): free rounds beyond prev
         new_sig = _edge_signature(e)
         if new_sig == sig:
             # confirm exactly before trusting the 64-bit signature:
