@@ -12,6 +12,8 @@ few decimals because DuckDB's summation order may differ.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -83,8 +85,39 @@ def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
     in the lambda. Semantically identical to ``hyperplane_bucket`` but
     ~4x faster to analyze+execute at 64 planes (one expression tree
     instead of 64 independent aggregate chains) — use this for banded
-    LSH signatures, the per-plane form for small bucket ids."""
-    planes_arr = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    LSH signatures, the per-plane form for small bucket ids.
+
+    The planes literal is shipped as ONE ``from_json`` of a JSON
+    string, not nested ``array(array(lit, ...))`` calls: at 64x64 the
+    nested form is 4096 element Columns = ~12k py4j round trips
+    (~2.1 s of driver time per query CONSTRUCTION, before any job) and
+    a 4160-node Catalyst tree re-constant-folded on every action.
+    ``JsonToStructs`` of a literal is foldable, so the optimizer
+    collapses it to the same array<array<double>> Literal once per
+    action at ~zero cost (measured: build 2.06 s -> 0.005 s, action
+    0.157 s -> 0.126 s, results bit-identical — doubles round-trip
+    exactly through JSON repr). The adaptive configs compound this:
+    past 65k vectors ``_emb_lsh_config`` emits bits*bands >= 132
+    planes, where the nested form's driver stall grows past 4 s.
+
+    ``from_json`` alone is NULLABLE, and that nullability propagates
+    to the signature column where the old non-nullable nested-array
+    form made it non-null — which flips Spark's stats/constraint
+    propagation into a path where ``localCheckpoint`` of a downstream
+    frame that dropped the vector column dies with
+    ``NoSuchElementException: key not found: embedding#N``
+    (reproduced: read the same parquet via ``toPandas`` first, then
+    build the banded pipeline). The ``coalesce`` with a non-nullable
+    empty-array literal restores the exact nullability the old form
+    had; it stays foldable, so the optimizer still collapses the whole
+    thing to one Literal."""
+    planes_arr = F.coalesce(
+        F.from_json(
+            F.lit(json.dumps([[float(x) for x in p] for p in planes])),
+            "array<array<double>>",
+        ),
+        F.array().cast("array<array<double>>"),
+    )
     return F.array_join(
         F.transform(
             planes_arr,

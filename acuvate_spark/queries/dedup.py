@@ -852,10 +852,24 @@ def dedup_embedding_cosine(spark, sf_dir):
     cross the wire only for verified candidates."""
     raw = load_embeddings(spark, sf_dir)
     e = repartition_for_compute(raw)
-    clones = e.where(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(100000)
+    # clone expansion as ONE generator pass instead of base-UNION-clones:
+    # the union form read the corpus twice (two subtrees over the same
+    # scan) and, worse, Union constraint rewriting over two branches of
+    # one cached relation is the attribute-id-sensitive Spark seam that
+    # intermittently kills a downstream localCheckpoint with
+    # "NoSuchElementException: key not found: embedding#N" (reproduced:
+    # toPandas-read the same parquet first, then build the banded
+    # pipeline). Row set is identical: every row keeps vec_id, and
+    # vec_id%50==0 rows additionally emit vec_id+100000.
+    emb = e.select(
+        F.explode(
+            F.when(
+                F.col("vec_id") % 50 == 0,
+                F.array(F.col("vec_id"), F.col("vec_id") + F.lit(100000)),
+            ).otherwise(F.array(F.col("vec_id")))
+        ).alias("vec_id"),
+        "embedding",
     )
-    emb = e.unionByName(clones)
     bits, bands, planes = _emb_lsh_config(_emb_corpus_n(raw, sf_dir))
     return _emb_near_dup_pairs(emb, bits, bands, planes)
 
