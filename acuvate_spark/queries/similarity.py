@@ -219,20 +219,43 @@ def ann_ivf_flat(spark, sf_dir):
     e = repartition_for_compute(
         load_embeddings(spark, sf_dir)
     )
+    # seeds feed BOTH assign passes below; 16 rows, so the eager
+    # checkpoint is free and stops the TakeOrdered-over-the-corpus
+    # subtree running once per consumer (executed-plan check: zero
+    # ReusedExchange nodes — the duplication was real, not deduped by
+    # AQE exchange reuse)
     seeds = (
         e.orderBy("vec_id")
         .limit(_IVF_K)
         .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+        .localCheckpoint(eager=True)
     )
-    ranked_cells = assign.nearest_centroids(e, seeds, k_hint=_IVF_K, n_best=_IVF_NPROBE)
-    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
-    probes = (
-        ranked_cells.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
-        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
-        .join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
-            "query_id",
-        )
+    # Split the single n_best=_IVF_NPROBE assign into two passes sized
+    # to their consumers (r14, guide §2.3/§2.4): the old shared
+    # ``ranked_cells`` frame had two consumers and no materialization,
+    # so the whole corpus cross+window subtree executed TWICE — and the
+    # index-build side only needs rn=1, yet paid the n_best>1 window
+    # form, which shuffles nprobe rows per corpus vector (embedding
+    # included) for its row_number. Now:
+    # * assigned: n_best=1 over the full corpus — the map-side-combined
+    #   max_by fast path, no window shuffle of the corpus at all;
+    # * probes: n_best=_IVF_NPROBE over the ~1% query batch only (the
+    #   filter commutes with per-vector ranking), with qe taken
+    #   straight from the assign output instead of a join back to e.
+    # Rows identical by the nearest_centroids strategy-identity
+    # contract (A/B-checked at sf0.1); local wall-clock neutral (the
+    # corpus is tiny at test scale), but at corpus scale this removes
+    # one full assign pass and the corpus-wide window shuffle.
+    assigned = assign.nearest_centroids(e, seeds, k_hint=_IVF_K, n_best=1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries_e = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
+    probes = assign.nearest_centroids(
+        queries_e, seeds, k_hint=_IVF_K, n_best=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("probe_cell"),
+        F.col("embedding").alias("qe"),
     )
     pairs = (
         assigned.join(
@@ -379,16 +402,30 @@ def ann_ivf_lloyd(spark, sf_dir):
             ),
             lambda s: s.val,
         ).alias("ce")
+    # cent feeds BOTH refined-assign passes below; it is K (= 16) rows,
+    # but producing it runs the whole seed-assign + fixed-point-mean
+    # pipeline — the eager checkpoint stops that subtree executing once
+    # per consumer (the before-plan shows the full Lloyd refinement,
+    # scans included, duplicated under each consumer; executed-plan
+    # check found zero ReusedExchange nodes)
+    ).localCheckpoint(eager=True)
+    # Same two-pass split as ann_ivf_flat (r14, guide §2.3/§2.4): the
+    # old shared ``ranked1`` executed the refined corpus assign TWICE
+    # and paid the n_best>1 window shuffle over the full corpus for an
+    # index build that only needs rn=1. Full corpus: n_best=1 map-side
+    # max_by (no window shuffle); query batch (~1%): n_best=_IVF_NPROBE
+    # with qe straight off the assign output. Rows identical by the
+    # nearest_centroids strategy-identity contract.
+    cell1 = assign.nearest_centroids(e, cent, k_hint=_IVF_K, n_best=1).select(
+        "vec_id", "embedding", "centroid_id"
     )
-    ranked1 = assign.nearest_centroids(e, cent, k_hint=_IVF_K, n_best=_IVF_NPROBE)
-    cell1 = ranked1.where(F.col("rn") == 1).select("vec_id", "embedding", "centroid_id")
-    probes = (
-        ranked1.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
-        .select(F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("probe_cell"))
-        .join(
-            e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")),
-            "query_id",
-        )
+    queries_e = e.where((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < _ANN_BATCH_MAX_VEC))
+    probes = assign.nearest_centroids(
+        queries_e, cent, k_hint=_IVF_K, n_best=_IVF_NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("probe_cell"),
+        F.col("embedding").alias("qe"),
     )
     pairs = (
         cell1.join(
