@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import textual
-from ..tables import load_table, repartition_for_compute
+from ..tables import load_table, materialize_and_release, repartition_for_compute
 from .graph import _EDGES_SQL, _edges
 from .registry import register
 
@@ -1164,26 +1164,52 @@ def bm25_probe_ranking(spark, sf_dir):
     unbounded shuffles except the (doc_id, dl) frame, keyed on
     doc_id."""
     d = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    tokd = d.select(
-        "doc_id",
-        F.explode(F.filter(_lower_words(F.col("text")), lambda x: x != "")).alias("term"),
+    # One tokenize pass for EVERYTHING (r14, guide §2.3 "aggregate
+    # before you shuffle"): the old form exploded the full token stream
+    # twice — once for per-doc lengths, once (term-filtered after the
+    # explode) for tf — and then joined dl back onto tf. dl is just the
+    # size of the word array and tf the count of equal elements, so one
+    # narrow per-doc projection (doc_id + 4 longs) replaces both
+    # Generates, the full-token dl shuffle AND the dl join. The w
+    # column is computed once per row (column-level reuse inside the
+    # codegen stage); docs with zero tokens had no tokd rows, so the
+    # dl > 0 filter reproduces the old stats/n_docs base exactly.
+    # Persisted: stats and the tf unpivot are separate consumers that
+    # would otherwise re-run the tokenize; released via the registry's
+    # standard epilogue.
+    w = F.filter(_lower_words(F.col("text")), lambda x: x != "")
+
+    def _tf(term):
+        # NB: the lambda must be unary — a second parameter would be
+        # bound to the array INDEX by the higher-order-function API
+        return F.size(F.filter(F.col("w"), lambda x: x == F.lit(term))).cast("long")
+
+    per_doc = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("dl"),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+        )
+        .where(F.col("dl") > 0)
+        .persist()
     )
-    dl = tokd.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
-    tf = (
-        tokd.where(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(
+            "stack({}, {}) AS (term, tf)".format(
+                len(_BM25_TERMS),
+                ", ".join(f"'{t}', tf{i}" for i, t in enumerate(_BM25_TERMS)),
+            )
+        ),
+    ).where(F.col("tf") > 0)
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    joined = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    joined = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
     idf_micro = F.round(
         F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * 1000000
     ).cast("long")
@@ -1197,7 +1223,7 @@ def bm25_probe_ranking(spark, sf_dir):
             * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / avgdl))
         )
     ).cast("long")
-    return (
+    result = (
         joined.select("doc_id", score_micro.alias("score_micro"))
         .groupBy("doc_id")
         .agg(
@@ -1205,6 +1231,7 @@ def bm25_probe_ranking(spark, sf_dir):
             F.sum("score_micro").cast("long").alias("bm25_micro"),
         )
     )
+    return materialize_and_release(result, per_doc)
 
 
 # T5-style span corruption: ~15% of word positions are noise-seeded
