@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import tags
-from ..tables import load_table, repartition_for_compute
+from ..tables import load_table, materialize_and_release, repartition_for_compute
 from .registry import register
 
 
@@ -1627,6 +1627,21 @@ def cms_point_query(spark, sf_dir):
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
     tok = d.select(F.explode(words).alias("term"))
+    # Aggregate the token stream to (term, count) BEFORE hashing (r14,
+    # guide §2.3): the 4 md5(j|term) bucket hashes were computed per
+    # token INSTANCE — 4 x |tokens| md5 calls, the measured hotspot —
+    # and the exact-count audit side re-tokenized the whole corpus in a
+    # second pass. One map-side-combinable wordcount reduces the stream
+    # to its vocabulary; the sketch hashes each distinct term once and
+    # sums counts into the same 1024 counters (sum of per-term counts
+    # per bucket == count of token instances per bucket, so every
+    # counter — and every result row — is bit-identical), and the exact
+    # side is now a filter on the same frame instead of a second scan.
+    # Persisted: sketch and exact are separate consumers; released via
+    # the standard epilogue.
+    tcounts = (
+        tok.groupBy("term").agg(F.count("*").cast("long").alias("tc")).persist()
+    )
 
     def bucket(j, col):
         return (
@@ -1636,7 +1651,7 @@ def cms_point_query(spark, sf_dir):
             % _CMS_W
         )
 
-    jb = tok.select(
+    jb = tcounts.select(
         F.explode(
             F.array(
                 *[
@@ -1647,9 +1662,10 @@ def cms_point_query(spark, sf_dir):
                     for j in range(_CMS_D)
                 ]
             )
-        ).alias("jb")
-    ).select("jb.j", "jb.bucket")
-    sketch = jb.groupBy("j", "bucket").agg(F.count("*").cast("long").alias("c"))
+        ).alias("jb"),
+        "tc",
+    ).select("jb.j", "jb.bucket", "tc")
+    sketch = jb.groupBy("j", "bucket").agg(F.sum("tc").cast("long").alias("c"))
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(w) for w in _CMS_PROBES])).alias("word")
     )
@@ -1672,12 +1688,10 @@ def cms_point_query(spark, sf_dir):
         .groupBy("word")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
     )
-    exact = (
-        tok.where(F.col("term").isin(*_CMS_PROBES))
-        .groupBy(F.col("term").alias("word"))
-        .agg(F.count("*").cast("long").alias("exact_count"))
+    exact = tcounts.where(F.col("term").isin(*_CMS_PROBES)).select(
+        F.col("term").alias("word"), F.col("tc").alias("exact_count")
     )
-    return (
+    result = (
         probes.join(est, "word")
         .join(exact, "word", "left")
         .select(
@@ -1690,3 +1704,4 @@ def cms_point_query(spark, sf_dir):
             (F.col("cms_est") >= F.coalesce(F.col("exact_count"), F.lit(0))).alias("sound"),
         )
     )
+    return materialize_and_release(result, tcounts)
