@@ -1555,9 +1555,15 @@ def source_overlap_kmv(spark, sf_dir):
         .withColumn("rn", F.row_number().over(per_salt))
         .where(F.col("rn") <= _KMV_K)
     )
+    # sk is |sources| rows (tiny by definition) but BOTH sides of the
+    # pairwise self-join below consume it — without materialization the
+    # whole corpus pipeline (scan, shingle explode, distinct, bottom-k
+    # windows) executed twice, once per join side (r14; the before-plan
+    # shows 2 scans / 2 windows / 2 Generates, no ReusedExchange). The
+    # eager checkpoint caps that at one pass.
     sk = survivors.groupBy("source").agg(
         F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("sk")
-    )
+    ).localCheckpoint(eager=True)
     a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("sk_a"))
     b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("sk_b"))
     pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
