@@ -206,24 +206,47 @@ def ocr_words_stub(pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataF
     schema = OCR_WORDS_SCHEMA + "".join(f", {c} string" for c in passthrough)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized token explosion (r14, guide §4.2): the old form
+        # appended one Python tuple per WORD and built the batch frame
+        # from that row list — the per-token interpreter loop was the
+        # measured cost of the whole kernel. Tokenization still runs
+        # per page (str.split has no vectorized equivalent with
+        # identical semantics), but the explosion to word rows is
+        # numpy: repeat page ids/metadata by token count, one arange
+        # subtraction for word_idx, one fromiter for the flat word
+        # array. Values are identical — including None text -> no
+        # tokens and the NaN-as-null polygon cells the row-list form
+        # produced via pandas' float64 coercion.
+        import itertools
+
+        import numpy as np
+
         for pdf in it:
-            rows = []
-            extras = [pdf[c] for c in passthrough]
-            for page_id, text, *meta in zip(pdf["page_id"], pdf["content"], *extras):
-                toks = str(text).split() if text is not None else []
-                for i, w in enumerate(toks):
-                    has_poly = len(w) >= 2
-                    rows.append(
-                        (
-                            page_id,
-                            i,
-                            w,
-                            float(10 * i) if has_poly else None,
-                            float(page_id % 100) if has_poly else None,
-                            *meta,
-                        )
-                    )
-            yield pd.DataFrame(rows, columns=cols)
+            toks = [
+                str(t).split() if t is not None else [] for t in pdf["content"]
+            ]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            total = int(lens.sum())
+            words = np.fromiter(
+                itertools.chain.from_iterable(toks), dtype=object, count=total
+            )
+            page_rep = np.repeat(pdf["page_id"].to_numpy(), lens)
+            starts = np.repeat(lens.cumsum() - lens, lens)
+            word_idx = np.arange(total, dtype=np.int64) - starts
+            wlen = np.fromiter((len(w) for w in words), dtype=np.int64, count=total)
+            has_poly = wlen >= 2
+            poly_x = np.where(has_poly, 10.0 * word_idx, np.nan)
+            poly_y = np.where(has_poly, (page_rep % 100).astype(np.float64), np.nan)
+            out = {
+                "page_id": page_rep,
+                "word_idx": word_idx,
+                "word": words,
+                "poly_x": poly_x,
+                "poly_y": poly_y,
+            }
+            for c in passthrough:
+                out[c] = np.repeat(pdf[c].to_numpy(), lens)
+            yield pd.DataFrame(out, columns=cols)
 
     return pages.mapInPandas(batches, schema=schema)
 
