@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from .checkpoints import CheckpointRing
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as plain bytes (the conf
+    accepts bare numbers or k/m/g-suffixed sizes; -1 disables)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in ("k", "m", "g"):
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -65,6 +82,33 @@ def connected_components(
     # the ring — without it a 25-round run leaves 24 dead snapshots
     # pinned until the async ContextCleaner notices (see checkpoints.py).
     sym = sym.localCheckpoint(eager=True)
+    # At scale, hash-partition sym on the JOIN key once before the loop
+    # (r14, guide §2.4 "two operations keyed the same way can share one
+    # exchange"): LogicalRDD preserves the materialized partitioning,
+    # and the labels side arrives hash-partitioned on node from the
+    # previous round's aggregate, so every round's join needs no fresh
+    # exchange of the edge set — one up-front shuffle buys
+    # diameter-many shuffle-free sort-merge joins. GATED on whether the
+    # label frame can broadcast (scale-adaptive per guide §2, derived
+    # from the data, not a local constant): while labels fit the
+    # broadcast threshold every round is a broadcast join and sym never
+    # shuffles anyway — there the pinned-width repartition only added
+    # rounds x empty-task scheduling (measured +55% on the sf0.1
+    # interleaved A/B) and is skipped. The node count is the self-loop
+    # count already materialized in sym (a cheap cached scan); 32 B/row
+    # approximates the (node, component) broadcast row. A disabled
+    # broadcast threshold (-1) correctly always pre-partitions.
+    # Result-invariant either way (row order never reaches the min
+    # aggregates). The node-count probe itself is skipped while the
+    # materialized edge set coalesced to a handful of partitions (a
+    # few-hundred-MB graph at the default 64 MB advisory size — its
+    # label frame is far under any broadcast threshold), so the tiny-
+    # graph path pays ZERO extra jobs for the gate.
+    if sym.rdd.getNumPartitions() >= 8:
+        n_nodes = sym.where(F.col("a") == F.col("b")).count()
+        if n_nodes * 32 > _broadcast_threshold_bytes(edges.sparkSession):
+            n_part = sym.sparkSession.sparkContext.defaultParallelism * 2
+            sym = sym.repartition(n_part, F.col("b")).localCheckpoint(eager=True)
     ring = CheckpointRing(labels.sparkSession)
     labels = labels.localCheckpoint(eager=True)
     ring.rotate()  # round 0: the seed labels

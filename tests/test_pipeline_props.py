@@ -157,6 +157,38 @@ def test_star_cc_matches_label_cc_on_random_graphs(spark):
         assert a == b, f"trial {trial}: star vs label disagree"
 
 
+def test_cc_prepartition_gate_result_invariant(spark):
+    """r14: connected_components gains a scale-adaptive pre-partition
+    of the checkpointed edge set (shuffle-free per-round joins once the
+    label frame outgrows broadcast). Force BOTH gate conditions at
+    fixture scale — AQE coalescing off so the materialized edge set
+    keeps >= 8 partitions, broadcast threshold -1 so the label-bytes
+    test always fires — and pin that the pre-partitioned path emits
+    EXACTLY the labels of the default (gate-off) path."""
+    import random as _r
+
+    from acuvate_spark.operators.graph import connected_components
+
+    rng = _r.Random(23)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_coalesce, old_bcast = spark.conf.get(coalesce_key), spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        spark.conf.set(bcast_key, "-1")
+        gated = {
+            (r["node"], r["component"]) for r in connected_components(df).collect()
+        }
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        spark.conf.set(bcast_key, old_bcast)
+    assert gated == base
+
+
 def test_simhash_no_pos_col_exact_past_lane_limit(spark):
     """ADVICE r05: without pos_col the old single-pass lanes were only
     exact to 65,535 tokens per document — past that they silently
