@@ -206,17 +206,18 @@ def ocr_words_stub(pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataF
     schema = OCR_WORDS_SCHEMA + "".join(f", {c} string" for c in passthrough)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # vectorized token explosion (r14, guide §4.2): the old form
-        # appended one Python tuple per WORD and built the batch frame
-        # from that row list — the per-token interpreter loop was the
-        # measured cost of the whole kernel. Tokenization still runs
-        # per page (str.split has no vectorized equivalent with
-        # identical semantics), but the explosion to word rows is
-        # numpy: repeat page ids/metadata by token count, one arange
-        # subtraction for word_idx, one fromiter for the flat word
-        # array. Values are identical — including None text -> no
-        # tokens and the NaN-as-null polygon cells the row-list form
-        # produced via pandas' float64 coercion.
+        # adaptive token explosion (r14, guide §4.2): the old form
+        # always appended one Python tuple per WORD and built the batch
+        # frame from that row list — a per-token interpreter loop. On
+        # token-HEAVY pages (real OCR output: hundreds of words each)
+        # the explosion is now numpy: repeat page ids/metadata by token
+        # count, one arange subtraction for word_idx, one fromiter for
+        # the flat word array. On token-sparse batches (the synthetic
+        # one-token pages of the ETL fixtures) the numpy constants
+        # exceed the loop cost — measured +3-9% on the two consumer
+        # queries — so those keep the row loop. Values are identical on
+        # both paths — including None text -> no tokens and the
+        # NaN-as-null polygon cells pandas' float64 coercion produces.
         import itertools
 
         import numpy as np
@@ -227,6 +228,24 @@ def ocr_words_stub(pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataF
             ]
             lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
             total = int(lens.sum())
+            if total < 8 * len(toks):
+                rows = []
+                extras = [pdf[c] for c in passthrough]
+                for page_id, tk, *meta in zip(pdf["page_id"], toks, *extras):
+                    for i, w in enumerate(tk):
+                        has_poly = len(w) >= 2
+                        rows.append(
+                            (
+                                page_id,
+                                i,
+                                w,
+                                float(10 * i) if has_poly else None,
+                                float(page_id % 100) if has_poly else None,
+                                *meta,
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+                continue
             words = np.fromiter(
                 itertools.chain.from_iterable(toks), dtype=object, count=total
             )

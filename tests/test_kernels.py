@@ -350,3 +350,45 @@ def test_nms_grid_identical_to_linear_scan(spark, shape):
     got = sorted(tuple(r) for r in kernels.nms_grid(df).collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_ocr_words_stub_sparse_and_dense_paths_agree(spark):
+    """r14: the OCR word-explosion kernel picks a row-loop or a numpy
+    path per batch by token density (threshold: 8 tokens/page). Both
+    paths must emit the identical word rows — pinned against a naive
+    reference on one sparse batch (1 token/page, loop path) and one
+    dense batch (40 tokens/page, numpy path), None text and 1-char
+    no-polygon words included."""
+    from acuvate_spark.operators.kernels import ocr_words_stub
+
+    def reference(rows):
+        out = []
+        for page_id, text, fname in rows:
+            toks = str(text).split() if text is not None else []
+            for i, w in enumerate(toks):
+                has_poly = len(w) >= 2
+                out.append(
+                    (
+                        page_id,
+                        i,
+                        w,
+                        float(10 * i) if has_poly else None,
+                        float(page_id % 100) if has_poly else None,
+                        fname,
+                    )
+                )
+        return sorted(out)
+
+    sparse = [(101, "(TAG-1)", "f1.pdf"), (102, None, "f2.pdf"), (103, "x", "f3.pdf")]
+    dense = [
+        (201, " ".join(f"w{i}" if i % 7 else "y" for i in range(40)), "g1.pdf"),
+        (202, " ".join(f"t{i}" for i in range(40)), "g2.pdf"),
+    ]
+    for rows in (sparse, dense):
+        pages = spark.createDataFrame(
+            rows, "page_id long, content string, file_name string"
+        ).coalesce(1)
+        got = sorted(
+            tuple(r) for r in ocr_words_stub(pages, passthrough=("file_name",)).collect()
+        )
+        assert got == reference(rows)
