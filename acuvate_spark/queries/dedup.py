@@ -1745,11 +1745,19 @@ def dedup_span_removal(spark, sf_dir):
     (doc_id, n_words, n_kept, md5(cleaned_text)) for every document.
 
     100 TB story: gram occurrences shuffle as (md5 16 B, two longs) —
-    never text; the global first-occurrence is min(struct(doc, start))
-    — a two-column lexicographic argmin, map-side combinable, and safe
-    for documents of ANY length (the earlier doc*1M+start integer
-    encoding silently mis-ranked docs with >=1M words) — and re-joins
-    occurrences on the gram hash (AQE picks the strategy).
+    never text; the non-first occurrences come from ONE row_number
+    window over the gram hash (r15, guide §2.4: the r14 form computed
+    a min(struct(doc, start)) argmin and joined it back, which the
+    full-lineage plan dump showed costing the occ subtree — explode +
+    md5 — TWICE plus a Sort+SortAggregate pair, since struct mins are
+    not hash-aggregable and the claimed exchange sharing never
+    happened; the window is the same gkey shuffle the join needed,
+    minus the second occ pass, both extra sorts and the join. Skew
+    note: a hot gram lands its occurrences in one window partition,
+    but the replaced sort-merge join put the SAME rows in one join
+    partition — the only loss is AQE's skew-join splitting, which
+    never applied to the agg side anyway; occurrences of a hot gram
+    survive into ``covered`` in full on either form).
     Cover explode is bounded (x5); the keep filter is an anti join on
     (doc, pos); reassembly is a per-doc sort of that doc's own
     surviving words (collect_list + in-row array_sort — state bounded
@@ -1762,12 +1770,9 @@ def dedup_span_removal(spark, sf_dir):
         base.select("doc_id", F.posexplode(textual.word_shingles(F.col("w"), _REMOVE_SPAN_N)).alias("start0", "gram"))
         .select("doc_id", "start0", F.md5("gram").alias("gkey"))
     )
-    firsts = occ.groupBy("gkey").agg(
-        F.min(F.struct("doc_id", "start0")).alias("first_occ")
-    )
-    nonfirst = occ.join(firsts, "gkey").where(
-        (F.col("doc_id") != F.col("first_occ.doc_id"))
-        | (F.col("start0") != F.col("first_occ.start0"))
+    first_w = Window.partitionBy("gkey").orderBy("doc_id", "start0")
+    nonfirst = occ.withColumn("rn", F.row_number().over(first_w)).where(
+        F.col("rn") > 1
     )
     covered = nonfirst.select(
         "doc_id",
