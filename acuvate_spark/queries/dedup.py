@@ -1229,27 +1229,35 @@ def contamination_substring(spark, sf_dir):
         .select(F.explode(grams).alias("gram"))
         .distinct()  # cross-doc distinct still needed for the broadcast set
     )
-    cg = (
-        repartition_for_compute(_char_grams(corpus))
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .persist()
+    # ONE pass over the corpus gram stream (r15, guide §2.3/§2.4): the
+    # r14 form persisted cg and consumed it twice (a count aggregate
+    # and a broadcast-semi-join hit aggregate), then outer-joined the
+    # two 1-row-per-doc frames back together. Because bg is DISTINCT
+    # on gram, a broadcast LEFT join preserves every cg row exactly
+    # once with a hit marker attached, so one aggregation computes
+    # n_grams (count of rows) and n_hit (count of markers) together —
+    # the second cg pass, the persist, and the counts-hits join all
+    # disappear, and n_hit counts to 0 naturally where the old form
+    # coalesced a null.
+    cg = repartition_for_compute(_char_grams(corpus)).select(
+        "doc_id", F.explode(grams).alias("gram")
     )
-    counts = cg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
-    hits = (
-        cg.join(F.broadcast(bg), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    marked = cg.join(
+        F.broadcast(bg.withColumn("__hit", F.lit(1))), "gram", "left"
     )
-    result = (
-        counts.join(hits, "doc_id", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_hit"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
-            (F.coalesce(F.col("n_hit"), F.lit(0)) >= _SUB_MIN_HITS).alias("flagged"),
+            "n_hit",
+            (F.col("n_hit") >= _SUB_MIN_HITS).alias("flagged"),
         )
     )
-    return _materialize_and_release(result, cg)
 
 
 # ---------------------------------------------------------------------------
