@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpoints import CheckpointRing
+from .checkpoints import CheckpointRing, _persistent_ids
 
 
 def _broadcast_threshold_bytes(spark) -> int:
@@ -49,13 +49,15 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     rounds_out: list | None = None,
+    gate_out: list | None = None,
 ) -> DataFrame:
     """edges(src,dst) undirected -> (node, component) with component =
     min node id reachable. Deterministic fixpoint. Pass a list as
     ``rounds_out`` to receive the number of propagation rounds
     actually run (appended as its single element) — the scale-test
     hook pinning that iteration counts track graph diameter, not
-    graph size."""
+    graph size. ``gate_out`` likewise receives whether the
+    pre-partition gate below fired (test hook — ADVICE r14)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -65,14 +67,16 @@ def connected_components(
     # each round becomes ONE join + ONE aggregate (the a == b row both
     # contributes the node's current label to the min and recovers the
     # old label for the changed flag) — previously a second
-    # labels-side join per round did that work.
-    sym = sym.unionByName(
-        sym.select(F.col("a"), F.col("a").alias("b")).distinct()
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # labels-side join per round did that work. Input self-loops are
+    # dropped before the fold (r15, ADVICE r14): unionByName does not
+    # dedupe, so an explicit self-loop in the input used to ride along
+    # twice — harmless for the min aggregates but a wasted join row
+    # per round, and it overcounted the a == b gate probe below.
+    # With exactly one self-loop per node, that probe is an EXACT node
+    # count and the seed labels fall out of the materialized self-loop
+    # rows for free (no separate distinct over sym).
+    sym = sym.where(F.col("a") != F.col("b")).unionByName(
+        sym.select("a").distinct().select(F.col("a"), F.col("a").alias("b"))
     )
     # localCheckpoint cuts the lineage each round: without it the plan
     # doubles per iteration (joins reference the previous labels) and
@@ -81,6 +85,7 @@ def connected_components(
     # freed); superseded label rounds are freed deterministically by
     # the ring — without it a 25-round run leaves 24 dead snapshots
     # pinned until the async ContextCleaner notices (see checkpoints.py).
+    seen_before_sym = _persistent_ids(edges.sparkSession)
     sym = sym.localCheckpoint(eager=True)
     # At scale, hash-partition sym on the JOIN key once before the loop
     # (r14, guide §2.4 "two operations keyed the same way can share one
@@ -104,11 +109,32 @@ def connected_components(
     # few-hundred-MB graph at the default 64 MB advisory size — its
     # label frame is far under any broadcast threshold), so the tiny-
     # graph path pays ZERO extra jobs for the gate.
+    gate_fired = False
     if sym.rdd.getNumPartitions() >= 8:
         n_nodes = sym.where(F.col("a") == F.col("b")).count()
         if n_nodes * 32 > _broadcast_threshold_bytes(edges.sparkSession):
+            gate_fired = True
+            first_ckpt_ids = _persistent_ids(edges.sparkSession) - seen_before_sym
             n_part = sym.sparkSession.sparkContext.defaultParallelism * 2
             sym = sym.repartition(n_part, F.col("b")).localCheckpoint(eager=True)
+            # free the superseded first checkpoint NOW (ADVICE r14):
+            # its blocks otherwise stay pinned until Python GC plus the
+            # async ContextCleaner — the dead-snapshot failure mode
+            # checkpoints.py documents as a measured 3.5x slowdown, and
+            # at scale a transient DOUBLING of edge-set storage.
+            jmap = edges.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for rid in first_ckpt_ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+    if gate_out is not None:
+        gate_out.append(gate_fired)
+    # seed labels: the self-loop rows of the MATERIALIZED edge set are
+    # exactly one row per node, so the old distinct-over-sym shuffle
+    # for the label seed is a filter over cached blocks instead.
+    labels = sym.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    )
     ring = CheckpointRing(labels.sparkSession)
     labels = labels.localCheckpoint(eager=True)
     ring.rotate()  # round 0: the seed labels

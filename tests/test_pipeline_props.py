@@ -176,16 +176,28 @@ def test_cc_prepartition_gate_result_invariant(spark):
     base = {(r["node"], r["component"]) for r in connected_components(df).collect()}
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    part_key = "spark.sql.shuffle.partitions"
     old_coalesce, old_bcast = spark.conf.get(coalesce_key), spark.conf.get(bcast_key)
+    old_parts = spark.conf.get(part_key)
+    gate_probe: list = []
     try:
         spark.conf.set(coalesce_key, "false")
         spark.conf.set(bcast_key, "-1")
+        # ADVICE r14: conftest's SPARK_GRAFT_CPUS=8 default sits exactly
+        # ON the >= 8 partition boundary of the gate's cheap pre-probe;
+        # a lower env override would silently skip the gated path while
+        # the test still passed. Pin the shuffle width AND assert via
+        # the gate_out hook that the pre-partitioned path actually ran.
+        spark.conf.set(part_key, "8")
         gated = {
-            (r["node"], r["component"]) for r in connected_components(df).collect()
+            (r["node"], r["component"])
+            for r in connected_components(df, gate_out=gate_probe).collect()
         }
     finally:
         spark.conf.set(coalesce_key, old_coalesce)
         spark.conf.set(bcast_key, old_bcast)
+        spark.conf.set(part_key, old_parts)
+    assert gate_probe == [True], "pre-partition gate did not fire under forced conditions"
     assert gated == base
 
 
