@@ -54,9 +54,21 @@ NMS_SCHEMA = (
 def nms(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
     """Greedy per-class NMS (reference app.py:1685-1714): sort by
     confidence desc, keep a box iff IoU with every kept box is below
-    the threshold. applyInPandas per (document_id, cls) group — the
+    the threshold. The per-(document_id, cls) group kernel is the
     canonical 'small imperative kernel inside a partitioned dataflow'
-    shape for operators Spark can't express relationally."""
+    shape for operators Spark can't express relationally.
+
+    r15 (guide §4.1/§4.2 — measured): detection groups are tiny
+    (~10-15 boxes; a page has bounded detections per class), so the
+    r14 ``groupBy().applyInPandas`` paid one Arrow round trip + Python
+    call + pandas frame per GROUP — the kernel stage profiled at
+    0.99 s of imageprocess_pipeline's 1.79 s with ~1,500 group
+    invocations at sf0.1. Now ONE mapInPandas over data repartitioned
+    and sorted by the group key runs whole Arrow batches through a
+    pandas groupby, holding back each batch's trailing group so a
+    group split across batch boundaries is processed once, intact.
+    Same shuffle (hash by group key), same per-group greedy kernel,
+    same row set — only the per-group crossing overhead is gone."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -88,7 +100,38 @@ def nms(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
             kept.append(i)
         return pdf.iloc[kept]
 
-    return detections.groupBy("document_id", "cls").applyInPandas(kernel, schema=NMS_SCHEMA)
+    cols = [c.split(" ")[0] for c in NMS_SCHEMA.split(", ")]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = [
+                kernel(g)
+                for _, g in pdf.groupby(["document_id", "cls"], sort=False)
+            ]
+            return pd.concat(outs, ignore_index=True)[cols]
+
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # rows arrive sorted by the group key, so the batch's LAST
+            # group is its only possibly-incomplete one — hold it back
+            last_doc = pdf["document_id"].iloc[-1]
+            last_cls = pdf["cls"].iloc[-1]
+            mask = (pdf["document_id"] == last_doc) & (pdf["cls"] == last_cls)
+            carry = pdf.loc[mask]
+            head = pdf.loc[~mask]
+            if len(head):
+                yield run(head)
+        if carry is not None and len(carry):
+            yield run(carry)
+
+    parted = detections.repartition("document_id", "cls").sortWithinPartitions(
+        "document_id", "cls"
+    )
+    return parted.mapInPandas(batches, schema=NMS_SCHEMA)
 
 
 def nms_grid(detections: DataFrame, iou_threshold: float = 0.5) -> DataFrame:
