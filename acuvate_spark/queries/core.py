@@ -1530,10 +1530,57 @@ def price_equidepth_bins(spark, sf_dir):
     all-rows bin while Spark binned normally). Non-finite rows are
     still BINNED — NaN/+Inf fall to the last bin under both engines'
     shared NaN-greatest total order.
+
+    r15 (guide §1.2 per-task work — measured): the quantile aggregate
+    itself is now order statistics over a row_number window plus
+    Spark's own interpolation formula replicated expression-for-
+    expression, not the built-in ``percentile``. The built-in is a
+    TypedImperativeAggregate whose buffer is a boxed value->count
+    OpenHashMap, Java-serialized per partial and merged into one final
+    map — at sf0.1 the prices are ~97% distinct, so that map holds
+    ~every row and the boundary stage alone profiled at 1.6-1.8 s. The
+    window form sorts the bare doubles once and reads 6 ranks:
+    1.615 s -> 0.746 s on the boundary stage, boundaries verified
+    BIT-identical (struct.pack compare; the ``(higher - position) *
+    lowerKey + (position - lower) * higherKey`` expression below is
+    Percentile.getPercentile's arithmetic in the same operation
+    order). Single-task state note: the global window moves every
+    price into one sort — but the built-in's final merge ALSO held
+    every distinct price in one task's map, so the swap does not
+    change the scale class; at warehouse scale both swap to the
+    mergeable GK sketch as documented.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.where(F.abs(F.col("l_extendedprice")) < F.lit(float("inf"))).agg(
-        F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").alias("bs")
+    fin = li.where(F.abs(F.col("l_extendedprice")) < F.lit(float("inf")))
+    n1 = fin.agg(F.count("*").alias("n"))
+    rn = fin.select(F.col("l_extendedprice").alias("v")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    aggs, outs = [], []
+    for i, p in enumerate((0.25, 0.5, 0.75)):
+        pos = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        aggs += [
+            F.min(F.when(F.col("rn") == lo + 1, F.col("v"))).alias(f"lk{i}"),
+            F.min(F.when(F.col("rn") == hi + 1, F.col("v"))).alias(f"hk{i}"),
+            F.min(pos).alias(f"pos{i}"),
+            F.min(lo).alias(f"lo{i}"),
+            F.min(hi).alias(f"hi{i}"),
+        ]
+    for i in range(3):
+        pos, lo, hi = F.col(f"pos{i}"), F.col(f"lo{i}"), F.col(f"hi{i}")
+        lk, hk = F.col(f"lk{i}"), F.col(f"hk{i}")
+        outs.append(
+            F.when(hi == lo, lk).otherwise(
+                (hi.cast("double") - pos) * lk + (pos - lo.cast("double")) * hk
+            )
+        )
+    b = (
+        rn.crossJoin(F.broadcast(n1))
+        .groupBy()
+        .agg(*aggs)
+        .select(F.array(*outs).alias("bs"))
     )
     j = li.crossJoin(F.broadcast(b))
     price = F.col("l_extendedprice")
