@@ -232,7 +232,20 @@ def simhash_signature(
     per-Column py4j construction (~800 round trips, 1.4-2.7 s of
     driver time per query BUILD) to ``selectExpr`` strings parsed
     JVM-side in a handful of calls — same expression tree, same plan,
-    ~0.2 s."""
+    ~0.2 s.
+
+    r15 (guide §2.3 "aggregate before you shuffle"; the
+    cms_point_query treatment): tokens REDUCE to (key, chunk, token,
+    count) before any hashing — the sf0.1 stream repeats each
+    (doc, chunk, token) 2.33x on average — so md5, conv and the lane
+    spread run once per DISTINCT token per chunk, with the packed
+    flags multiplied by the count (distributivity of the vote sum;
+    each 16-bit lane then holds count <= 2^14 per token and the chunk
+    sum stays <= 2^14 per lane, the same bound as before). The
+    count-first groupBy's exchange is narrow (token + two longs) and
+    its map side dedupes fully because one doc's exploded tokens never
+    split across partitions. Measured on the sf0.1 signature stage:
+    1.96 s -> 1.45 s min-of-5, signatures byte-identical."""
     # integer shift, not float division: a double mantissa cannot hold
     # the top of the 64-bit id space, so `/ 16384` could blur chunk
     # boundaries there; >> 14 is exact floor division for any
@@ -241,27 +254,32 @@ def simhash_signature(
     base = tokens_df.select(
         F.col(key),
         F.shiftright(pos.cast("long"), _CHUNK_SHIFT).alias("__chunk"),
+        F.col(token_col).alias("__tok"),
+    )
+    if pos_col is None:
+        # pin the nondeterministic id-derived chunk assignment before
+        # it becomes a shuffle key (see docstring: partial-retry class)
+        base = base.localCheckpoint(eager=True)
+    counted = base.groupBy(key, "__chunk", "__tok").agg(F.count("*").alias("__c"))
+    counted = counted.withColumn(
+        "__h",
         F.concat(
-            F.md5(F.concat(F.lit("s0|"), F.col(token_col))),
-            F.md5(F.concat(F.lit("s1|"), F.col(token_col))),
-        ).alias("__h"),
+            F.md5(F.concat(F.lit("s0|"), F.col("__tok"))),
+            F.md5(F.concat(F.lit("s1|"), F.col("__tok"))),
+        ),
     )
     lane_exprs = []
     for k in range(_LANE_GROUPS // 2):
         v = f"cast(conv(substring(__h, {8 * k + 1}, 8), 16, 10) as bigint)"
         for half, shift in ((0, 19), (1, 3)):
             lane_exprs.append(
-                f"((shiftright({v}, {shift}) & {0x1111}) * {_LANE_SPREAD}L)"
-                f" & {_LANE_MASK}L AS p{2 * k + half}"
+                f"(((shiftright({v}, {shift}) & {0x1111}) * {_LANE_SPREAD}L)"
+                f" & {_LANE_MASK}L) * __c AS p{2 * k + half}"
             )
-    stamped = base.selectExpr(key, "__chunk", *lane_exprs)
-    if pos_col is None:
-        # pin the nondeterministic id-derived chunk assignment before
-        # it becomes a shuffle key (see docstring: partial-retry class)
-        stamped = stamped.localCheckpoint(eager=True)
+    stamped = counted.selectExpr(key, "__chunk", "__c", *lane_exprs)
     partial = stamped.groupBy(key, "__chunk").agg(
         *[F.sum(f"p{g}").alias(f"s{g}") for g in range(_LANE_GROUPS)],
-        F.count("*").alias("__n"),
+        F.sum("__c").alias("__n"),
     )
     # conv('abcd') is big-endian: the group's FIRST hex digit lands in
     # the highest lane, so digit 4g+r lives in lane 3-r of s{g}
