@@ -74,8 +74,14 @@ def connected_components(
     # per round, and it overcounted the a == b gate probe below.
     # With exactly one self-loop per node, that probe is an EXACT node
     # count and the seed labels fall out of the materialized self-loop
-    # rows for free (no separate distinct over sym).
-    sym = sym.where(F.col("a") != F.col("b")).unionByName(
+    # rows for free (no separate distinct over sym). All three
+    # self-loop predicates are NULL-SAFE (`<=>`): a plain `a != b`
+    # filter silently dropped edges with a NULL endpoint (NULL
+    # comparisons filter), losing the NULL node and its neighbor
+    # propagation — caught by the null-parity ring
+    # (test_null_parity.py, graph_connected_components: 152 vs the
+    # oracle's 153 rows on the null-dense edge fixture).
+    sym = sym.where(~F.col("a").eqNullSafe(F.col("b"))).unionByName(
         sym.select("a").distinct().select(F.col("a"), F.col("a").alias("b"))
     )
     # localCheckpoint cuts the lineage each round: without it the plan
@@ -111,7 +117,7 @@ def connected_components(
     # graph path pays ZERO extra jobs for the gate.
     gate_fired = False
     if sym.rdd.getNumPartitions() >= 8:
-        n_nodes = sym.where(F.col("a") == F.col("b")).count()
+        n_nodes = sym.where(F.col("a").eqNullSafe(F.col("b"))).count()
         if n_nodes * 32 > _broadcast_threshold_bytes(edges.sparkSession):
             gate_fired = True
             first_ckpt_ids = _persistent_ids(edges.sparkSession) - seen_before_sym
@@ -132,7 +138,7 @@ def connected_components(
     # seed labels: the self-loop rows of the MATERIALIZED edge set are
     # exactly one row per node, so the old distinct-over-sym shuffle
     # for the label seed is a filter over cached blocks instead.
-    labels = sym.where(F.col("a") == F.col("b")).select(
+    labels = sym.where(F.col("a").eqNullSafe(F.col("b"))).select(
         F.col("a").alias("node"), F.col("a").alias("component")
     )
     ring = CheckpointRing(labels.sparkSession)

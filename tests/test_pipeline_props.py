@@ -157,6 +157,25 @@ def test_star_cc_matches_label_cc_on_random_graphs(spark):
         assert a == b, f"trial {trial}: star vs label disagree"
 
 
+def test_cc_null_endpoints_propagate_like_distinct_seed(spark):
+    """r15 regression pin: the self-loop fold's `a != b` filter dropped
+    edges with a NULL endpoint (NULL comparisons filter), losing the
+    NULL node and its neighbor propagation — caught by the null-parity
+    ring. NULL must behave exactly as the pre-r15 distinct-seeded form:
+    it is a node, its component is the min component among its non-NULL
+    neighbors, and a node whose only edge partner is NULL keeps its own
+    id."""
+    from acuvate_spark.operators.graph import connected_components
+
+    edges = [(None, 7), (7, 3), (9, None), (5, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    assert got == {(3, 3), (7, 3), (None, 3), (9, 9), (5, 5)}
+
+
 def test_cc_prepartition_gate_result_invariant(spark):
     """r14: connected_components gains a scale-adaptive pre-partition
     of the checkpointed edge set (shuffle-free per-round joins once the
