@@ -30,12 +30,12 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     spark = get_spark("r14-plan-dump")
     if os.environ.get("R14_PLAN_FULL_LINEAGE") == "1":
-        # the materialize_and_release epilogue localCheckpoints the
-        # result, leaving only a Scan ExistingRDD in the dump; stub it
-        # (the plan-audit trick) so the evidence shows the real plan
-        # patch the CONCRETE class (the plan-audit trick) — pyspark 4
-        # defines localCheckpoint on classic.DataFrame, which shadows a
-        # base-class patch
+        # The materialize_and_release epilogue localCheckpoints the
+        # result, leaving only a Scan ExistingRDD in the dump — stub
+        # localCheckpoint to a no-op (the plan-audit trick) so the
+        # evidence shows the real lineage. The patch must target the
+        # CONCRETE class: pyspark 4 defines localCheckpoint on
+        # classic.DataFrame, which shadows any base-class patch.
         from pyspark.sql.classic.dataframe import DataFrame
 
         DataFrame.localCheckpoint = lambda self, eager=True: self
